@@ -1,0 +1,64 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once to completion (count() — forces the full
+plan; results are not collected to the driver). A warmup query first
+pays JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flinkstreametl_spark.plans import REGISTRY  # noqa: E402
+from flinkstreametl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the reference-centerpiece enrich join + the heavy
+# aggregate/join/dedup/similarity queries (tag "bench").
+BENCH_QUERIES = [name for name, spec in REGISTRY.items() if "bench" in spec.tags]
+
+
+def main() -> None:
+    spark = get_spark("flinkstreametl-bench")
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    # Warmup: trivial action to absorb session/codegen startup.
+    REGISTRY["flagship_enrich"].fn(spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        n = REGISTRY[name].fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {times[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock, sum over bench set",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Canal-CDC ingest operators (reference F1-F5, SURVEY.md §2.2).
+
+The reference pipeline is: raw JSON string -> filter(isDdl=false ∧
+table=t_meeting_info ∧ type=INSERT) -> flatten data[] to CSV -> positional
+split to Tuple5 (``utils/JsonFilter.java:14-54``, wired
+``Main.java:67-86``). We express the same semantics declaratively:
+``from_json`` against an explicit envelope schema, a conjunctive filter,
+``explode`` of the data array, and a by-name typed projection — letting
+Catalyst push the filter before the payload projection (the reference
+hand-ordered this, ``Main.java:68-86``; Catalyst's PushDownPredicates
+does it automatically).
+
+All operators work identically on batch and streaming DataFrames — the
+plan is the same; only the source differs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.schemas import CANAL_ENVELOPE_SCHEMA
+
+TARGET_TABLE = "t_meeting_info"  # JsonFilter.java:15
+
+
+def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode the Canal flat-message JSON envelope (E7).
+
+    Replaces fastjson's order-dependent positional parse
+    (``JsonFilter.java:24,30`` with Feature.OrderedField) with
+    ``from_json`` against CANAL_ENVELOPE_SCHEMA — by-name, type-safe.
+    """
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), CANAL_ENVELOPE_SCHEMA).alias("env")
+    ).select("env.*")
+
+
+def cdc_event_filter(types: tuple[str, ...] = ("INSERT",), table: str = TARGET_TABLE) -> Column:
+    """F1 — keep non-DDL events of the target table with the given types.
+
+    The reference pins type=="INSERT" (``JsonFilter.java:16,25``) though
+    the README intends INSERT+UPDATE (``README.md:275``); `types` makes
+    both available.
+    """
+    return (~F.col("isDdl")) & (F.col("table") == table) & F.col("type").isin(*types)
+
+
+def flatten_data(env: DataFrame) -> DataFrame:
+    """F2 — flatten the ``data`` row-array, one output row per changed row.
+
+    The reference concatenates each row-object's values into a CSV string
+    (``JsonFilter.java:28-45``) purely to move them between operators; the
+    string round-trip is an implementation artifact, not a semantic — we
+    explode the array and keep named struct fields.
+    Envelope metadata (es/ts/type) is carried for changelog ordering.
+    """
+    return env.select(
+        F.explode("data").alias("row"),
+        F.col("es").alias("_es"),
+        F.col("ts").alias("_ts"),
+        F.col("type").alias("_op"),
+    )
+
+
+def project_meeting_info(flat: DataFrame) -> DataFrame:
+    """F3 — typed projection to the stream-table schema.
+
+    The reference projects CSV ordinals {0,1,7,13,14} with string->int
+    casts (``JsonFilter.java:47-54``); we select the same five columns by
+    NAME with explicit casts (ordinal 0=id, 1=meeting_code, 7=address_id,
+    13=mstart_date, 14=mend_date per README.md:668-678).
+    """
+    return flat.select(
+        F.col("row.id").cast("int").alias("meeting_id"),
+        F.col("row.meeting_code").alias("meeting_code"),
+        F.col("row.address_id").cast("int").alias("address_id"),
+        F.col("row.mstart_date").alias("mstart_date"),
+        F.col("row.mend_date").alias("mend_date"),
+        F.col("_es"),
+        F.col("_ts"),
+        F.col("_op"),
+    )
+
+
+def with_proctime(df: DataFrame) -> DataFrame:
+    """T6 — processing-time attribute (``StreamTableSeetings.java:6``
+    ``proctime.proctime``): Spark has no proctime column type; the
+    equivalent is current_timestamp() evaluated per micro-batch."""
+    return df.withColumn("proctime", F.current_timestamp())
+
+
+def ingest_meeting_stream(raw: DataFrame, *, types: tuple[str, ...] = ("INSERT",)) -> DataFrame:
+    """The full reference ingest chain (Main.java:67-86) as one plan:
+    parse -> filter -> flatten -> typed projection."""
+    env = parse_envelope(raw)
+    return project_meeting_info(flatten_data(env.filter(cdc_event_filter(types=types))))
+
+
+def latest_by_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> DataFrame:
+    """Last-write-wins dedup by key (REPLACE INTO semantics,
+    ``SinkToMySQL.java:35``): keep the newest record per key ordered by
+    `order_cols` (typically the Canal ``es``/``ts`` times — SURVEY.md §7
+    hard part (2)). Deterministic: ties broken by all order columns.
+
+    Scale note: a single window shuffle on the key — the same exchange a
+    groupBy would need; no driver-side state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,142 @@
+"""[EXT] Similarity search over an embedding column (array<float>):
+brute-force cosine top-k (the correctness baseline) and an LSH/IVF-style
+bucketed variant (the 100 TB path). SURVEY.md §2.9 / north-star.
+
+Two cosine implementations:
+
+1. `knn_exact` — relational: posexplode + equi-join on position with
+   FIXED-POINT accumulation: each double product is quantized to
+   floor(x * 2^40) and summed as BIGINT. Integer sums are exact and
+   associative, so results are partition-order independent and
+   bit-identical to the DuckDB oracle (double->decimal casts are NOT
+   portable — Spark rounds half-up, DuckDB differs at the last digit;
+   floor() of an identical double is). Quantization error ~2^-40 per
+   term. This is the *verifiable* path.
+2. `cosine_col` — higher-order functions (zip_with + aggregate) staying
+   entirely inside one row: no explode blow-up, the *fast* path used in
+   bench. Float-order summation makes it non-portable bit-wise, so its
+   query is registered rows-only.
+
+At cluster scale, brute-force k-NN is O(Q x N); `ivf_topk` prunes
+candidates by coarse quantization (centroid assignment) — only the
+nprobe nearest clusters are scanned, and the centroid table broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^40: fixed-point scale for exact cross-engine accumulation.
+FP_SCALE = 1099511627776.0
+
+
+def fp(x: F.Column) -> F.Column:
+    """Quantize a double to fixed-point: floor(x * 2^40) as BIGINT."""
+    return F.floor(x * F.lit(FP_SCALE)).cast("long")
+
+
+def cosine_col(a, b) -> F.Column:
+    """In-row cosine via higher-order functions (JVM, no Python)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / F.sqrt(na * nb)
+
+
+def _exploded(emb: DataFrame, id_alias: str) -> DataFrame:
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.posexplode("embedding").alias("pos", "val"),
+    )
+
+
+def knn_exact(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k for query vectors vec_id < n_queries,
+    excluding self. Fixed-point-exact accumulation -> deterministic ranking.
+
+    Plan: two narrow exploded relations joined on position, hash
+    aggregate on (query, candidate); the query side is tiny so it
+    broadcasts. 2000 vectors x 64 dims stays a few hundred k rows; at
+    real scale swap in `ivf_topk`.
+    """
+    q = _exploded(emb.filter(F.col("vec_id") < n_queries), "query_id")
+    c = _exploded(emb, "neighbor_id")
+    prod = fp(F.col("q.val").cast("double") * F.col("c.val").cast("double"))
+    qq = fp(F.col("q.val").cast("double") * F.col("q.val").cast("double"))
+    cc = fp(F.col("c.val").cast("double") * F.col("c.val").cast("double"))
+    pairs = (
+        F.broadcast(q.alias("q"))
+        .join(c.alias("c"), (F.col("q.pos") == F.col("c.pos")) & (F.col("q.query_id") != F.col("c.neighbor_id")))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(prod).alias("dot"), F.sum(qq).alias("qq"), F.sum(cc).alias("cc"))
+    )
+    cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def knn_fast(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Same semantics as knn_exact via in-row HOF cosine: broadcast the
+    query vectors, one pass over the candidates, no explode. Float
+    summation order makes last-ulp differences possible -> rows-only
+    check; tests assert neighbor sets match knn_exact."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select("query_id", "neighbor_id", cosine_col(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """Coarse-quantizer centroids: elementwise mean embedding per label
+    (IVF's cluster table; here the fixture `label` is the cluster id).
+    Fixed-point-exact means keep it oracle-checkable."""
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            (F.sum(fp(F.col("val").cast("double"))).cast("double") / F.lit(FP_SCALE) / F.count(F.lit(1))).alias(
+                "centroid_val"
+            )
+        )
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: score each query against the (broadcast) centroid
+    table, keep the nprobe nearest clusters, then run exact cosine only
+    against candidates in those clusters. Output schema matches
+    knn_exact; recall < 1 by construction (tests measure it)."""
+    cents = (
+        label_centroids(emb)
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))).alias("cs"))
+        .select("label", F.transform("cs", lambda x: x["centroid_val"]).alias("centroid"))
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_score").desc(), "label")
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "label", cosine_col(F.col("q_emb"), F.col("centroid")).alias("c_score"))
+        .withColumn("prb", F.row_number().over(probe_w))
+        .filter(F.col("prb") <= nprobe)
+        .select("query_id", "q_emb", "label")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("label"))
+    cand = probes.join(c, "label").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", cosine_col(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

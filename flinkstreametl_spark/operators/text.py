@@ -1,0 +1,103 @@
+"""[EXT] Text-analysis operators for training-data pipelines:
+tokenization, token counting, quality scoring, language-ID heuristic,
+document fingerprinting (SURVEY.md §2.9 / north-star).
+
+All built-in column expressions — JVM-side, whole-stage-codegen'd, no
+Python in the hot path. Every helper has an exact SQL twin used by the
+DuckDB oracles (plans/llm.py), so semantics are pinned engine-neutrally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+# Marker stopword lists for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it"),
+    "es": ("el", "los", "de", "que", "y", "en", "una"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein"),
+    "fr": ("le", "les", "et", "des", "un", "dans", "que"),
+    "zh": ("的", "了", "是", "在", "我"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Lowercased whitespace tokenization."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), TOKEN_SPLIT)
+
+
+def distinct_tokens(col: str | Column = "text") -> Column:
+    return F.array_distinct(tokens(col))
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def marker_hits(tokens_col: Column, words: tuple[str, ...]) -> Column:
+    """Count of tokens that appear in `words` (with multiplicity)."""
+    return F.size(F.filter(tokens_col, lambda t: t.isin(*words)))
+
+
+def punct_count(col: str | Column = "text") -> Column:
+    """Punctuation chars, counted as length minus punctuation-stripped
+    length (identical semantics in Spark and DuckDB regexp_replace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ").cast("binary"))
+
+
+def predicted_lang(hit_cols: dict[str, Column]) -> Column:
+    """Argmax over language marker-hit counts, ties broken by the fixed
+    language order, zero hits -> 'und'. The same CASE chain is emitted in
+    the oracle SQL so tie-breaks match exactly."""
+    langs = list(LANG_MARKERS)
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        others = [hit_cols[o] for o in langs if o != lang]
+        cond = (hit_cols[lang] > 0)
+        for o in others:
+            cond = cond & (hit_cols[lang] >= o)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# --- SQL twins (DuckDB dialect) used to build oracle strings -------------
+
+def sql_tokens(col: str = "text") -> str:
+    return f"regexp_split_to_array(lower(trim({col})), '\\s+')"
+
+
+def sql_word_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join("'" + w.replace("'", "''") + "'" for w in words) + ")"
+
+
+def sql_marker_hits(tokens_sql: str, words: tuple[str, ...]) -> str:
+    return f"len(list_filter({tokens_sql}, t -> t IN {sql_word_list(words)}))"
+
+
+def sql_fingerprint(col: str = "text") -> str:
+    return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
+
+def sql_predicted_lang(hit_sql: dict[str, str]) -> str:
+    langs = list(LANG_MARKERS)
+    cases = []
+    for lang in langs:
+        conds = [f"{hit_sql[lang]} > 0"] + [
+            f"{hit_sql[lang]} >= {hit_sql[o]}" for o in langs if o != lang
+        ]
+        cases.append("WHEN " + " AND ".join(conds) + f" THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " ELSE 'und' END"

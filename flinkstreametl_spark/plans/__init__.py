@@ -1,0 +1,12 @@
+"""Named query registry. Importing this package registers every query
+module; ``__spark_entry__.py``, the tests, and ``bench.py`` all consume
+the same registry."""
+
+from flinkstreametl_spark.plans.registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map
+
+# Import for registration side effects.
+from flinkstreametl_spark.plans import reference as _reference  # noqa: E402,F401
+from flinkstreametl_spark.plans import analytics as _analytics  # noqa: E402,F401
+from flinkstreametl_spark.plans import llm as _llm  # noqa: E402,F401
+
+__all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,388 @@
+"""[EXT] LLM-training-data pipeline queries (north-star): text analysis,
+dedup (exact / MinHash+LSH / SimHash / n-gram Jaccard), similarity
+search over embeddings, multimodal metadata.
+
+Oracle strategy: every operator whose semantics are expressible in
+ANSI-ish SQL gets a DuckDB twin built from the same expression text
+(operators/text.py sql_* helpers), so tokenization/hashing/tie-breaks
+match exactly. Engine-specific numerics (float HOF folds, HLL) are
+registered rows-only and cross-checked in tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators import dedup as D
+from flinkstreametl_spark.operators import similarity as S
+from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+_TOKS = X.sql_tokens("text")
+
+
+@register(
+    "text_quality_stats",
+    tags=("llm", "text", "bench"),
+    oracle=f"""
+SELECT doc_id,
+       lang,
+       length(text) AS n_chars_calc,
+       len({_TOKS}) AS n_tokens,
+       len(list_distinct({_TOKS})) AS n_distinct_tokens,
+       length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+       {X.sql_marker_hits(_TOKS, X.EN_STOPWORDS)} AS n_stopwords,
+       CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) AS ttr,
+       CAST({X.sql_marker_hits(_TOKS, X.EN_STOPWORDS)} AS DOUBLE) / len({_TOKS}) AS stopword_ratio,
+       (len({_TOKS}) >= 10 AND len({_TOKS}) <= 10000
+        AND (CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS})) > 0.1) AS is_quality
+FROM documents
+""",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token/char/punct counts, type-token
+    ratio, stopword ratio, and a boolean quality gate — the standard
+    pre-training corpus filters. Pure column expressions; one scan, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    dtoks = X.distinct_tokens("text")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(dtoks)
+    stop_hits = X.marker_hits(toks, X.EN_STOPWORDS)
+    ttr = n_distinct.cast("double") / n_tokens
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        X.punct_count("text").alias("n_punct"),
+        stop_hits.alias("n_stopwords"),
+        ttr.alias("ttr"),
+        (stop_hits.cast("double") / n_tokens).alias("stopword_ratio"),
+        ((n_tokens >= 10) & (n_tokens <= 10000) & (ttr > 0.1)).alias("is_quality"),
+    )
+
+
+_HITS_SQL = {lang: X.sql_marker_hits(_TOKS, words) for lang, words in X.LANG_MARKERS.items()}
+
+
+@register(
+    "langid_heuristic",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT doc_id,
+       lang AS labeled_lang,
+       {_HITS_SQL['en']} AS en_hits,
+       {_HITS_SQL['es']} AS es_hits,
+       {_HITS_SQL['de']} AS de_hits,
+       {_HITS_SQL['fr']} AS fr_hits,
+       {_HITS_SQL['zh']} AS zh_hits,
+       {X.sql_predicted_lang(_HITS_SQL)} AS predicted_lang
+FROM documents
+""",
+)
+def langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID: per-language hit counts + argmax with
+    fixed tie-break order (operators/text.py). Deterministic and
+    SQL-twinned; a real n-gram model would slot into the same shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    hits = {lang: X.marker_hits(toks, words) for lang, words in X.LANG_MARKERS.items()}
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits["en"].alias("en_hits"),
+        hits["es"].alias("es_hits"),
+        hits["de"].alias("de_hits"),
+        hits["fr"].alias("fr_hits"),
+        hits["zh"].alias("zh_hits"),
+        X.predicted_lang(hits).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    tags=("llm", "dedup"),
+    oracle=f"""
+SELECT doc_id, {X.sql_fingerprint('text')} AS fp
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint (md5 of normalized text) — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+@register(
+    "exact_dup_groups",
+    tags=("llm", "dedup"),
+    oracle=f"""
+SELECT {X.sql_fingerprint('text')} AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS keeper
+FROM documents
+GROUP BY 1
+""",
+)
+def exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup inventory: hash-groupBy on the fingerprint (the 100 TB
+    dedup sweep — one shuffle keyed by digest)."""
+    return D.exact_dup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_keep_first",
+    tags=("llm", "dedup"),
+    oracle=f"""
+SELECT doc_id, fp
+FROM (
+    SELECT doc_id, {X.sql_fingerprint('text')} AS fp,
+           ROW_NUMBER() OVER (PARTITION BY {X.sql_fingerprint('text')} ORDER BY doc_id) AS rn
+    FROM documents
+) t
+WHERE rn = 1
+""",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup: keep min-id doc per fingerprint
+    (dropDuplicates picks an arbitrary row; this is the reproducible
+    variant)."""
+    return D.dedup_keep_first(load_table(spark, sf_dir, "documents")).select("doc_id", "fp")
+
+
+_MINHASH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), mh AS (
+    SELECT doc_id, j,
+           MIN(md5(tok || ':' || CAST(j AS VARCHAR))) AS mh
+    FROM tok, (SELECT unnest(range({D.NUM_HASHES})) AS j) seeds
+    GROUP BY doc_id, j
+), bands AS (
+    SELECT doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT) AS band,
+           string_agg(mh, '|' ORDER BY j) AS band_key
+    FROM mh GROUP BY doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT)
+), sets AS (
+    SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+), cand AS (
+    SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands b1
+    JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(s1.toks, s2.toks)) AS DOUBLE)
+             / (len(s1.toks) + len(s2.toks) - len(list_intersect(s1.toks, s2.toks))) AS jaccard
+    FROM cand c
+    JOIN sets s1 ON c.doc_a = s1.doc_id
+    JOIN sets s2 ON c.doc_b = s2.doc_id
+) v
+WHERE jaccard >= 0.6
+"""
+
+
+# NOTE kept out of the "bench" headline set: the synthetic corpus has a
+# ~40-word vocabulary, so nearly every doc pair is a near-dup and LSH
+# degenerates to all-pairs (4.3M output pairs at sf0.1) — the timing
+# measures pathological output, not the operator.
+@register("minhash_lsh_neardup", tags=("llm", "dedup"), oracle=_MINHASH_ORACLE)
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (operators/dedup.py): md5-based hash family so the oracle reproduces
+    signatures bit-for-bit. Candidate generation is the banded self-join
+    — output-sized, not O(n²)."""
+    return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
+
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), bits AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), 1 + CAST(floor(i / 4) AS INT), 1)) - 1)
+                          & (1 << CAST(i % 4 AS INT))) > 0 THEN 1 ELSE -1 END) AS s
+    FROM tok, (SELECT unnest(range(16)) AS i) bb
+    GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+"""
+
+
+@register("simhash_signatures", tags=("llm", "dedup"), oracle=_SIMHASH_ORACLE)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from per-token md5 nibbles — same
+    integer/bit expressions on both engines."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register("simhash_near_pairs", tags=("llm", "dedup"))
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 via xor+bit_count). Rows-only:
+    the O(n²) oracle join is checked at unit-test scale instead."""
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+_BIGRAMS = f"list_distinct(list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))"
+
+
+@register(
+    "ngram_jaccard_pairs",
+    tags=("llm", "dedup"),
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, lang, source, {_BIGRAMS} AS grams FROM documents
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM g a
+    JOIN g b ON a.lang = b.lang AND a.source = b.source
+            AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 25
+) v
+WHERE jaccard >= 0.05
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard over (lang, source)-bucketed, id-bounded pairs
+    — the blocked pairwise pattern: candidate pairs come from cheap
+    equi-join blocking keys, never a full cross join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+        )
+    )
+    g = docs.select("doc_id", "lang", "source", grams.alias("grams"))
+    a = g.select(F.col("doc_id").alias("doc_a"), "lang", "source", F.col("grams").alias("grams_a"))
+    b = g.select(F.col("doc_id").alias("doc_b"), "lang", "source", F.col("grams").alias("grams_b"))
+    inter = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = inter.cast("double") / (F.size("grams_a") + F.size("grams_b") - inter)
+    return (
+        a.join(b, ["lang", "source"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") <= 25))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+_EMB_EXPLODE = "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val FROM embeddings"
+
+
+@register(
+    "knn_brute_topk",
+    tags=("llm", "similarity", "bench"),
+    oracle=f"""
+WITH q AS (SELECT * FROM ({_EMB_EXPLODE}) WHERE vec_id < 5),
+     c AS ({_EMB_EXPLODE}),
+     p AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+               SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+               SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+        FROM q JOIN c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+     )
+SELECT query_id, neighbor_id, cosine, rk FROM (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC, neighbor_id
+           ) AS rk
+    FROM p
+) v
+WHERE rk <= 5
+""",
+)
+def knn_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id<5 — the ANN
+    correctness baseline. Fixed-point (2^-40) dot products make scores
+    and ranking bit-identical to the oracle (operators/similarity.py)."""
+    return S.knn_exact(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5)
+
+
+@register("knn_cosine_fast", tags=("llm", "similarity", "bench"))
+def knn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fast-path k-NN: in-row zip_with/aggregate cosine, broadcast query
+    side, no explode. Rows-only (float fold order); tests assert its
+    neighbor sets equal knn_brute_topk's."""
+    return S.knn_fast(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5)
+
+
+@register(
+    "embedding_norms",
+    tags=("llm", "similarity"),
+    oracle=f"""
+SELECT vec_id, label,
+       sqrt(CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * CAST(val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+            / 1099511627776.0) AS l2_norm
+FROM (SELECT e.vec_id, e.label, unnest(e.embedding) AS val FROM embeddings e) t
+GROUP BY vec_id, label
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm via fixed-point-exact sum of squares."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.explode("embedding").alias("val"))
+    sq = S.fp(F.col("val").cast("double") * F.col("val").cast("double"))
+    return ex.groupBy("vec_id", "label").agg(
+        F.sqrt(F.sum(sq).cast("double") / F.lit(S.FP_SCALE)).alias("l2_norm")
+    )
+
+
+@register(
+    "label_centroids",
+    tags=("llm", "similarity"),
+    oracle="""
+SELECT label, pos,
+       CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+           / 1099511627776.0 / COUNT(*) AS centroid_val
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val FROM embeddings) t
+GROUP BY label, pos
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer table: per-label elementwise mean embedding
+    (fixed-point-exact, operators/similarity.py)."""
+    return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("ann_ivf_topk", tags=("llm", "similarity"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (probe 3 nearest label-centroids, exact cosine within
+    probed clusters). Rows-only; tests measure recall vs knn_brute_topk."""
+    return S.ivf_topk(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, nprobe=3)
+
+
+@register(
+    "media_meta",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS digest
+FROM documents
+""",
+)
+def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path exercised on real fixtures: documents.text
+    encoded as the opaque binary payload (the container ships no codecs —
+    operators/multimodal.py stubs decode, this covers the blob-metadata
+    plumbing)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "UTF-8").alias("payload")
+    )
+    from flinkstreametl_spark.operators.multimodal import media_metadata
+
+    return media_metadata(docs)

@@ -1,0 +1,3 @@
+from flinkstreametl_spark.sources.parquet import load_table, load_tables, register_views
+
+__all__ = ["load_table", "load_tables", "register_views"]
