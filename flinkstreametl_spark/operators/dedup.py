@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators.text import distinct_tokens, fingerprint
 
+# 8 hashes in 4 bands of 2: at the 0.6 Jaccard threshold the candidate
+# probability is 1-(1-j²)⁴ ≈ 0.86 (vs 0.59 for 2 bands of 4) — recall
+# matters more than band selectivity because candidates are verified
+# with exact Jaccard anyway.
 NUM_HASHES = 8
-ROWS_PER_BAND = 4  # -> 2 bands
+ROWS_PER_BAND = 2  # -> 4 bands
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -1,0 +1,109 @@
+"""The reference job, end-to-end, as Structured Streaming
+(Main.java:44-150 reshaped; SURVEY.md §3).
+
+    CDC source (file replay / Kafka) ──▶ parse_envelope ──▶ F1 filter
+        ──▶ flatten data[] ──▶ typed projection (meeting_info)
+        ──▶ LEFT JOIN broadcast dim (meeting_address, J1 over J2)
+        ──▶ foreachBatch upsert, REPLACE-INTO semantics (S3)
+
+The same builder runs in batch (oracle-checkable, golden tests) and
+streaming (availableNow drains in tests; continuous in production) —
+one plan, two sources, per SURVEY.md §7 hard-part (4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators.cdc import ingest_meeting_stream, with_proctime
+from flinkstreametl_spark.operators.joins import enrich
+from flinkstreametl_spark.sources.cdc import (
+    meeting_address_dim,
+    read_cdc_file_batch,
+    read_cdc_file_stream,
+)
+from flinkstreametl_spark.streaming.sinks import KeyedParquetUpsertSink
+
+
+def enriched_meetings(raw: DataFrame, dim: DataFrame, *, types: tuple[str, ...] = ("INSERT",)) -> DataFrame:
+    """Ingest chain + J1 enrich join + Meeting projection
+    (sqlquery/JoinedSQLQuery.java:6-10 -> model/Meeting.java:13-18).
+    Works on batch and streaming inputs alike."""
+    meeting_info = ingest_meeting_stream(raw, types=types)
+    joined = enrich(meeting_info, dim, "address_id", "meetingroom_id", "left")
+    return joined.select(
+        "meeting_id",
+        "meeting_code",
+        "meetingroom_id",
+        "meetingroom_name",
+        "location_name",
+        "city",
+        "_es",
+        "_ts",
+        "_op",
+    )
+
+
+def run_cdc_batch(spark: SparkSession, source_path: str, *, types: tuple[str, ...] = ("INSERT",)) -> DataFrame:
+    """Batch replay of a Canal JSONL file -> enriched meeting rows."""
+    raw = read_cdc_file_batch(spark, source_path)
+    return enriched_meetings(raw, meeting_address_dim(spark), types=types)
+
+
+def run_cdc_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink: KeyedParquetUpsertSink,
+    checkpoint_dir: str,
+    *,
+    types: tuple[str, ...] = ("INSERT", "UPDATE"),
+):
+    """The full streaming job with exactly-once delivery:
+
+    - checkpointed source offsets (T1 ≈ enableCheckpointing(1000) +
+      EXACTLY_ONCE, Main.java:49-51);
+    - stream-static broadcast join — Spark re-reads the static side per
+      micro-batch, strictly fresher than the reference's one-shot JDBC
+      snapshot-into-state (CreateJDBCInputFormat.java:8-10);
+    - foreachBatch upsert with in-batch last-write-wins by (es, ts) —
+      REPLACE INTO semantics under retry (SURVEY.md §7 hard part (3)).
+
+    Returns the StreamingQuery (caller awaits/stops). With
+    trigger(availableNow=True) it drains existing files and stops —
+    deterministic for tests; drop the trigger for continuous runs.
+    """
+    raw = read_cdc_file_stream(spark, source_path)
+    enriched = enriched_meetings(raw, meeting_address_dim(spark), types=types)
+    return (
+        enriched.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes", watermark: str = "20 minutes") -> DataFrame:
+    """T5 — tumbling-window aggregation with watermark-bounded state
+    (the reference declares EventTime but never installs watermarks,
+    Main.java:50; this is the completed version). Works in batch too
+    (window() is a plain grouping expression)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def proctime_meetings(raw: DataFrame) -> DataFrame:
+    """T6 — the registered stream table shape with the proctime attribute
+    (StreamTableSeetings.java:6): current_timestamp() at micro-batch
+    evaluation time."""
+    return with_proctime(ingest_meeting_stream(raw))

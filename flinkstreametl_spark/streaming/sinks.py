@@ -1,0 +1,106 @@
+"""Streaming sinks (reference S3-S6, SURVEY.md §2.1).
+
+The reference writes one row per ``executeUpdate`` through a dbcp2 pool
+(``SinkToMySQL.java:57-65``, ``SinkToGreenplum.java:55-64``) — a known
+anti-pattern it acknowledges. Our equivalent is ``foreachBatch`` with
+set-oriented writes:
+
+- exactly-once = checkpointed offsets + idempotent upsert per batch
+  (T1: ``Main.java:49-51`` checkpoint/EXACTLY_ONCE);
+- REPLACE INTO semantics (``SinkToMySQL.java:35``) = last-write-wins
+  dedup inside the batch, then key-merge into the target (SURVEY.md §7
+  hard parts (2)(3)).
+
+The parquet-backed keyed table below is the container-friendly stand-in
+for a JDBC/Delta target: the merge pattern (anti-join old ∪ new) is the
+same one a real MERGE INTO executes. `jdbc_upsert_writer` shows the real
+JDBC shape, gated since the container has no database.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators.cdc import latest_by_key
+
+
+class KeyedParquetUpsertSink:
+    """foreachBatch target with REPLACE-INTO semantics on `key_cols`.
+
+    Each batch: (1) last-write-wins dedup within the batch by
+    `order_cols` — exactly-once under micro-batch retry since replays
+    produce the same post-dedup set; (2) merge = existing rows
+    anti-joined on new keys, union new rows, atomic directory swap.
+
+    Scale note: on a cluster this is MERGE INTO on a keyed table
+    (Delta/Iceberg); the anti-join+union here is the same logical plan
+    without the transaction log. The swap is atomic at directory level
+    (write tmp, rename).
+    """
+
+    def __init__(self, path: str, key_cols: list[str], order_cols: list[str]):
+        self.path = path
+        self.key_cols = key_cols
+        self.order_cols = order_cols
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fresh = latest_by_key(batch_df, self.key_cols, self.order_cols)
+        existing = self.read(spark)
+        if existing is not None:
+            keep = existing.join(fresh.select(*self.key_cols), self.key_cols, "left_anti")
+            merged = keep.unionByName(fresh)
+        else:
+            merged = fresh
+        tmp = self.path + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = self.path + f".old-{batch_id}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old)
+
+
+def jdbc_upsert_writer(url: str, table: str, key_cols: list[str], order_cols: list[str], properties: dict | None = None):
+    """S3/S4 — the real JDBC foreachBatch body (requires a live database
+    + driver jar; not exercised in CI). Batched set-oriented writes
+    replace the reference's per-row executeUpdate; idempotency comes
+    from the in-batch key dedup + the target's PK upsert.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = latest_by_key(batch_df, key_cols, order_cols)
+        (
+            fresh.write.mode("append")
+            .format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", "10000")
+            .options(**(properties or {}))
+            .save()
+        )
+
+    return write
+
+
+def console_sink(df: DataFrame, n: int = 20) -> None:
+    """S5 — debug print (Main.java:134,146)."""
+    df.show(n, truncate=False)
+
+
+def changelog_with_op(df: DataFrame, op: str = "+I") -> DataFrame:
+    """T2 — surface a retract-stream style op column (+I/-U/+U/-D);
+    append-only inputs are all +I, as in the reference where the retract
+    channel never fires for its insert-only flow."""
+    return df.withColumn("op", F.lit(op))

@@ -1,0 +1,168 @@
+"""Per-operator unit tests (SURVEY.md §5.2 item 3) on crafted inputs:
+dedup semantics, kNN fast-vs-exact agreement, IVF recall, HLL accuracy,
+multimodal plumbing (stub + fake decoder), REPLACE idempotency."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators import dedup as D
+from flinkstreametl_spark.operators import multimodal as M
+from flinkstreametl_spark.operators import similarity as S
+from flinkstreametl_spark.operators.cdc import latest_by_key
+from flinkstreametl_spark.sources.parquet import load_table
+
+
+@pytest.fixture(scope="module")
+def crafted_docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+        (3, "the  QUICK   brown fox jumps over the lazy dog"),       # same after normalize
+        (4, "the quick brown fox leaps over the lazy dog"),          # near dup (1 token)
+        (5, "completely different content about spark engines"),
+        (6, "completely different content about flink engines"),     # near dup of 5
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_exact_dedup_normalized(spark, crafted_docs):
+    """Fingerprint normalizes case+whitespace: docs 1,2,3 share one
+    group; keeper is the min id."""
+    groups = {r.fp: (r.n_docs, r.keeper) for r in D.exact_dup_groups(crafted_docs).collect()}
+    assert sorted(groups.values()) == [(1, 4), (1, 5), (1, 6), (3, 1)]
+    kept = sorted(r.doc_id for r in D.dedup_keep_first(crafted_docs).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_minhash_finds_near_dups(spark, crafted_docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in D.minhash_lsh_pairs(crafted_docs, threshold=0.5).collect()}
+    # exact dups always collide in every band
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 3)] == 1.0 and pairs[(2, 3)] == 1.0
+    # near-dups are probabilistic candidates; if banded together, the
+    # exact-Jaccard verification must report the true similarity
+    if (1, 4) in pairs:
+        assert abs(pairs[(1, 4)] - 7 / 9) < 1e-9  # one-token swap: |∩|=7, |∪|=9
+    # dissimilar docs must never pass the >= 0.5 verification
+    assert all(j >= 0.5 for j in pairs.values())
+    assert (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_simhash_near_pairs_on_dups(spark, crafted_docs):
+    """Identical token sets -> identical simhash -> hamming 0."""
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(crafted_docs, max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+    sh = {r.doc_id: r.simhash for r in D.simhash(crafted_docs).collect()}
+    assert all(0 <= v < 2**16 for v in sh.values())
+
+
+def test_knn_fast_matches_exact_sets(spark, sf_dir):
+    """The HOF fast path must return the same neighbor sets (per query)
+    as the fixed-point exact path — scores may differ in the last ulp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {}
+    for r in S.knn_exact(emb, n_queries=5, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    fast = {}
+    for r in S.knn_fast(emb, n_queries=5, k=5).collect():
+        fast.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert exact == fast
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """IVF prunes by centroid: on data with real cluster structure
+    (3 well-separated clusters, label = cluster id) nprobe=1 must
+    achieve perfect recall — each query's neighbors live in its own
+    cluster. (The driver fixture's `label` is NOT a spatial cluster, so
+    recall there only measures the scanned fraction.)"""
+    dims, per_cluster = 8, 12
+    rows = []
+    vid = 0
+    for c in range(3):
+        for m in range(per_cluster):
+            vec = [0.1] * dims
+            vec[c] = 10.0
+            vec[(c + m) % dims] += 0.01 * (m + 1)  # deterministic jitter
+            rows.append((vid, [float(x) for x in vec], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+
+    exact = {}
+    for r in S.knn_exact(emb, n_queries=3, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf = {}
+    for r in S.ivf_topk(emb, n_queries=3, k=5, nprobe=1).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[q] & ivf.get(q, set())) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    assert hits / total >= 0.9
+
+
+def test_ivf_runs_on_fixture(spark, sf_dir):
+    """On the (non-clustered-label) fixture, IVF must still return k
+    well-formed results per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(emb, n_queries=5, k=5, nprobe=3).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rk)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_q.values())
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    approx = {
+        r.event_type: r.a
+        for r in events.groupBy("event_type").agg(F.approx_count_distinct("user_id", rsd=0.01).alias("a")).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n)
+
+
+def test_replace_upsert_idempotent(spark):
+    """Same key twice -> one row, newest wins; replay-safe (S3 REPLACE
+    semantics, SinkToMySQL.java:35)."""
+    df = spark.createDataFrame(
+        [(1, "a", 100), (1, "b", 200), (2, "c", 50)], "k INT, v STRING, ts LONG"
+    )
+    out = latest_by_key(df, ["k"], ["ts"])
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "b"), (2, "c")}
+    twice = latest_by_key(out.unionByName(out), ["k"], ["ts"])
+    assert twice.count() == 2
+
+
+def test_multimodal_stub_raises(spark):
+    docs = spark.createDataFrame([(1, bytearray(b"payload"))], "media_id LONG, payload BINARY")
+    with pytest.raises(Exception) as ei:
+        M.extract_features(docs).collect()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_multimodal_fake_decoder_roundtrip(spark):
+    """mapInPandas plumbing with the deterministic fake decoder: schema,
+    Arrow batching, and digest stability."""
+    import hashlib
+
+    payloads = [(i, bytearray(f"blob-{i}".encode() * (i + 1))) for i in range(10)]
+    docs = spark.createDataFrame(payloads, "media_id LONG, payload BINARY")
+    out = {r.media_id: r for r in M.extract_features(docs, decoder=M.fake_decoder).collect()}
+    assert len(out) == 10
+    for i, raw in payloads:
+        b = bytes(raw)
+        assert out[i].n_bytes == len(b)
+        assert out[i].digest == hashlib.md5(b).hexdigest()
+        assert len(out[i].feature) == 4
+
+
+def test_frame_sample(spark):
+    media = spark.createDataFrame(
+        [(1, "video", 3500), (2, "image", None), (3, "video", 0)],
+        "media_id LONG, media_type STRING, duration_ms LONG",
+    )
+    rows = M.frame_sample(media, every_ms=1000).collect()
+    got = sorted((r.media_id, r.frame_ts_ms) for r in rows)
+    assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (3, 0)]
