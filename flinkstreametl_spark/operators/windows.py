@@ -1,0 +1,89 @@
+"""[EXT] Analytic-window composite operators: sessionization and as-of
+join (SURVEY.md §2.9; "Common OLAP patterns" in the public Spark docs).
+
+Both are built from windows + unions only — no cross joins, no Python:
+
+- sessionize: gap-detection via lag() + conditional running sum. One
+  shuffle on the session key; state is a single row per (key, row).
+- as-of join: the union-window technique — interleave both relations on
+  the time axis, then carry the last-seen right-side row forward with
+  last(ignorenulls). Cost = one shuffle + sort on (key, time), which
+  beats the naive range-join cross product at any scale; at 100 TB this
+  is the only shape that works without an interval index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign gap-based session ids per key: a new session starts when
+    the time since the previous event exceeds `gap_seconds`. Returns the
+    input plus a `session_id` column (1-based per key, deterministic)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("_new", is_new).withColumn("session_id", F.sum("_new").over(run)).drop("_new")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_break: str,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts on the same key (ties on right_ts broken by the
+    highest `tie_break`). Union-window implementation:
+
+      1. tag both inputs and union on (key, t);
+      2. sort each key's timeline by (t, tag, tie_break) — right rows
+         (tag 0) sort before left rows (tag 1) at equal t, so an exact
+         timestamp match IS visible to the left row;
+      3. last(right_col, ignorenulls=True) over the growing frame
+         carries the latest right values forward;
+      4. keep left rows.
+    """
+    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
+    rt = right.select(
+        F.col(right_key).alias(key),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col(tie_break).cast("long").alias("_tb"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    lcols = [f for f in left.columns]
+    lt2 = lt.select(
+        *lcols, "_t", "_tag", "_tb", *[F.lit(None).cast(rt.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols]
+    )
+    rt2 = rt.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != key else F.col(key) for c in lcols],
+        "_t",
+        "_tag",
+        "_tb",
+        *[F.col(f"_r_{c}") for c in right_cols],
+    )
+    unioned = lt2.unionByName(rt2)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tb").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_tag",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c if c != key else f"asof_{c}") for c in right_cols],
+    )
+    return carried.filter(F.col("_tag") == 1).drop("_tag")

@@ -7,6 +7,7 @@ from flinkstreametl_spark.plans.registry import REGISTRY, QuerySpec, oracle_sql_
 # Import for registration side effects.
 from flinkstreametl_spark.plans import reference as _reference  # noqa: E402,F401
 from flinkstreametl_spark.plans import analytics as _analytics  # noqa: E402,F401
+from flinkstreametl_spark.plans import analytics_ext as _analytics_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import llm as _llm  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]

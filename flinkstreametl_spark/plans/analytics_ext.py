@@ -1,0 +1,415 @@
+"""[EXT] second analytics wave: more TPC-H-style queries adapted to the
+fixture columns, as-of join, sessionization, wordcount, scalar
+subqueries, date/string/json scalar-function coverage (SURVEY.md §2.7
+E1-E8 extended, §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.functions.exact import dbl, dec, dsum, sql_dbl, sql_dsum
+from flinkstreametl_spark.operators.text import tokens
+from flinkstreametl_spark.operators.windows import asof_join, sessionize
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+
+
+def _rev() -> F.Column:
+    return dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 6, 4))
+
+
+@register(
+    "q6_forecast_revenue",
+    tags=("ext", "aggregate", "bench"),
+    oracle=f"""
+SELECT {sql_dbl("SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,4)))", 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure filter + global aggregate — the predicate-
+    pushdown showcase (all four predicates reach the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dbl(F.sum(dec("l_extendedprice", 12, 2) * dec("l_discount", 6, 4)), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q4_order_priority",
+    tags=("ext", "aggregate", "semi"),
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS semi join + aggregate (shipped-late
+    orders per priority; adapted to l_shipdate vs o_orderdate since the
+    fixture has no commit/receipt dates)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate), "left_semi"
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    tags=("ext", "aggregate", "join"),
+    oracle=f"""
+SELECT {sql_dbl(f"SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END)", 6)}
+         / {sql_dbl(f"SUM({_REV_SQL})", 6)} * 100.0 AS promo_share_pct,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: conditional aggregation over
+    a broadcast part join; ratio of two exact sums."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast("decimal(12,2)"))
+    return joined.agg(
+        (dbl(F.sum(promo), 6) / dbl(F.sum(_rev()), 6) * F.lit(100.0)).alias("promo_share_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q18_large_orders",
+    tags=("ext", "aggregate", "having", "join"),
+    oracle=f"""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, t.total_qty
+FROM orders o
+JOIN (
+    SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 180
+) t ON o.o_orderkey = t.l_orderkey
+""",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: aggregate + HAVING + join
+    back to the order header."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("total_qty"), F.sum(dec("l_quantity")).alias("_raw"))
+        .filter(F.col("_raw") > 180)
+        .drop("_raw")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "total_qty"
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    tags=("ext", "subquery"),
+    oracle=f"""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT {sql_dsum('c_acctbal', 14, 2)} / COUNT(*) FROM customer)
+""",
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery pattern: rows above the global mean. Spark plans
+    the aggregate as a broadcast scalar (one extra stage, no driver
+    round-trip in SQL form); here a crossJoin of the 1-row aggregate."""
+    customer = load_table(spark, sf_dir, "customer")
+    avg_bal = customer.agg((dbl(F.sum(dec("c_acctbal", 14, 2)), 2) / F.count(F.lit(1))).alias("_avg"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+@register(
+    "monthly_revenue_trend",
+    tags=("ext", "aggregate", "datetime"),
+    oracle=f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 14, 2)} AS revenue
+FROM orders
+GROUP BY CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+""",
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-adjacent date arithmetic: month truncation + aggregate (the
+    dashboard query shape the reference feeds to Tableau/FineBI,
+    README.md:1054-1056)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.date_trunc("month", "o_orderdate").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", 14, 2).alias("revenue"),
+    )
+
+
+@register(
+    "string_funcs_parts",
+    tags=("ext", "scalar", "string"),
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       p_brand || '/' || p_type AS brand_type,
+       (p_type = 'PROMO') AS is_promo,
+       CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INT) AS brand_num,
+       length(p_name) AS name_len
+FROM part
+""",
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function coverage (E4-E6 extended): case mapping,
+    substring, concat, equality flag, regexp extraction, length."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        (F.col("p_type") == "PROMO").alias("is_promo"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.length("p_name").alias("name_len"),
+    )
+
+
+@register(
+    "json_payload_roundtrip",
+    tags=("ext", "scalar", "json"),
+    oracle="""
+SELECT event_id,
+       CAST(to_json(struct_pack(event_id := event_id, event_type := event_type)) AS VARCHAR) AS payload
+FROM events
+""",
+)
+def json_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8 — JSON serialization (Main.java:130 debug to_json): compact
+    struct serialization matches DuckDB's to_json byte-for-byte for
+    int/string fields."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("payload"),
+    )
+
+
+@register(
+    "token_frequency_top100",
+    tags=("ext", "llm", "text", "bench"),
+    oracle="""
+SELECT tok, cnt, n_docs FROM (
+    SELECT tok, COUNT(*) AS cnt, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok FROM documents) t
+    GROUP BY tok
+) v
+ORDER BY cnt DESC, tok
+LIMIT 100
+""",
+)
+def token_frequency_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus wordcount: explode -> two-level aggregate -> top-k. The
+    canonical flatMap benchmark; partial aggregation absorbs the token
+    explosion before the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    return (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(100)
+    )
+
+
+@register(
+    "sessionize_events",
+    tags=("ext", "window", "sessionize", "bench"),
+    oracle="""
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM (
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) t
+) s
+GROUP BY user_id, session_id
+""",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session rollup —
+    lag + conditional running sum (operators/windows.py), one shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "asof_latest_order",
+    tags=("ext", "join", "asof", "bench"),
+    oracle="""
+WITH u AS (
+    SELECT event_id, user_id, ts, ts AS _t, 1 AS _tag,
+           CAST(NULL AS BIGINT) AS _tb, CAST(NULL AS BIGINT) AS r_okey, CAST(NULL AS TIMESTAMP) AS r_odate
+    FROM events
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), o_custkey, CAST(NULL AS TIMESTAMP), o_orderdate, 0,
+           o_orderkey, o_orderkey, o_orderdate
+    FROM orders
+), c AS (
+    SELECT event_id, user_id, ts, _tag,
+           last_value(r_okey IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY _t, _tag, _tb NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderkey,
+           last_value(r_odate IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY _t, _tag, _tb NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_orderdate
+    FROM u
+)
+SELECT event_id, user_id, ts, last_orderkey, last_orderdate
+FROM c WHERE _tag = 1
+""",
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event enriched with the user's most recent order
+    at event time (union-window technique, operators/windows.py — no
+    range cross join; ties on order date broken by max orderkey)."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+    )
+
+
+@register(
+    "full_outer_nation_counts",
+    tags=("ext", "join", "outer"),
+    oracle="""
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+ON c.nk = s.nk
+""",
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two aggregates with COALESCE null-fill."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    j = c.alias("c").join(s.alias("s"), F.col("c.nk") == F.col("s.nk"), "full_outer")
+    return j.select(
+        F.coalesce(F.col("c.nk"), F.col("s.nk")).alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+@register(
+    "null_handling_buckets",
+    tags=("ext", "scalar", "conditional"),
+    oracle="""
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_alias,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS bal_bucket,
+       GREATEST(c_acctbal, 0.0) AS bal_floor,
+       LEAST(c_acctbal, 1000.0) AS bal_cap
+FROM customer
+""",
+)
+def null_handling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null scalar functions: NULLIF, COALESCE, CASE,
+    GREATEST/LEAST."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias("segment_alias"),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("bal_floor"),
+        F.least("c_acctbal", F.lit(1000.0)).alias("bal_cap"),
+    )
+
+
+@register("percentile_quantities", tags=("ext", "aggregate", "approx"))
+def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact and approximate percentiles per return flag. Rows-only:
+    interpolation arithmetic differs across engines in the last ulp;
+    tests pin the exact values against DuckDB's quantile_cont within
+    tolerance instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_price_approx"),
+    )
