@@ -386,3 +386,79 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkstreametl_spark.operators.multimodal import media_metadata
 
     return media_metadata(docs)
+
+
+@register(
+    "bpe_ish_token_count",
+    tags=("llm", "text"),
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9[:space:]]')) AS n_bpe_tokens,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens
+FROM documents
+""",
+)
+def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star): whitespace tokens and a
+    BPE-ish pre-tokenizer regex (letter runs | digit runs | single
+    punctuation) — the standard GPT-style pre-tokenization shape, all
+    JVM-side regexp."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0))").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "embedding_neardup_pairs",
+    tags=("llm", "dedup", "similarity"),
+    oracle="""
+WITH e AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+    FROM embeddings
+), p AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           SUM(CAST(floor(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(a.val AS DOUBLE) * CAST(a.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(b.val AS DOUBLE) * CAST(b.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+    FROM e a
+    JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine
+    FROM p
+) v
+WHERE cosine >= 0.3
+""",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection with LABEL BLOCKING: only
+    same-cluster pairs are scored (the IVF-style candidate restriction —
+    at 100 TB the block key comes from coarse quantization, keeping the
+    pair count output-sized instead of O(n²)). Fixed-point cosine, so
+    the threshold cut is engine-exact. Threshold 0.3 exercises the
+    operator on this zero-centered synthetic corpus (real near-dup
+    pipelines use ~0.95)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    prod = S.fp(F.col("a.val").cast("double") * F.col("b.val").cast("double"))
+    qq = S.fp(F.col("a.val").cast("double") * F.col("a.val").cast("double"))
+    cc = S.fp(F.col("b.val").cast("double") * F.col("b.val").cast("double"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.sum(prod).alias("dot"), F.sum(qq).alias("qq"), F.sum(cc).alias("cc"))
+    )
+    cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
+    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= 0.3)

@@ -104,3 +104,18 @@ def changelog_with_op(df: DataFrame, op: str = "+I") -> DataFrame:
     append-only inputs are all +I, as in the reference where the retract
     channel never fires for its insert-only flow."""
     return df.withColumn("op", F.lit(op))
+
+
+def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
+    """S6 — Kafka egress (the reference declared SinkToKafka but left it
+    an empty stub, sinks/SinkToKafka.java:3-4; this is the completed
+    intent). Serializes rows as JSON (E8). Requires the Kafka connector
+    jar + a broker; gated out of CI."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
