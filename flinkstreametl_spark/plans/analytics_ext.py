@@ -413,3 +413,155 @@ def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.9)").alias("p90"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_price_approx"),
     )
+
+
+@register(
+    "setop_union_all_keys",
+    tags=("ext", "setop"),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION ALL
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_union_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics, no dedup shuffle — zero-cost concat)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s)
+
+
+@register(
+    "setop_intersect_all_keys",
+    tags=("ext", "setop"),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_intersect_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset: min of per-side multiplicities)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "setop_except_all_keys",
+    tags=("ext", "setop"),
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+""",
+)
+def setop_except_all_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference of multiplicities)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
+    "window_lag_lead_ntile",
+    tags=("ext", "window"),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       LAG(o_orderkey)  OVER w AS prev_orderkey,
+       LEAD(o_orderkey) OVER w AS next_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       NTILE(4) OVER w AS quartile,
+       RANK() OVER w AS rk,
+       DENSE_RANK() OVER w AS drk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def window_lag_lead_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation/distribution window functions: lag, lead, first_value,
+    ntile, rank, dense_rank over a deterministic per-customer ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        F.first("o_orderkey").over(w).alias("first_orderkey"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@register(
+    "stats_variance_exact",
+    tags=("ext", "aggregate", "stats"),
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS s1,
+       {sql_dbl('SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))', 4)} AS s2,
+       ({sql_dbl('SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))', 4)}
+         - {sql_dsum('l_quantity')} * {sql_dsum('l_quantity')} / COUNT(*)) / (COUNT(*) - 1) AS var_samp_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance from exact moments (Σx, Σx² in decimal): the
+    portable formulation — built-in var_samp/stddev use engine-specific
+    accumulation (Welford vs two-pass) and differ in the last ulp, so
+    the moments are computed exactly and combined with one identical
+    double expression. This is also the mergeable/partition-safe way to
+    compute variance at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    s1 = dbl(F.sum(dec("l_quantity")), 2)
+    s2 = dbl(F.sum(dec("l_quantity") * dec("l_quantity")), 4)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+        ((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("var_samp_qty"),
+    )
+
+
+@register("stats_builtin_moments", tags=("ext", "aggregate", "stats"))
+def stats_builtin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in statistical aggregates (stddev/var/corr/skew/kurtosis).
+    Rows-only: engines accumulate these with different algorithms;
+    tests pin them against DuckDB within tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("stddev_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+        F.skewness("l_quantity").alias("skew_qty"),
+        F.kurtosis("l_quantity").alias("kurt_qty"),
+    )
+
+
+@register("pandas_udf_quality", tags=("ext", "llm", "udf"))
+def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized-UDF extensibility surface (the Spark answer to the
+    reference's anonymous Map/FilterFunctions, Main.java:68-86): an
+    Arrow-batched pandas_udf scoring text quality. Rows-only; tests
+    assert it agrees with the pure-column text_quality_stats gate."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _score(text):
+        toks = text.str.lower().str.strip().str.split(r"\s+")
+        n = toks.str.len()
+        distinct = toks.map(lambda t: len(set(t)) if isinstance(t, list) else 0)
+        ttr = distinct / n.clip(lower=1)
+        return ((n >= 10) & (n <= 10000) & (ttr > 0.1)).astype("float64")
+
+    # non-decorator form: the module uses deferred annotations (PEP 563),
+    # which breaks pandas_udf type-hint inference on local imports
+    quality_score = pandas_udf(_score, "double")
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))

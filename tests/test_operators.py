@@ -166,3 +166,36 @@ def test_frame_sample(spark):
     rows = M.frame_sample(media, every_ms=1000).collect()
     got = sorted((r.media_id, r.frame_ts_ms) for r in rows)
     assert got == [(1, 0), (1, 1000), (1, 2000), (1, 3000), (3, 0)]
+
+
+def test_pandas_udf_agrees_with_builtin_quality(spark, sf_dir):
+    """The Arrow-batched pandas_udf quality score must agree with the
+    pure-column (oracle-gated) is_quality flag on every document."""
+    from flinkstreametl_spark.plans.registry import REGISTRY
+
+    builtin = {
+        r.doc_id: bool(r.is_quality) for r in REGISTRY["text_quality_stats"].fn(spark, sf_dir).collect()
+    }
+    udf = {r.doc_id: bool(r.quality) for r in REGISTRY["pandas_udf_quality"].fn(spark, sf_dir).collect()}
+    assert builtin == udf
+
+
+def test_builtin_moments_match_duckdb_tolerance(spark, sf_dir):
+    """Engine-specific accumulators (stddev/var/corr) agree with DuckDB
+    within float tolerance — the rows-only counterpart of the exact gate."""
+    import duckdb
+
+    from flinkstreametl_spark.plans.registry import REGISTRY
+
+    got = {r.l_returnflag: r for r in REGISTRY["stats_builtin_moments"].fn(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    ref = con.sql(
+        f"""SELECT l_returnflag, stddev_samp(l_quantity) sd, var_samp(l_quantity) v,
+                   corr(l_quantity, l_extendedprice) c
+            FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"""
+    ).fetchall()
+    con.close()
+    for flag, sd, v, c in ref:
+        assert abs(got[flag].stddev_qty - sd) < 1e-9 * max(1, abs(sd))
+        assert abs(got[flag].var_qty - v) < 1e-9 * max(1, abs(v))
+        assert abs(got[flag].corr_qty_price - c) < 1e-6
