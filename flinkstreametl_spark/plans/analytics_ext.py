@@ -565,3 +565,50 @@ def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "session_window_agg",
+    tags=("ext", "window", "sessionize", "streaming"),
+    oracle=f"""
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 18, 6)} AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window as a batch grouping expression, oracle-checked
+    against the equivalent gaps-and-islands SQL (lag -> new-session flag
+    -> running-sum session id): Spark's native session operator and the
+    portable windowed formulation must agree exactly — session_end is
+    last event + gap by definition. The streaming twin
+    (streaming/pipeline.session_window_counts) adds the watermark."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 18, 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

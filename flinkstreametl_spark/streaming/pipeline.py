@@ -102,6 +102,28 @@ def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes", wate
     )
 
 
+def session_window_counts(events: DataFrame, *, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Session windows with a dynamic close-on-gap (the streaming twin of
+    operators/windows.sessionize): a session closes when no event arrives
+    for `gap`; the watermark bounds session state so an idle key's state
+    is evicted instead of growing forever — the exact problem the
+    reference's setIdleStateRetentionTime(1d, 2d) guards against (T3,
+    Main.java:57). Works in batch too (session_window is a grouping
+    expression there)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def proctime_meetings(raw: DataFrame) -> DataFrame:
     """T6 — the registered stream table shape with the proctime attribute
     (StreamTableSeetings.java:6): current_timestamp() at micro-batch

@@ -131,6 +131,88 @@ def test_windowed_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         assert batch[k] == v
 
 
+def test_late_data_dropped_past_watermark(spark, tmp_path):
+    """T5 — a row older than the watermark when its window has already
+    closed must be DROPPED, not retro-applied (the late-data contract
+    the reference never implements despite declaring EventTime,
+    Main.java:50)."""
+    import datetime
+
+    schema = "ts timestamp, event_type string, value double"
+
+    def rows(*ts):
+        return spark.createDataFrame(
+            [(datetime.datetime(2024, 1, 1, *t), "click", 1.0) for t in ts], schema
+        )
+
+    src_dir = tmp_path / "late_src"
+    src_dir.mkdir()
+    # batch 1: two rows in [12:00,12:10), one at 12:59 pushing the
+    # watermark (20 min) to 12:39 -> window [12:00,12:10) closes.
+    rows((12, 0, 1), (12, 5, 0), (12, 59, 0)).coalesce(1).write.parquet(str(src_dir / "f1"))
+
+    stream = spark.readStream.schema(schema).option("recursiveFileLookup", "true").parquet(str(src_dir))
+    agg = windowed_event_counts(stream)
+    q = agg.writeStream.outputMode("append").format("memory").queryName("lateout").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: a late straggler for the closed window + a row at
+        # 13:30 that closes everything else.
+        rows((12, 3, 0), (13, 30, 0)).coalesce(1).write.parquet(str(src_dir / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.window_start: r.n for r in spark.sql("SELECT * FROM lateout").collect()}
+    closed_window = datetime.datetime(2024, 1, 1, 12, 0)
+    assert got[closed_window] == 2  # the 12:03 straggler was dropped
+    assert datetime.datetime(2024, 1, 1, 12, 50) in got  # 12:59 window closed by 13:30
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Session windows (dynamic gap-close) as a stream: sessions closed
+    by the watermark must match the batch session_window computation."""
+    import datetime
+
+    from flinkstreametl_spark.streaming.pipeline import session_window_counts
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in session_window_counts(events).collect()
+    }
+
+    split = datetime.datetime(2024, 1, 15)
+    src_dir = tmp_path / "sess_dir"
+    src_dir.mkdir()
+    events.filter(F.col("ts") < F.lit(split)).coalesce(1).write.parquet(str(src_dir / "f1"))
+
+    stream = spark.readStream.schema(events.schema).option("recursiveFileLookup", "true").parquet(str(src_dir))
+    agg = session_window_counts(stream)
+    q = agg.writeStream.outputMode("append").format("memory").queryName("sessout").start()
+    try:
+        q.processAllAvailable()
+        events.filter(F.col("ts") >= F.lit(split)).coalesce(1).write.parquet(str(src_dir / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.session_start, r.user_id): (r.session_end, r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM sessout").collect()
+    }
+    # Sessions fully closed before the final watermark must match batch
+    # exactly; everything the stream emitted must agree with batch.
+    max_ts = events.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(hours=1, minutes=30)
+    closed = {k: v for k, v in batch.items() if v[0] < horizon}
+    assert closed
+    for k, v in closed.items():
+        assert got[k] == v, f"session {k}: stream={got.get(k)} batch={v}"
+    for k, v in got.items():
+        assert batch[k] == v
+
+
 def test_proctime_attribute(spark, golden_dir):
     """T6 — proctime column materializes as a timestamp at evaluation."""
     from flinkstreametl_spark.streaming.pipeline import proctime_meetings
