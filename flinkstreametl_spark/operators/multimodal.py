@@ -109,6 +109,60 @@ def extract_features(
     return df.select(id_col, payload_col).mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("payload", T.BinaryType(), True),
+])
+
+
+def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize for tests: truncate/tile the byte
+    payload to w*h bytes — stands in for a real codec's re-encode."""
+    if payload is None or not w or not h:
+        return b""
+    need = w * h
+    reps = -(-need // max(1, len(payload)))
+    return (payload * reps)[:need]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: Arrow-batched blob-in/blob-out,
+    never touching the driver. The real resize needs a codec (absent
+    here) — with resizer=None this raises at execution, exactly like
+    the decode stub; tests inject fake_resizer. At 100 TB the only
+    things that matter are preserved here: iterator-of-batches (bounded
+    memory), metadata columns updated relationally, and the payload
+    staying a single binary cell per row."""
+    res = resizer
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if res is None:
+                decode_image_batch(pdf[payload_col])  # raises NotImplementedError
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "width": width,
+                    "height": height,
+                    "payload": [
+                        res(bytes(p) if p is not None else None, width, height) for p in pdf[payload_col]
+                    ],
+                }
+            )
+            yield out[[f.name for f in RESIZED_SCHEMA.fields]]
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000, id_col: str = "media_id") -> DataFrame:
     """Frame-sampling plumbing for video rows: emit (media_id, frame_ts_ms)
     per sampled frame from duration metadata — a pure-relational explode;

@@ -124,6 +124,39 @@ def session_window_counts(events: DataFrame, *, gap: str = "30 minutes", waterma
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    max_delay_expr: str = "INTERVAL 1 HOUR",
+) -> DataFrame:
+    """Stream-stream inner join with a time-interval condition — the
+    Flink interval-join shape the reference's stack offers but never
+    uses. Both sides are watermarked so Spark can bound join state: a
+    buffered left row is evictable once the right watermark passes
+    left.ts + max_delay. Join condition: same user, right event in
+    (left.ts, left.ts + max_delay].
+
+    At scale this is THE state-bounding pattern for stream-stream joins
+    — without the time bound, state grows with the full history of both
+    streams. Works identically in batch (watermarks become no-ops)."""
+    lt = left.withWatermark("ts", watermark).alias("l")
+    rt = right.withWatermark("ts", watermark).alias("r")
+    return lt.join(
+        rt,
+        F.expr(
+            "l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + " + max_delay_expr
+        ),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def proctime_meetings(raw: DataFrame) -> DataFrame:
     """T6 — the registered stream table shape with the proctime attribute
     (StreamTableSeetings.java:6): current_timestamp() at micro-batch

@@ -199,3 +199,32 @@ def test_builtin_moments_match_duckdb_tolerance(spark, sf_dir):
         assert abs(got[flag].stddev_qty - sd) < 1e-9 * max(1, abs(sd))
         assert abs(got[flag].var_qty - v) < 1e-9 * max(1, abs(v))
         assert abs(got[flag].corr_qty_price - c) < 1e-6
+
+
+def test_resize_images_plumbing(spark):
+    """Resize via mapInPandas: correct schema, per-row payload of w*h
+    bytes, deterministic content from the fake resizer."""
+    from flinkstreametl_spark.operators import multimodal as M
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"abcdef")), (2, bytearray(b"x")), (3, None)],
+        "media_id long, payload binary",
+    )
+    out = M.resize_images(media, 4, 2, resizer=M.fake_resizer)
+    rows = {r.media_id: bytes(r.payload) for r in out.collect()}
+    assert out.columns == ["media_id", "width", "height", "payload"]
+    assert rows[1] == b"abcdefab"       # tiled to 8 bytes
+    assert rows[2] == b"xxxxxxxx"
+    assert rows[3] == b""
+
+
+def test_resize_without_codec_raises(spark):
+    from flinkstreametl_spark.operators import multimodal as M
+
+    media = spark.createDataFrame([(1, bytearray(b"abc"))], "media_id long, payload binary")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as exc:
+        M.resize_images(media, 4, 2).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, Py4JJavaError)

@@ -213,6 +213,54 @@ def test_session_window_stream_matches_batch(spark, sf_dir, tmp_path):
         assert batch[k] == v
 
 
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream inner interval join (clicks x purchases within 1h,
+    both sides watermarked): the streamed result over a 2-file replay
+    must equal the batch join exactly — inner matches emit as they
+    arrive; the watermark only bounds state."""
+    import datetime
+
+    from flinkstreametl_spark.streaming.pipeline import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    batch = {
+        (r.left_event_id, r.right_event_id)
+        for r in stream_stream_interval_join(clicks_b, purch_b).collect()
+    }
+    assert batch  # non-trivial fixture
+
+    split = datetime.datetime(2024, 1, 15)
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(), pdir.mkdir()
+    for src, d in ((clicks_b, cdir), (purch_b, pdir)):
+        src.filter(F.col("ts") < F.lit(split)).coalesce(1).write.parquet(str(d / "f1"))
+
+    cs = spark.readStream.schema(events.schema).option("recursiveFileLookup", "true").parquet(str(cdir))
+    ps = spark.readStream.schema(events.schema).option("recursiveFileLookup", "true").parquet(str(pdir))
+    q = (
+        stream_stream_interval_join(cs, ps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for src, d in ((clicks_b, cdir), (purch_b, pdir)):
+            src.filter(F.col("ts") >= F.lit(split)).coalesce(1).write.parquet(str(d / "f2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.left_event_id, r.right_event_id)
+        for r in spark.sql("SELECT left_event_id, right_event_id FROM ssjoin").collect()
+    }
+    assert got == batch
+
+
 def test_proctime_attribute(spark, golden_dir):
     """T6 — proctime column materializes as a timestamp at evaluation."""
     from flinkstreametl_spark.streaming.pipeline import proctime_meetings
