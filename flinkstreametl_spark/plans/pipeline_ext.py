@@ -1,0 +1,167 @@
+"""[EXT] Training-data-pipeline operators beyond dedup/similarity
+(north-star requirement): reproducible dataset splitting and sampling,
+higher-order array functions, and date arithmetic breadth.
+
+Splitting/sampling at 100 TB must be HASH-based, never rand(): a random
+split is irreproducible across reruns, retried tasks, and engines,
+and can't be recomputed for an incremental batch. Hashing a stable id
+gives the same assignment everywhere — these queries prove Spark and
+DuckDB agree bucket-for-bucket via the md5 oracle gate.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+# Engine-portable hash bucket in [0, 100): md5 of the decimal string id,
+# first 4 hex digits, mod 100. (xxhash64/Spark `hash` are Spark-private;
+# md5 is bit-identical everywhere.)
+_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+
+
+def _bucket() -> F.Column:
+    return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100).alias(
+        "bucket"
+    )
+
+
+@register(
+    "hash_split_train_test",
+    tags=("ext", "llm", "sampling"),
+    oracle=f"""
+SELECT doc_id,
+       {_BUCKET_SQL} AS bucket,
+       CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def hash_split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 bucket of the
+    document id: reproducible across engines, reruns, retries, and
+    incremental batches (a new document lands in the same split
+    forever). The per-row hash is a pure map — no shuffle, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "stratified_hash_sample",
+    tags=("ext", "llm", "sampling"),
+    oracle=f"""
+SELECT doc_id, lang, {_BUCKET_SQL} AS bucket
+FROM documents
+WHERE {_BUCKET_SQL} < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+""",
+)
+def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language rates (50% en, 10% rest) —
+    the hash-based form of `sampleBy`, chosen because rand()-based
+    sampling is irreproducible across engines/retries. The rate table
+    extends to any per-stratum map via the CASE chain (or a broadcast
+    join against a rates dim at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    rate = F.when(F.col("lang") == "en", 50).otherwise(10)
+    return docs.filter(b < rate).select("doc_id", "lang", b.alias("bucket"))
+
+
+@register(
+    "array_functions_embeddings",
+    tags=("ext", "scalar", "array", "llm"),
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS n_dims,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       list_aggregate(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)), 'sum') AS fp_sum,
+       CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS fp_max
+FROM embeddings
+""",
+)
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column —
+    size/filter/transform/aggregate/array_max, all JVM-side inside
+    codegen (the F.aggregate fold is the same machinery the cosine
+    kernel uses). Exactness: element values go through fixed-point
+    floor(x * 2^20) BIGINTs before summing, because a float array
+    summed as doubles is engine-divergent in the last ulp; integer
+    folds are exact in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    fp = "CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)"
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.expr(f"aggregate(transform(embedding, x -> {fp}), CAST(0 AS BIGINT), (a, x) -> a + x)").alias(
+            "fp_sum"
+        ),
+        F.expr("CAST(floor(CAST(array_max(embedding) AS DOUBLE) * 1048576) AS BIGINT)").alias("fp_max"),
+    )
+
+
+@register(
+    "date_arithmetic_orders",
+    tags=("ext", "scalar", "datetime"),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+       CAST(EXTRACT(DOW FROM o_orderdate) + 1 AS INT) AS dow,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3_months
+FROM orders
+""",
+)
+def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic breadth (E1/E2 extended): day difference to a
+    fixed horizon, month-end, quarter, day-of-week (normalized to
+    Spark's 1=Sunday), and clamping month addition — all pushed-down
+    column expressions, no UDFs."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_2002"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus_3_months"),
+    )
+
+
+@register("grouped_agg_pandas_udf", tags=("ext", "udf", "aggregate"))
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the custom-UDAF surface (the reference
+    has no UDAF at all; this is the Spark-idiomatic extensibility
+    point): quantity-weighted mean price per return flag, Arrow-batched.
+    Rows-only; tests pin it against the equivalent built-in expression."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _wmean(price: pd.Series, qty: pd.Series) -> float:
+        denom = qty.sum()
+        return float((price * qty).sum() / denom) if denom else float("nan")
+
+    # GROUPED_AGG is inferred from the (Series, Series) -> scalar hints;
+    # pd must be module-global for PEP-563 hint resolution.
+    wmean = pandas_udf(_wmean, "double")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wmean(F.col("l_extendedprice"), F.col("l_quantity")).alias("wmean_price")
+    )

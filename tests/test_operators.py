@@ -228,3 +228,24 @@ def test_resize_without_codec_raises(spark):
     with _pytest.raises(Exception) as exc:
         M.resize_images(media, 4, 2).collect()
     assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+
+
+def test_grouped_agg_udf_matches_builtin(spark, sf_dir):
+    """The GROUPED_AGG pandas_udf weighted mean must match the built-in
+    column expression sum(p*q)/sum(q) to double precision."""
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.plans.registry import REGISTRY
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    got = {r.l_returnflag: r.wmean_price for r in REGISTRY["grouped_agg_pandas_udf"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {
+        r.l_returnflag: r.w
+        for r in li.groupBy("l_returnflag")
+        .agg((F.sum(F.col("l_extendedprice") * F.col("l_quantity")) / F.sum("l_quantity")).alias("w"))
+        .collect()
+    }
+    assert set(got) == set(ref)
+    for k in got:
+        assert abs(got[k] - ref[k]) < 1e-6 * abs(ref[k])
