@@ -612,3 +612,34 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "sliding_window_counts",
+    tags=("ext", "window", "streaming"),
+    oracle=f"""
+WITH offs AS (SELECT UNNEST(range(3)) AS k)
+SELECT make_timestamp((CAST(floor(epoch(ts) / 600) AS BIGINT) * 600 - k * 600) * 1000000)
+         AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       {sql_dsum('value', 18, 6)} AS sum_value
+FROM events, offs
+GROUP BY 1, 2
+""",
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 30-minute window, 10-minute slide —
+    as a batch grouping expression; the streaming twin adds a watermark
+    exactly as in windowed_event_counts. Each event lands in
+    window/slide = 3 windows; Spark plans this as an internal explode
+    before the aggregation, which is the cross-join-free formulation
+    the oracle replicates with a 3-offset UNNEST. Epoch-grid alignment
+    (floor(epoch/slide)*slide) matches F.window's 1970-anchored
+    windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "30 minutes", "10 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 18, 6).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

@@ -1,0 +1,99 @@
+"""Plan-shape regression tests: pin the physical-plan properties the
+100 TB design depends on (docs/SCALE.md). A change that silently turns a
+broadcast join into a shuffle, or un-pushes a filter, fails here long
+before it shows up as an sf0.1 bench regression.
+"""
+
+from __future__ import annotations
+
+import re
+
+from flinkstreametl_spark.plans import REGISTRY
+
+
+def _physical(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name, sf_dir) -> str:
+    """explain('formatted') text — unlike executedPlan().toString(), it
+    prints PushedFilters/ReadSchema untruncated per scan node."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_flagship_no_shuffle(spark, sf_dir):
+    """flagship_enrich: all dims broadcast — the fact side must reach
+    the sink with ZERO shuffle exchanges."""
+    plan = _physical(spark, "flagship_enrich", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q1_single_exchange(spark, sf_dir):
+    """q1: partial agg -> ONE exchange on the group keys -> final agg."""
+    plan = _physical(spark, "q1_pricing_summary", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q6_filters_pushed(spark, sf_dir):
+    """q6: shipdate/discount/quantity predicates reach the parquet scan."""
+    plan = _formatted(spark, "q6_forecast_revenue", sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"{frag} not pushed: {pushed}"
+
+
+def test_q19_disjunction_pushed_to_part_scan(spark, sf_dir):
+    """q19: Catalyst must derive per-side filters from the OR of
+    conjunct groups (p_brand IN (...) on the part scan, the quantity
+    envelope on the lineitem scan)."""
+    plan = _formatted(spark, "q19_disjunctive_predicate", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand[^\]]*\]", plan), plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity[^\]]*\]", plan), plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    """top-k queries must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort."""
+    plan = _physical(spark, "topk_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_window_topk_group_limit_pushdown(spark, sf_dir):
+    """ranking-window top-k uses WindowGroupLimit so per-group sorts
+    stop at rank k instead of sorting whole groups."""
+    plan = _physical(spark, "window_rank_top3", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    """semi/anti queries plan as real LeftSemi/LeftAnti joins (no row
+    multiplication), broadcast where the filter side is small."""
+    semi = _physical(spark, "semi_join_with_orders", sf_dir)
+    anti = _physical(spark, "anti_join_no_orders", sf_dir)
+    assert "LeftSemi" in semi, semi
+    assert "LeftAnti" in anti, anti
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """2-column projection over lineitem must read only those columns
+    (+ filter columns) from parquet, not all 11."""
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    df = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert set(cols) == {"l_orderkey", "l_quantity"}, cols
