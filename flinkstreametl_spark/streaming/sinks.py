@@ -41,10 +41,20 @@ class KeyedParquetUpsertSink:
     (write tmp, rename).
     """
 
-    def __init__(self, path: str, key_cols: list[str], order_cols: list[str]):
+    def __init__(
+        self,
+        path: str,
+        key_cols: list[str],
+        order_cols: list[str],
+        *,
+        op_col: str = "_op",
+        delete_op: str = "DELETE",
+    ):
         self.path = path
         self.key_cols = key_cols
         self.order_cols = order_cols
+        self.op_col = op_col
+        self.delete_op = delete_op
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
@@ -52,14 +62,23 @@ class KeyedParquetUpsertSink:
         return spark.read.parquet(self.path)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Upsert + tombstone merge (SURVEY.md §7 hard part (2)): the
+        newest record per key decides — a DELETE tombstone removes the
+        key (its row is withheld from the union but its key still
+        anti-joins away the stored row); anything else upserts. Retry-
+        idempotent: replays re-derive the same post-dedup decisions."""
         spark = batch_df.sparkSession
         fresh = latest_by_key(batch_df, self.key_cols, self.order_cols)
+        if self.op_col in batch_df.columns:
+            upserts = fresh.filter(F.col(self.op_col) != self.delete_op)
+        else:
+            upserts = fresh
         existing = self.read(spark)
         if existing is not None:
             keep = existing.join(fresh.select(*self.key_cols), self.key_cols, "left_anti")
-            merged = keep.unionByName(fresh)
+            merged = keep.unionByName(upserts)
         else:
-            merged = fresh
+            merged = upserts
         tmp = self.path + f".tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         old = self.path + f".old-{batch_id}"

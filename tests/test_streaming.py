@@ -269,3 +269,30 @@ def test_proctime_attribute(spark, golden_dir):
     df = proctime_meetings(raw)
     row = df.select("proctime").first()
     assert row.proctime is not None
+
+
+def test_delete_tombstone_removes_key(spark, golden_dir):
+    """INSERT+UPDATE+DELETE mode: the golden DELETE for meeting 102
+    (envelope 7, newest for that key) must remove it from the keyed
+    store; other keys unaffected."""
+    sink = KeyedParquetUpsertSink(str(golden_dir / "out"), ["meeting_id"], ["_es", "_ts"])
+    q = run_cdc_stream(
+        spark, str(golden_dir / "src"), sink, str(golden_dir / "ckpt"), types=("INSERT", "UPDATE", "DELETE")
+    )
+    q.awaitTermination(120)
+    res = _result(spark, sink)
+    assert 102 not in res          # tombstoned
+    assert res[101] == (3, "South")  # UPDATE still wins for 101
+    assert 103 in res and 105 in res
+
+
+def test_delete_tombstone_idempotent_on_restart(spark, golden_dir):
+    """Re-running the same checkpointed stream (no new data) must leave
+    the tombstoned state unchanged — delete is part of the idempotent
+    merge, not a side effect."""
+    sink = KeyedParquetUpsertSink(str(golden_dir / "out"), ["meeting_id"], ["_es", "_ts"])
+    ckpt = str(golden_dir / "ckpt")
+    run_cdc_stream(spark, str(golden_dir / "src"), sink, ckpt, types=("INSERT", "UPDATE", "DELETE")).awaitTermination(120)
+    first = _result(spark, sink)
+    run_cdc_stream(spark, str(golden_dir / "src"), sink, ckpt, types=("INSERT", "UPDATE", "DELETE")).awaitTermination(120)
+    assert _result(spark, sink) == first and 102 not in first
