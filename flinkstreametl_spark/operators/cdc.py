@@ -83,6 +83,36 @@ def project_meeting_info(flat: DataFrame) -> DataFrame:
     )
 
 
+def before_image(env: DataFrame) -> DataFrame:
+    """Reconstruct the pre-change row for UPDATE events from Canal's
+    `old` array (README.md:435-530: `old[i]` carries ONLY the changed
+    columns' previous values, positionally aligned with `data[i]`'s
+    after-image; the reference parses but never uses it,
+    BinLogBean.java:21). before.col = old.col if the column changed,
+    else data.col — a pure zip+coalesce, no shuffle.
+
+    Output: one row per updated record with `before`/`after` structs +
+    changelog metadata — the -U/+U retract pair (T2) in one row.
+    """
+    from flinkstreametl_spark.schemas import MEETING_INFO_COLUMNS
+
+    zipped = env.filter(F.col("type") == "UPDATE").select(
+        F.explode(F.arrays_zip("data", "old")).alias("z"),
+        F.col("es").alias("_es"),
+        F.col("ts").alias("_ts"),
+    )
+    before = F.struct(
+        *[F.coalesce(F.col(f"z.old.{c}"), F.col(f"z.data.{c}")).alias(c) for c in MEETING_INFO_COLUMNS]
+    )
+    return zipped.select(
+        F.col("z.data.id").cast("int").alias("meeting_id"),
+        before.alias("before"),
+        F.col("z.data").alias("after"),
+        F.col("_es"),
+        F.col("_ts"),
+    )
+
+
 def with_proctime(df: DataFrame) -> DataFrame:
     """T6 — processing-time attribute (``StreamTableSeetings.java:6``
     ``proctime.proctime``): Spark has no proctime column type; the

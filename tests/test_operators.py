@@ -249,3 +249,22 @@ def test_grouped_agg_udf_matches_builtin(spark, sf_dir):
     assert set(got) == set(ref)
     for k in got:
         assert abs(got[k] - ref[k]) < 1e-6 * abs(ref[k])
+
+
+def test_freq_items_superset_guarantee(spark, sf_dir):
+    """DataFrame.freqItems (the distributed heavy-hitter sketch): every
+    key with true frequency >= support must appear in the result (the
+    sketch guarantees a superset; false positives allowed)."""
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    support = 0.05
+    sketch = set(events.stat.freqItems(["user_id"], support).first()[0])
+    n = events.count()
+    exact = {
+        r.user_id
+        for r in events.groupBy("user_id").count().filter(F.col("count") >= support * n).collect()
+    }
+    assert exact <= sketch
