@@ -40,6 +40,12 @@ def dbl(x: Column, scale: int) -> Column:
 
 
 def sql_dbl(expr: str, scale: int) -> str:
+    """SQL twin of dbl(). Contract: `expr`'s decimal type needs `scale`
+    digits of precision headroom for the *10^scale step (DuckDB keeps
+    the input precision through the multiply and overflows otherwise).
+    SUM() results satisfy this automatically — DuckDB widens sums to
+    DECIMAL(38,s) — which is the pattern every registry query uses; for
+    a bare CAST use a precision ≥ digits(value) + 2*scale."""
     m = 10**scale
     return f"(CAST(CAST(ROUND({expr}, {scale}) * {m} AS BIGINT) AS DOUBLE) / {m}.0)"
 

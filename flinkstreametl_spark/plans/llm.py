@@ -190,7 +190,7 @@ WHERE jaccard >= 0.6
 # ~40-word vocabulary, so nearly every doc pair is a near-dup and LSH
 # degenerates to all-pairs (4.3M output pairs at sf0.1) — the timing
 # measures pathological output, not the operator.
-@register("minhash_lsh_neardup", tags=("llm", "dedup"), oracle=_MINHASH_ORACLE)
+@register("minhash_lsh_neardup", tags=("llm", "dedup", "bench"), oracle=_MINHASH_ORACLE)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification
     (operators/dedup.py): md5-based hash family so the oracle reproduces

@@ -128,7 +128,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_profit_by_nation_year",
-    tags=("ext", "join", "aggregate"),
+    tags=("ext", "join", "aggregate", "bench"),
     oracle=f"""
 SELECT n_name AS nation,
        CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
@@ -209,7 +209,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q13_order_count_distribution",
-    tags=("ext", "join", "aggregate", "outer"),
+    tags=("ext", "join", "aggregate", "outer", "bench"),
     oracle="""
 SELECT c_count, COUNT(*) AS custdist
 FROM (
