@@ -643,3 +643,85 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", 18, 6).alias("sum_value"))
         .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+@register(
+    "conditional_aggregates",
+    tags=("ext", "aggregate", "conditional"),
+    oracle="""
+SELECT c_nationkey,
+       count_if(c_acctbal > 0) AS n_positive,
+       bool_and(c_acctbal > -1000) AS all_above_floor,
+       bool_or(c_mktsegment = 'BUILDING') AS any_building,
+       arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_cust,
+       arg_min(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest_cust
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/selector aggregates: count_if, bool_and/bool_or,
+    max_by/min_by (arg_max/arg_min). The selector key folds the 2-decimal
+    balance and the unique custkey into one BIGINT so ties are impossible
+    and both engines pick the same row — max_by on a non-unique key is
+    nondeterministic by definition, never oracle-safe."""
+    cust = load_table(spark, sf_dir, "customer")
+    sel_key = (F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(10000000) + F.col("c_custkey"))
+    return cust.groupBy("c_nationkey").agg(
+        F.count_if(F.col("c_acctbal") > 0).alias("n_positive"),
+        F.bool_and(F.col("c_acctbal") > -1000).alias("all_above_floor"),
+        F.bool_or(F.col("c_mktsegment") == "BUILDING").alias("any_building"),
+        F.max_by("c_custkey", sel_key).alias("richest_cust"),
+        F.min_by("c_custkey", sel_key).alias("poorest_cust"),
+    )
+
+
+@register(
+    "posexplode_tokens",
+    tags=("ext", "scalar", "generator", "llm"),
+    oracle="""
+WITH parts AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS toks
+    FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS pos,
+       toks[i] AS tok
+FROM parts, UNNEST(range(1, len(toks) + 1)) AS r(i)
+WHERE toks[i] <> ''
+""",
+)
+def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator functions with ordinality: posexplode over a token
+    array (≡ LATERAL VIEW / UNNEST WITH ORDINALITY). Ordinal positions
+    are assigned per-row before any shuffle, so they are stable under
+    any partitioning."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    return (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", "pos", "tok")
+    )
+
+
+@register(
+    "collect_set_sorted",
+    tags=("ext", "aggregate", "array"),
+    oracle="""
+SELECT o_custkey,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: collect_set + array_sort (collection
+    order is nondeterministic in ANY distributed engine — sorting is
+    what makes a set-valued result comparable, here and at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
