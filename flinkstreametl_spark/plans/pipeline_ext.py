@@ -165,3 +165,70 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wmean(F.col("l_extendedprice"), F.col("l_quantity")).alias("wmean_price")
     )
+
+
+from flinkstreametl_spark.operators import text as _X
+
+_PIPE_TOKS = _X.sql_tokens("text")
+_PIPE_FP = _X.sql_fingerprint("text")
+_PIPE_BUCKET = "CAST(concat('0x', substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+
+
+@register(
+    "training_data_pipeline",
+    tags=("ext", "llm", "pipeline", "bench"),
+    oracle=f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           len({_PIPE_TOKS}) AS n_tokens,
+           {_PIPE_FP} AS fp,
+           (len({_PIPE_TOKS}) >= 10 AND len({_PIPE_TOKS}) <= 10000
+            AND (CAST(len(list_distinct({_PIPE_TOKS})) AS DOUBLE) / len({_PIPE_TOKS})) > 0.1)
+             AS is_quality
+    FROM documents
+),
+quality AS (SELECT * FROM scored WHERE is_quality),
+keepers AS (SELECT fp, MIN(doc_id) AS keeper FROM quality GROUP BY fp)
+SELECT q.doc_id, q.lang, q.n_tokens,
+       CASE WHEN {_PIPE_BUCKET} < 80 THEN 'train'
+            WHEN {_PIPE_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM quality q
+JOIN keepers k ON q.fp = k.fp AND q.doc_id = k.keeper
+""",
+)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation flow, composed from the
+    engine's own operators: quality gate (token count + type-token
+    ratio) -> exact dedup keeping the lowest doc_id per content
+    fingerprint -> deterministic md5-bucket train/val/test assignment.
+    One scan of documents; the only shuffle is the dedup groupBy on the
+    fingerprint; the split is a pure map. This is the composite a real
+    100 TB pretraining pipeline runs nightly — every stage is
+    individually oracle-checked elsewhere, and the composition is
+    checked here."""
+    from flinkstreametl_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tokens = F.size(toks)
+    ttr = F.size(X.distinct_tokens("text")).cast("double") / n_tokens
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        X.fingerprint("text").alias("fp"),
+        ((n_tokens >= 10) & (n_tokens <= 10000) & (ttr > 0.1)).alias("is_quality"),
+    )
+    quality = scored.filter("is_quality")
+    keepers = quality.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    return (
+        quality.join(keepers, (quality.fp == keepers.fp) & (quality.doc_id == keepers.keeper))
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        )
+    )
