@@ -11,5 +11,6 @@ from flinkstreametl_spark.plans import analytics_ext as _analytics_ext  # noqa: 
 from flinkstreametl_spark.plans import llm as _llm  # noqa: E402,F401
 from flinkstreametl_spark.plans import tpch_ext as _tpch_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import pipeline_ext as _pipeline_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import coverage_ext as _coverage_ext  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]

@@ -1,0 +1,321 @@
+"""[EXT] Remaining TPC-H query shapes (q2/q11/q12/q20 analogs — the
+fixture schema has no partsupp/shipmode, so each keeps the *plan shape*
+of the original on the columns that exist) plus analytic-window frame
+variants (RANGE frames, ROWS frames, percent_rank/cume_dist), ordered
+string aggregation, and unpivot. SURVEY.md §2.9 schedules these as
+capability extensions; the reference itself has no aggregation or window
+surface at all (§2.4-2.6).
+
+Scale notes are in each docstring: what shuffles, what broadcasts, and
+why the plan survives 1000 executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.functions.exact import dbl, dec, sql_dbl
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+
+@register(
+    "q2_min_cost_supplier",
+    tags=("ext", "join", "subquery", "aggregate"),
+    oracle="""
+WITH fpart AS (
+    SELECT p_partkey, p_name FROM part
+    WHERE p_type = 'STANDARD' AND p_size < 15
+),
+offers AS (
+    SELECT l_partkey, l_suppkey, l_extendedprice
+    FROM lineitem JOIN fpart ON l_partkey = p_partkey
+),
+best AS (
+    SELECT l_partkey AS b_partkey, MIN(l_extendedprice) AS min_price
+    FROM offers GROUP BY l_partkey
+)
+SELECT DISTINCT p_partkey, p_name, s_name, n_name,
+       l_extendedprice AS best_price
+FROM offers
+JOIN best     ON l_partkey = b_partkey AND l_extendedprice = min_price
+JOIN fpart    ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (lineitem offers standing in
+    for the absent partsupp): for each STANDARD small part, the
+    supplier(s) charging the per-part minimum price — the classic
+    correlated scalar subquery ``price = (SELECT MIN ... same part)``,
+    decorrelated into aggregate-then-join. MIN over stored doubles is
+    order-independent and compared without arithmetic, so the float
+    equality is portable. At scale: the per-part MIN side is bounded by
+    |parts|, so it broadcasts into the re-join (the plan shows no
+    shuffle join at all); part/supplier/nation broadcast too."""
+    fpart = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") < 15))
+        .select("p_partkey", "p_name")
+    )
+    offers = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(fpart, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "p_partkey", "p_name")
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        offers.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", F.col("l_extendedprice").alias("best_price")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q11_important_parts",
+    tags=("ext", "aggregate", "subquery", "having"),
+    oracle=f"""
+WITH pv AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS val
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT SUM(val) AS total FROM pv)
+SELECT l_partkey, {sql_dbl('val', 4)} AS part_value
+FROM pv, tot
+WHERE val * 1000 > total
+""",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose inventory value
+    exceeds 0.1% of the total — a scalar-subquery threshold in HAVING
+    position. The fraction test is rewritten multiplicatively
+    (val*1000 > total) so both engines compare exact decimals; the
+    global total is a one-row broadcast cross join computed from the
+    already-aggregated per-part values (no second lineitem scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("val")
+    )
+    tot = pv.agg(F.sum("val").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") * F.lit(1000) > F.col("total"))
+        .select("l_partkey", dbl(F.col("val"), 4).alias("part_value"))
+    )
+
+
+@register(
+    "q12_priority_shipping_counts",
+    tags=("ext", "join", "aggregate", "conditional"),
+    oracle="""
+SELECT l_returnflag,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q12_priority_shipping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style priority split (l_returnflag standing in for the
+    absent l_shipmode): per flag, how many 1997-shipped lines belonged
+    to urgent/high orders vs the rest. Conditional COUNT(CASE...) is a
+    pure map-side expression; the only shuffles are the lineitem⋈orders
+    hash join on orderkey and the tiny final aggregation. The shipdate
+    range reaches the parquet scan as a pushed filter."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_excess_suppliers",
+    tags=("ext", "join", "semi", "having"),
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE '%a%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 50
+)
+ORDER BY s_suppkey
+""",
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-stock suppliers: the nested-IN pattern —
+    suppliers who shipped more than 50 units of some '%a%' part in 1997.
+    The IN over a grouped subquery becomes aggregate → distinct keys →
+    LEFT SEMI join; at scale the grouped side shrinks to |supplier×part|
+    before the semi join, and the aggregated key set broadcasts (bounded
+    by supplier count, not lineitem count)."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%")).select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    keys = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(F.broadcast(keys), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "window_range_frame",
+    tags=("ext", "window", "frame"),
+    oracle=f"""
+SELECT event_id, event_type,
+       COUNT(*) OVER (PARTITION BY event_type ORDER BY event_id
+                      RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS cnt_trailing,
+       {sql_dbl('''SUM(CAST(value AS DECIMAL(12,2))) OVER (
+            PARTITION BY event_type ORDER BY event_id
+            RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW)''', 2)} AS sum_trailing,
+       MIN(value) OVER (PARTITION BY event_type ORDER BY event_id
+                        RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS min_trailing
+FROM events
+""",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytics: per event type, trailing-1000-ids count /
+    sum / min — the value-based frame (all rows whose ordering key lies
+    within the range, not a fixed row count). The sum runs in decimal
+    inside the frame so results are frame-evaluation-order independent.
+    One shuffle on event_type; within a partition the frame is a single
+    sorted pass with a sliding aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id").rangeBetween(-1000, 0)
+    return events.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).alias("cnt_trailing"),
+        dbl(F.sum(dec("value")).over(w), 2).alias("sum_trailing"),
+        F.min("value").over(w).alias("min_trailing"),
+    )
+
+
+@register(
+    "window_rows_frame_dist",
+    tags=("ext", "window", "frame"),
+    oracle=f"""
+SELECT o_orderkey, o_custkey,
+       PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pr,
+       CUME_DIST()    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS cd,
+       {sql_dbl('''SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)''', 2)} AS prev3_total,
+       LAST_VALUE(o_orderkey) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey
+FROM orders
+""",
+)
+def window_rows_frame_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame and distribution window functions: percent_rank and
+    cume_dist (both are exact integer-ratio doubles, so portable),
+    a bounded look-behind sum over the 3 prior orders (NULL when the
+    frame is empty — first row per customer), and last_value over the
+    full partition (which requires the explicit unbounded-following
+    frame: the default frame stops at CURRENT ROW and would return the
+    current row itself)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        dbl(F.sum(dec("o_totalprice")).over(w.rowsBetween(-3, -1)), 2).alias("prev3_total"),
+        F.last("o_orderkey")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("last_orderkey"),
+    )
+
+
+@register(
+    "listagg_region_nations",
+    tags=("ext", "aggregate", "string"),
+    oracle="""
+SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def listagg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): nation names per
+    region, comma-joined in sorted order. collect_list is
+    partition-order nondeterministic, so the deterministic form is
+    collect → array_sort → array_join; at scale the per-group array must
+    fit in memory (fine for bounded group cardinality — for unbounded
+    groups use top-N truncation before collecting)."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        nation.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+@register(
+    "unpivot_part_measures",
+    tags=("ext", "reshape"),
+    oracle="""
+SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val FROM part
+""",
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long reshape), the inverse of pivot_status_qty:
+    each part's numeric measures become (measure, val) rows. Spark's
+    native ``unpivot`` keeps this a zero-shuffle map-side expand (an
+    Expand node, one input scan — not a self-union that would scan the
+    table once per measure)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    )
+    return part.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "measure", "val")
