@@ -186,10 +186,13 @@ WHERE jaccard >= 0.6
 """
 
 
-# NOTE kept out of the "bench" headline set: the synthetic corpus has a
+# NOTE benched deliberately, with eyes open: the synthetic corpus has a
 # ~40-word vocabulary, so nearly every doc pair is a near-dup and LSH
-# degenerates to all-pairs (4.3M output pairs at sf0.1) — the timing
-# measures pathological output, not the operator.
+# degenerates toward all-pairs (6.6M verified pairs at sf0.1) — the
+# timing is dominated by the pathological output size, and it is the
+# one bench entry that exercises a many-million-row shuffle + verify
+# join. Candidate-dedup alternatives were A/B'd (docs/SCALE.md): the
+# shuffle-free first-matching-band rewrite lost 4x to a codegen cliff.
 @register("minhash_lsh_neardup", tags=("llm", "dedup", "bench"), oracle=_MINHASH_ORACLE)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification
