@@ -125,6 +125,47 @@ def minhash_lsh_pairs(
     )
 
 
+def neardup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    cluster_id) with cluster_id = min doc id in the component: the step
+    a real dedup pipeline runs AFTER pair generation, since near-dup is
+    not transitive but removal must be (A~B, B~C => keep one of
+    {A,B,C}).
+
+    Iterative min-label propagation, all DataFrame ops: each round
+    pushes labels across edges and takes the per-node min; converges in
+    O(graph diameter) rounds (near-dup components are dense, so
+    typically 2-4). Each round is one shuffle join + one aggregate;
+    ``localCheckpoint`` cuts lineage so round N's plan doesn't replay
+    rounds 1..N-1. This is the simple 100 TB-safe formulation; the
+    large-star/small-star variant halves rounds on high-diameter graphs
+    but near-dup graphs are not that.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = sym.join(labels, sym.src == labels.id).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            nbr.union(labels).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
     """16-bit SimHash signature per document.
 

@@ -74,6 +74,34 @@ def predicted_lang(hit_cols: dict[str, Column]) -> Column:
     return expr
 
 
+def ngrams(col: str | Column = "text", n: int = 3) -> Column:
+    """Word n-grams (with multiplicity), space-joined. Empty array when
+    the document has fewer than n tokens — guarded explicitly because
+    Spark's sequence(1, stop) DESCENDS for stop < 1 instead of
+    returning empty."""
+    toks = tokens(col)
+    cnt = F.size(toks)
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(
+        cnt >= n, F.transform(F.sequence(F.lit(1), cnt - (n - 1)), gram)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def chunk_tokens(toks_col: Column, chunk_id: Column, chunk_size: int, stride: int) -> Column:
+    """Token slice of chunk `chunk_id` (0-based): tokens
+    [chunk_id*stride+1, chunk_id*stride+chunk_size], clamped at the end."""
+    return F.slice(toks_col, chunk_id * stride + 1, chunk_size)
+
+
+def num_chunks(toks_col: Column, chunk_size: int, stride: int) -> Column:
+    """ceil((n_tokens - overlap) / stride), min 1 — the count that tiles
+    every token with `chunk_size`-token windows overlapping by
+    chunk_size - stride."""
+    overlap = chunk_size - stride
+    n = F.size(toks_col)
+    return F.greatest(F.floor((n - overlap + (stride - 1)) / F.lit(stride)).cast("long"), F.lit(1))
+
+
 # --- SQL twins (DuckDB dialect) used to build oracle strings -------------
 
 def sql_tokens(col: str = "text") -> str:
@@ -90,6 +118,12 @@ def sql_marker_hits(tokens_sql: str, words: tuple[str, ...]) -> str:
 
 def sql_fingerprint(col: str = "text") -> str:
     return f"md5(regexp_replace(lower(trim({col})), '\\s+', ' ', 'g'))"
+
+
+def sql_ngrams(col: str = "text", n: int = 3) -> str:
+    toks = sql_tokens(col)
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" if j else f"{toks}[i]" for j in range(n))
+    return f"list_transform(range(1, len({toks}) - {n - 2}), i -> {parts})"
 
 
 def sql_predicted_lang(hit_sql: dict[str, str]) -> str:

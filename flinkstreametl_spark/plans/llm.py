@@ -465,3 +465,103 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
     return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= 0.3)
+
+
+_CHUNK, _STRIDE = 64, 48  # 16-token overlap
+
+
+@register(
+    "chunk_documents",
+    tags=("llm", "text", "chunk"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+             GREATEST(CAST(FLOOR((len(toks) - {_CHUNK - _STRIDE} + {_STRIDE - 1}) / {_STRIDE}.0) AS BIGINT), 1) AS nc
+      FROM t),
+c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id*{_STRIDE} + 1, chunk_id*{_STRIDE} + {_CHUNK}), ' ') AS chunk_text,
+       len(list_slice(toks, chunk_id*{_STRIDE} + 1, chunk_id*{_STRIDE} + {_CHUNK})) AS n_chunk_tokens
+FROM c
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (64 tokens,
+    stride 48) — the context-window packing step of a pretraining
+    pipeline. One scan + one generator (explode of the chunk index
+    sequence); chunk extraction is an array slice, so the text is
+    tokenized once per document, not once per chunk. No shuffle at any
+    scale; output is ~n_tokens/stride rows per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    t = docs.select("doc_id", toks.alias("toks"), X.num_chunks(toks, _CHUNK, _STRIDE).alias("nc"))
+    c = t.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id")
+    )
+    sl = X.chunk_tokens(F.col("toks"), F.col("chunk_id"), _CHUNK, _STRIDE)
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join(sl, " ").alias("chunk_text"),
+        F.size(sl).alias("n_chunk_tokens"),
+    )
+
+
+_G3 = X.sql_ngrams("text", 3)
+_G2 = X.sql_ngrams("text", 2)
+
+
+@register(
+    "doc_repetition_stats",
+    tags=("llm", "text", "quality"),
+    oracle=f"""
+SELECT doc_id,
+       len({_G3}) AS n_grams3,
+       CASE WHEN len({_G3}) > 0
+            THEN 1.0 - CAST(len(list_distinct({_G3})) AS DOUBLE) / len({_G3})
+            ELSE 0.0 END AS dup3_ratio,
+       CASE WHEN len({_G2}) > 0
+            THEN 1.0 - CAST(len(list_distinct({_G2})) AS DOUBLE) / len({_G2})
+            ELSE 0.0 END AS dup2_ratio,
+       (len({_G3}) >= 10 AND
+        1.0 - CAST(len(list_distinct({_G3})) AS DOUBLE) / len({_G3}) > 0.2) AS is_repetitive
+FROM documents
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate word 2-/3-gram
+    fractions per document and a repetitiveness flag (>20% duplicate
+    trigrams over >=10 trigrams). The ratio is an exact
+    int-distinct/int-total division, identical in both engines. Pure
+    map-side column expressions — one scan, no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    g3, g2 = X.ngrams("text", 3), X.ngrams("text", 2)
+    n3, n2 = F.size(g3), F.size(g2)
+    dup3 = F.when(n3 > 0, F.lit(1.0) - F.size(F.array_distinct(g3)).cast("double") / n3).otherwise(0.0)
+    dup2 = F.when(n2 > 0, F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / n2).otherwise(0.0)
+    return docs.select(
+        "doc_id",
+        n3.alias("n_grams3"),
+        dup3.alias("dup3_ratio"),
+        dup2.alias("dup2_ratio"),
+        ((n3 >= 10) & (dup3 > 0.2)).alias("is_repetitive"),
+    )
+
+
+@register("neardup_cluster_assign", tags=("llm", "dedup", "iterative"))
+def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: MinHash+LSH pairs -> connected
+    components (operators/dedup.neardup_clusters, iterative min-label
+    propagation) -> every document assigned a cluster id (its own id if
+    unpaired) and a keeper flag (cluster minimum). Rows-only: the
+    fixpoint iteration is not single-query SQL; the component labels
+    are verified against a Python union-find in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    labels = D.neardup_clusters(pairs)
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        cluster.alias("cluster_id"),
+        (cluster == F.col("doc_id")).alias("is_keeper"),
+    )

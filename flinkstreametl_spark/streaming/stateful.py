@@ -87,3 +87,19 @@ def streaming_running_counts(df: DataFrame, key_col: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_within_watermark(
+    df: DataFrame, key_cols: list[str], *, ts_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Built-in watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``): a key's dedup state lives only
+    until the watermark passes its event time + `delay`, so state is
+    bounded by the watermark horizon instead of growing forever — the
+    engine-native counterpart of ``streaming_dedup_first_seen``'s
+    processing-time TTL, and the direct Spark form of the reference's
+    idle-state retention (Main.java:57, SURVEY.md T3). Prefer this when
+    duplicates arrive close together in event time (CDC retries,
+    at-least-once sources); use the custom operator when "first ever
+    seen" must hold across unbounded time."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)

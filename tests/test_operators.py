@@ -268,3 +268,61 @@ def test_freq_items_superset_guarantee(spark, sf_dir):
         for r in events.groupBy("user_id").count().filter(F.col("count") >= support * n).collect()
     }
     assert exact <= sketch
+
+
+def test_neardup_clusters_match_union_find(spark, sf_dir):
+    """Component labels from iterative min-label propagation must equal
+    a driver-side union-find over the same pair list."""
+    from flinkstreametl_spark.operators import dedup as D
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert edges, "fixture should contain near-dup pairs"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: label every node with its root's minimum member
+    members: dict[int, list[int]] = {}
+    for x in parent:
+        members.setdefault(find(x), []).append(x)
+    expected = {x: min(ms) for root, ms in members.items() for x in ms}
+
+    got = {r.doc_id: r.cluster_id for r in D.neardup_clusters(pairs).collect()}
+    assert got == expected
+
+
+def test_chunk_documents_tiles_all_tokens(spark, sf_dir):
+    """Chunks must cover every token: sum of per-chunk sizes equals
+    n_tokens + overlap * (n_chunks - 1) for every document."""
+    import pyspark.sql.functions as F
+
+    from flinkstreametl_spark.plans import REGISTRY
+    from flinkstreametl_spark.operators import text as X
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    chunks = REGISTRY["chunk_documents"].fn(spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_chunk_tokens").alias("tok_sum"), F.count("*").alias("nc")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count("text").alias("n")
+    )
+    bad = (
+        per_doc.join(docs, "doc_id")
+        .filter(F.col("tok_sum") != F.col("n") + 16 * (F.col("nc") - 1))
+        .count()
+    )
+    assert bad == 0

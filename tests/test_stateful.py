@@ -137,3 +137,40 @@ def test_incremental_agg_sink_replay_is_noop(spark, sf_dir, tmp_path):
     assert {r.user_id: (r.n, r.total) for r in sink.read(spark).collect()} == first
     sink.process_batch(events, 1)  # genuinely new batch DOES merge
     assert {r.user_id: r.n for r in sink.read(spark).collect()} == {k: v[0] * 2 for k, v in first.items()}
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """Built-in dropDuplicatesWithinWatermark: duplicates inside the
+    watermark horizon are suppressed across micro-batches."""
+    from flinkstreametl_spark.streaming.stateful import streaming_dedup_within_watermark
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(json.dumps({"k": "a", "ts": "2024-01-01 10:00:00"}) + "\n")
+        f.write(json.dumps({"k": "a", "ts": "2024-01-01 10:00:05"}) + "\n")
+        f.write(json.dumps({"k": "b", "ts": "2024-01-01 10:00:10"}) + "\n")
+
+    stream = spark.readStream.schema("k STRING, ts TIMESTAMP").json(str(src))
+    deduped = streaming_dedup_within_watermark(stream, ["k"], delay="10 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k FROM wm_dedup_out").collect()
+        assert sorted(r.k for r in rows) == ["a", "b"]
+
+        # same keys again, still within the watermark horizon -> suppressed
+        with open(src / "b2.jsonl", "w") as f:
+            f.write(json.dumps({"k": "a", "ts": "2024-01-01 10:00:20"}) + "\n")
+            f.write(json.dumps({"k": "c", "ts": "2024-01-01 10:00:30"}) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql("SELECT k FROM wm_dedup_out").collect()
+        assert sorted(r.k for r in rows) == ["a", "b", "c"]
+    finally:
+        q.stop()
