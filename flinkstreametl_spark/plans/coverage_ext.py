@@ -319,3 +319,117 @@ def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey", F.col("p_size").cast("double").alias("p_size"), "p_retailprice"
     )
     return part.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "measure", "val")
+
+
+from flinkstreametl_spark.functions.exact import sql_dsum, dsum  # noqa: E402
+
+
+@register(
+    "resample_ffill_hourly",
+    tags=("ext", "timeseries", "window"),
+    oracle=f"""
+WITH samples AS (
+    SELECT event_type, date_trunc('hour', ts) AS h, {sql_dsum('value')} AS v
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM samples),
+grid AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+types AS (SELECT DISTINCT event_type FROM events)
+SELECT t.event_type, g.h, s.v,
+       LAST_VALUE(s.v IGNORE NULLS) OVER (
+           PARTITION BY t.event_type ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN samples s ON s.event_type = t.event_type AND s.h = g.h
+""",
+)
+def resample_ffill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample events to an hourly grid per
+    event type (exact decimal sum per bucket) and forward-fill gaps with
+    the last observed value (last(..., ignorenulls) over an unbounded-
+    preceding frame). The grid is generated, not scanned — sequence()
+    over the global [min,max] hour bounds (one tiny agg, broadcast) ×
+    the distinct types. At scale the only real shuffle is the per-
+    (type,hour) aggregation; the fill is one window pass per type."""
+    events = load_table(spark, sf_dir, "events")
+    samples = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(dsum("value").alias("v"))
+    bounds = samples.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(samples, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            "v",
+            F.last("v", ignorenulls=True).over(w).alias("v_ffill"),
+        )
+    )
+
+
+@register(
+    "histogram_totalprice",
+    tags=("ext", "aggregate", "histogram"),
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / 500) AS BIGINT) * 500 AS bin_lo,
+       COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders
+GROUP BY CAST(FLOOR(o_totalprice / 500) AS BIGINT) * 500
+""",
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: bin by floor(x/width) — a pure map
+    expression, so the whole histogram is one partial-aggregated
+    shuffle of |bins| rows regardless of input size (the way to
+    histogram 100 TB; data-dependent bin edges would need a prior
+    min/max pass)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bin_lo = (F.floor(F.col("o_totalprice") / 500).cast("long") * 500).alias("bin_lo")
+    return orders.groupBy(bin_lo).agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total")
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+
+
+@register(
+    "redact_documents",
+    tags=("ext", "llm", "text", "scalar"),
+    oracle=f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '[0-9]+', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers
+FROM documents
+""",
+)
+def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style redaction: mask email addresses then digit runs, and
+    count the matches — the scrub pass of a corpus pipeline. Regexes
+    are restricted to syntax Java regex and RE2 interpret identically
+    (character classes, +, {{2,}}; no backrefs/lookarounds, which RE2
+    rejects). Map-side regexp_replace/extract_all, one scan, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), "[0-9]+", "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+    )
