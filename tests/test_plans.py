@@ -97,3 +97,36 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert m, plan
     cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
     assert set(cols) == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    """Chunking is a scan + generator: any Exchange means the explode
+    was planned on the wrong side of a shuffle."""
+    plan = _physical(spark, "chunk_documents", sf_dir)
+    assert "Generate explode" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_q12_shipdate_pushed(spark, sf_dir):
+    """q12: the shipdate year-range must reach the lineitem scan."""
+    plan = _formatted(spark, "q12_priority_shipping_counts", sf_dir)
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_shipdate", plan), plan
+
+
+def test_histogram_single_exchange(spark, sf_dir):
+    """Fixed-width histogram: map-side binning, one exchange on |bins|."""
+    plan = _physical(spark, "histogram_totalprice", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_q20_semi_join_planned(spark, sf_dir):
+    """q20's nested IN must plan as a semi join (no row duplication)."""
+    plan = _physical(spark, "q20_excess_suppliers", sf_dir)
+    assert "LeftSemi" in plan, plan
+
+
+def test_unpivot_is_expand(spark, sf_dir):
+    """unpivot must be one Expand over one scan, not a self-union."""
+    plan = _physical(spark, "unpivot_part_measures", sf_dir)
+    assert "Expand" in plan, plan
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
