@@ -130,6 +130,7 @@ def stream_stream_interval_join(
     *,
     watermark: str = "2 hours",
     max_delay_expr: str = "INTERVAL 1 HOUR",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join with a time-interval condition — the
     Flink interval-join shape the reference's stack offers but never
@@ -140,7 +141,13 @@ def stream_stream_interval_join(
 
     At scale this is THE state-bounding pattern for stream-stream joins
     — without the time bound, state grows with the full history of both
-    streams. Works identically in batch (watermarks become no-ops)."""
+    streams. Works identically in batch (watermarks become no-ops).
+
+    ``how='left_outer'`` adds the unmatched-left rows: in streaming they
+    emit (with NULL right columns) only once the right watermark passes
+    the interval's end — i.e. when the engine can PROVE no match will
+    arrive — which is why outer stream-stream joins require the time
+    bound at all."""
     lt = left.withWatermark("ts", watermark).alias("l")
     rt = right.withWatermark("ts", watermark).alias("r")
     return lt.join(
@@ -148,6 +155,7 @@ def stream_stream_interval_join(
         F.expr(
             "l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + " + max_delay_expr
         ),
+        how,
     ).select(
         F.col("l.user_id").alias("user_id"),
         F.col("l.event_id").alias("left_event_id"),

@@ -296,3 +296,58 @@ def test_delete_tombstone_idempotent_on_restart(spark, golden_dir):
     first = _result(spark, sink)
     run_cdc_stream(spark, str(golden_dir / "src"), sink, ckpt, types=("INSERT", "UPDATE", "DELETE")).awaitTermination(120)
     assert _result(spark, sink) == first and 102 not in first
+
+
+def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
+    """Left-outer stream-stream interval join: unmatched clicks must
+    appear with NULL purchase columns once the right watermark proves no
+    match can arrive. Drained with availableNow over a 2-file replay and
+    compared to the batch left join."""
+    import datetime
+
+    from flinkstreametl_spark.streaming.pipeline import stream_stream_interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    batch = {
+        (r.left_event_id, r.right_event_id)
+        for r in stream_stream_interval_join(clicks_b, purch_b, how="left_outer").collect()
+    }
+    unmatched = {pair for pair in batch if pair[1] is None}
+    assert unmatched and len(batch) > len(unmatched)  # both kinds present
+
+    split = datetime.datetime(2024, 1, 15)
+    cdir, pdir = tmp_path / "clicks", tmp_path / "purchases"
+    cdir.mkdir(), pdir.mkdir()
+    for src, d in ((clicks_b, cdir), (purch_b, pdir)):
+        src.filter(F.col("ts") < F.lit(split)).coalesce(1).write.parquet(str(d / "f1"))
+        src.filter(F.col("ts") >= F.lit(split)).coalesce(1).write.parquet(str(d / "f2"))
+
+    cs = spark.readStream.schema(events.schema).option("recursiveFileLookup", "true").parquet(str(cdir))
+    ps = spark.readStream.schema(events.schema).option("recursiveFileLookup", "true").parquet(str(pdir))
+    q = (
+        stream_stream_interval_join(cs, ps, how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssjoin_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.left_event_id, r.right_event_id)
+        for r in spark.sql("SELECT left_event_id, right_event_id FROM ssjoin_outer").collect()
+    }
+    # Streaming emits every inner match; an unmatched left row emits its
+    # NULL row only if the final watermark passed its interval end — on a
+    # drained finite stream rows near the stream's end stay withheld, so
+    # the streamed result is the batch inner matches plus a (possibly
+    # partial) subset of the batch NULL rows, and nothing else.
+    inner = {p for p in batch if p[1] is not None}
+    assert inner <= got <= batch
+    assert got & unmatched, "no unmatched-left rows were ever emitted"
