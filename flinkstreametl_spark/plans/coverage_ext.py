@@ -433,3 +433,30 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).alias("n_emails"),
         F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
     )
+
+
+@register(
+    "props_map_entries",
+    tags=("ext", "scalar", "json", "map"),
+    oracle="""
+SELECT k,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.' || k) AS BIGINT)) AS BIGINT) AS total
+FROM (SELECT props, unnest(json_keys(props)) AS k FROM events) t
+GROUP BY k
+""",
+)
+def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads as MAP columns: parse the JSON props
+    string into map<string,bigint>, explode the entries, and aggregate
+    per key — the schema-on-read path for ragged event properties where
+    a fixed StructType can't be declared up front. At scale the
+    from_json + explode is map-side; the only shuffle carries one row
+    per (event, key)."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        events.select(F.explode(m).alias("k", "v"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
+    )
