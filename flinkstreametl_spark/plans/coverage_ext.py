@@ -460,3 +460,55 @@ def props_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("total"))
     )
+
+
+_SX = "SUM(CAST(l_quantity AS DECIMAL(12,2)))"
+_SY = "SUM(CAST(l_extendedprice AS DECIMAL(12,2)))"
+_SXX = "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))"
+_SYY = "SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DECIMAL(14,2)))"
+_SXY = "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))"
+
+
+@register(
+    "stats_corr_covar_exact",
+    tags=("ext", "aggregate", "stats"),
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ({sql_dbl(_SXY, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SY, 2)} / CAST(COUNT(*) AS DOUBLE))
+         / (CAST(COUNT(*) AS DOUBLE) - 1) AS covar_samp_qp,
+       (CAST(COUNT(*) AS DOUBLE) * {sql_dbl(_SXY, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SY, 2)})
+         / SQRT((CAST(COUNT(*) AS DOUBLE) * {sql_dbl(_SXX, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SX, 2)})
+              * (CAST(COUNT(*) AS DOUBLE) * {sql_dbl(_SYY, 4)} - {sql_dbl(_SY, 2)} * {sql_dbl(_SY, 2)})) AS corr_qp
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stats_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance and Pearson correlation from exact decimal
+    moments (n, Σx, Σy, Σx², Σy², Σxy) — built-in corr/covar_samp use
+    engine-specific streaming accumulation (Welford merges) that
+    differs in the last ulp between engines AND between partitionings;
+    the moment form is exact, mergeable, and therefore the right
+    formulation for a 100 TB scan anyway. The final combination is one
+    identical chain of double ops in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty, price = dec("l_quantity"), dec("l_extendedprice")
+    price14 = dec("l_extendedprice", 14, 2)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum(qty * qty).alias("sxx"),
+        F.sum(price14 * price14).alias("syy"),
+        F.sum(qty * price).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = dbl(F.col("sx"), 2), dbl(F.col("sy"), 2)
+    sxx, syy, sxy = dbl(F.col("sxx"), 4), dbl(F.col("syy"), 4), dbl(F.col("sxy"), 4)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        ((sxy - sx * sy / nd) / (nd - 1)).alias("covar_samp_qp"),
+        ((nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).alias("corr_qp"),
+    )

@@ -100,3 +100,23 @@ def test_before_image_reconstruction(spark, golden_path):
     assert r.after.mend_date == "2020-01-01 10:30:00" and r.before.mend_date == "2020-01-01 10:00:00"
     # unchanged column: before == after
     assert r.before.meeting_code == r.after.meeting_code
+
+
+def test_malformed_envelope_lines_dropped(spark, golden_path, tmp_path):
+    """Robustness: garbage lines in the CDC feed (truncated JSON, empty
+    lines, non-JSON noise) must not crash the pipeline or leak rows —
+    from_json yields a NULL envelope, which the F1 filter drops. The
+    enriched output must equal the clean-feed output exactly."""
+    clean = run_cdc_batch(spark, golden_path).collect()
+
+    dirty = tmp_path / "dirty.jsonl"
+    with open(golden_path) as f:
+        lines = f.readlines()
+    noise = ['{"truncated": \n', "not json at all\n", "\n", '{"table": 42}\n']
+    with open(dirty, "w") as f:
+        for i, line in enumerate(lines):
+            f.write(noise[i % len(noise)])
+            f.write(line)
+
+    got = run_cdc_batch(spark, str(dirty)).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, clean))
