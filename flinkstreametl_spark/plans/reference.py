@@ -205,3 +205,47 @@ def changelog_op_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op", F.when(F.col("event_type") == "error", F.lit("-D")).otherwise(F.lit("+I"))
     )
     return with_op.filter(F.col("op") == "+I").select("event_id", "user_id", "event_type", "op")
+
+
+@register(
+    "flagship_enrich_sql",
+    tags=("reference", "J1", "J2", "sql-api"),
+    oracle="""
+SELECT e.event_id,
+       e.event_type,
+       c.c_custkey   AS dim_key,
+       c.c_name      AS dim_name,
+       c.c_mktsegment AS segment,
+       n.n_name      AS nation_name,
+       r.r_name      AS region_name
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE e.event_type = 'purchase'
+""",
+)
+def flagship_enrich_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship via the SQL-TEXT entry point — the reference's actual
+    query path (register tables, run SQL strings: tEnv.registerDataStream
+    + tEnv.sqlQuery(JoinedSQLQuery.Query), Main.java:91-100). Views are
+    registered per-query and the join is the literal SQL shape of
+    JoinedSQLQuery.java:6-10 widened to the 3-way dim; Catalyst produces
+    the same broadcast plan as the DataFrame form (flagship_enrich), so
+    both API surfaces are first-class."""
+    for t in ("events", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(c, n, r) */
+               e.event_id, e.event_type,
+               c.c_custkey AS dim_key, c.c_name AS dim_name,
+               c.c_mktsegment AS segment,
+               n.n_name AS nation_name, r.r_name AS region_name
+        FROM v_events e
+        LEFT JOIN v_customer c ON e.user_id = c.c_custkey
+        LEFT JOIN v_nation n   ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN v_region r   ON n.n_regionkey = r.r_regionkey
+        WHERE e.event_type = 'purchase'
+        """
+    )
