@@ -74,3 +74,55 @@ def test_random_dbl_conversion_bit_identical(spark, tmp_path):
     }
     con.close()
     assert got == want
+
+
+def test_random_corr_moments_bit_identical(spark, tmp_path):
+    """The corr/covar moment combination (stats_corr_covar_exact) on
+    random pairs: exact decimal moments + one shared double formula must
+    be bit-identical across engines and partitionings."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(0xFACADE)
+    rows = [
+        (rng.randint(0, 3), round(rng.uniform(0, 50), 2), round(rng.uniform(900, 105000), 2))
+        for _ in range(4000)
+    ]
+    p = str(tmp_path / "xy.parquet")
+    spark.createDataFrame(rows, "g int, x double, y double").repartition(32).write.parquet(p)
+
+    x, y = dec("x"), dec("y")
+    y14 = dec("y", 14, 2)
+    agg = (
+        spark.read.parquet(p)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"), F.sum(y14 * y14).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = dbl(F.col("sx"), 2), dbl(F.col("sy"), 2)
+    sxx, syy, sxy = dbl(F.col("sxx"), 4), dbl(F.col("syy"), 4), dbl(F.col("sxy"), 4)
+    corr = (nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    got = {r.g: _bits(r.c) for r in agg.select("g", corr.alias("c")).collect()}
+
+    SX = "SUM(CAST(x AS DECIMAL(12,2)))"
+    SY = "SUM(CAST(y AS DECIMAL(12,2)))"
+    SXX = "SUM(CAST(x AS DECIMAL(12,2)) * CAST(x AS DECIMAL(12,2)))"
+    SYY = "SUM(CAST(y AS DECIMAL(14,2)) * CAST(y AS DECIMAL(14,2)))"
+    SXY = "SUM(CAST(x AS DECIMAL(12,2)) * CAST(y AS DECIMAL(12,2)))"
+    con = duckdb.connect()
+    want = {
+        g: _bits(c)
+        for g, c in con.sql(
+            f"""SELECT g,
+                 (CAST(COUNT(*) AS DOUBLE) * {sql_dbl(SXY, 4)} - {sql_dbl(SX, 2)} * {sql_dbl(SY, 2)})
+                   / SQRT((CAST(COUNT(*) AS DOUBLE) * {sql_dbl(SXX, 4)} - {sql_dbl(SX, 2)} * {sql_dbl(SX, 2)})
+                        * (CAST(COUNT(*) AS DOUBLE) * {sql_dbl(SYY, 4)} - {sql_dbl(SY, 2)} * {sql_dbl(SY, 2)})) AS c
+                FROM '{p}/*.parquet' GROUP BY g"""
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
