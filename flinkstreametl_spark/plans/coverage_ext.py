@@ -512,3 +512,41 @@ def stats_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sxy - sx * sy / nd) / (nd - 1)).alias("covar_samp_qp"),
         ((nd * sxy - sx * sy) / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))).alias("corr_qp"),
     )
+
+
+@register(
+    "median_disc_quantity",
+    tags=("ext", "aggregate", "stats", "window"),
+    oracle="""
+WITH ranked AS (
+    SELECT l_returnflag, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag, n, l_quantity AS median_disc
+FROM ranked
+WHERE rn = (n + 1) // 2
+""",
+)
+def median_disc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete median (percentile_disc 0.5) per group, formulated
+    portably as the row at position (n+1)/2 of a fully-tie-broken
+    ordering — no interpolation arithmetic, so the result is a stored
+    value and engine-exact (interpolating medians differ in the last ulp
+    between engines). At scale this is one window sort per group; for
+    quantiles on 100 TB the approx sketch is the default and this is
+    the audit path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "l_returnflag", "n", F.col("l_quantity").alias("median_disc")
+    )
