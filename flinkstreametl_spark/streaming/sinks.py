@@ -118,6 +118,25 @@ def console_sink(df: DataFrame, n: int = 20) -> None:
     df.show(n, truncate=False)
 
 
+def with_observed_metrics(df: DataFrame, name: str = "pipeline_metrics") -> DataFrame:
+    """S5 done the production way: instead of print() sinks, attach
+    ``observe`` metrics (row count, null-enrichment count) that the
+    engine computes inline — zero extra pass, surfaced per micro-batch
+    via QueryProgress.observedMetrics in streaming or
+    Observation/listener in batch. This is the monitoring story that
+    replaces the reference's per-record System.out.println
+    (Tuple2ToMeeting.java:13-28, SinkToGreenplum.java:63) at scale."""
+    from pyspark.sql import functions as F
+
+    first = df.columns[0]
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(df.columns[-1]).isNull(), 1).otherwise(0)).alias("n_null_last_col"),
+        F.count(F.col(first)).alias("n_nonnull_first_col"),
+    )
+
+
 def changelog_with_op(df: DataFrame, op: str = "+I") -> DataFrame:
     """T2 — surface a retract-stream style op column (+I/-U/+U/-D);
     append-only inputs are all +I, as in the reference where the retract

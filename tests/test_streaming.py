@@ -351,3 +351,40 @@ def test_stream_stream_left_outer_join_matches_batch(spark, sf_dir, tmp_path):
     inner = {p for p in batch if p[1] is not None}
     assert inner <= got <= batch
     assert got & unmatched, "no unmatched-left rows were ever emitted"
+
+
+def test_observed_metrics_on_enrich(spark, sf_dir, tmp_path):
+    """with_observed_metrics: the engine computes inline counters during
+    the enrich stream (no extra pass); per-batch observedMetrics must
+    reconcile with the sink row count."""
+    from flinkstreametl_spark.plans import REGISTRY
+    from flinkstreametl_spark.streaming.sinks import with_observed_metrics
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "ev"
+    events.coalesce(1).write.parquet(str(src / "f1"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+        .filter(F.col("event_type") == "purchase")
+    )
+    observed = with_observed_metrics(stream, "enrich_metrics")
+    q = (
+        observed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("obs_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT COUNT(*) AS n FROM obs_out").first().n
+        metrics = [
+            p.observedMetrics["enrich_metrics"]
+            for p in [q.lastProgress] + q.recentProgress
+            if p and "enrich_metrics" in (p.observedMetrics or {})
+        ]
+        assert metrics, "no observed metrics surfaced"
+        assert sum(m["n_rows"] for m in {id(m): m for m in metrics}.values()) >= rows > 0
+    finally:
+        q.stop()
