@@ -550,3 +550,37 @@ def median_disc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
         "l_returnflag", "n", F.col("l_quantity").alias("median_disc")
     )
+
+
+@register(
+    "rollup_with_grouping_id",
+    tags=("ext", "aggregate", "grouping"),
+    oracle=f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       CASE WHEN GROUPING(l_returnflag) = 1 THEN 'grand_total'
+            WHEN GROUPING(l_linestatus) = 1 THEN 'flag_subtotal'
+            ELSE 'detail' END AS level,
+       COUNT(*) AS n,
+       {sql_dsum('l_quantity')} AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers: super-aggregate rows carry NULL
+    in the rolled-up columns, which is ambiguous when the data itself
+    has NULLs — grouping() disambiguates and labels each row's level
+    (detail / subtotal / grand total). Same Expand+aggregate plan as
+    plain rollup; the markers are free metadata from the Expand node."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gf, gs = F.grouping("l_returnflag").cast("int"), F.grouping("l_linestatus").cast("int")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        gf.alias("g_flag"),
+        gs.alias("g_status"),
+        F.when(gf == 1, "grand_total").when(gs == 1, "flag_subtotal").otherwise("detail").alias("level"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    )
