@@ -12,8 +12,12 @@ Scale design
   verification runs only on candidates. Hashes are md5 strings (not
   engine-native hash()) so the DuckDB oracle reproduces them exactly.
 - SimHash: 16-bit signature from per-token md5 nibbles; near-dup pairs
-  = hamming distance <= d via xor/bit_count on the signature — a
-  self-join on the (coarse) signature prefix would be the 100 TB path.
+  = hamming distance <= d via xor/bit_count, candidates from the
+  multi-index pigeonhole equi-join (d+1 bit bands; any pair within d
+  agrees on some band) — exact recall, never a cross join.
+- Hot-key guard: band buckets above MAX_BUCKET_SIZE are dropped before
+  any self-join (both LSH and SimHash) — one boilerplate bucket
+  otherwise turns the candidate join quadratic on a single key.
 """
 
 from __future__ import annotations
@@ -29,6 +33,15 @@ from flinkstreametl_spark.operators.text import distinct_tokens, fingerprint
 # with exact Jaccard anyway.
 NUM_HASHES = 8
 ROWS_PER_BAND = 2  # -> 4 bands
+
+# Band buckets larger than this are dropped before the candidate
+# self-join. A hot band key (boilerplate, empty docs, template text)
+# otherwise produces a quadratic self-join on a single key — the one
+# thing that does not survive 100 TB. Oversized buckets carry almost no
+# signal anyway: their members are typically exact or near-exact
+# duplicates that the cheaper exact-fingerprint pass (run it first)
+# already collapses.
+MAX_BUCKET_SIZE = 256
 
 
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -57,35 +70,69 @@ def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return docs.select(F.col(id_col), distinct_tokens(text_col).alias("toks"))
 
 
+def _sig_array(num_hashes: int):
+    """array<string> of the document's min-hashes, computed per-row:
+    sig[j] = MIN over tokens t of md5(t || ':' || j). Pure higher-order
+    functions over the already-materialized token array — whole-stage
+    codegen, no explode, no shuffle. The md5 family is engine-portable
+    and MIN over hex strings is exact, so the DuckDB oracle reproduces
+    signatures bit-for-bit."""
+    return F.array(
+        [
+            F.array_min(
+                F.transform(
+                    F.col("toks"),
+                    lambda t: F.md5(F.concat(t, F.lit(":"), F.lit(str(j))).cast("binary")),
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", num_hashes: int = NUM_HASHES
 ) -> DataFrame:
     """Per-document MinHash signature rows (doc, hash-index j, min md5).
 
-    minhash_j(D) = MIN over shingles s of md5(s || ':' || j): the md5
-    family is engine-portable and uniform; MIN over strings is exact.
-    One explode + one groupBy(doc, j) — fully distributed, no driver
-    state.
+    Row-oriented view of ``_sig_array`` (posexplode of the per-row
+    signature) — kept for API parity with sketch-table consumers; the
+    LSH path uses the array form directly and never shuffles here.
+    Empty documents (no tokens) carry no signature rows.
     """
-    toks = token_sets(docs, id_col, text_col)
-    exploded = toks.select(F.col(id_col), F.explode("toks").alias("tok"))
-    seeds = F.array([F.lit(j) for j in range(num_hashes)])
-    return (
-        exploded.select(F.col(id_col), "tok", F.explode(seeds).alias("j"))
-        .groupBy(id_col, "j")
-        .agg(F.min(F.md5(F.concat(F.col("tok"), F.lit(":"), F.col("j").cast("string")).cast("binary"))).alias("mh"))
+    toks = token_sets(docs, id_col, text_col).filter(F.size("toks") > 0)
+    return toks.select(
+        F.col(id_col), F.posexplode(_sig_array(num_hashes)).alias("j", "mh")
     )
 
 
-def lsh_band_keys(signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
-    """Group signature rows into LSH bands; band key = ordered
-    concatenation of the band's min-hashes (deterministic via
-    array_sort over (j, mh) structs — collect_list order is not)."""
-    banded = signatures.withColumn("band", F.floor(F.col("j") / F.lit(rows_per_band)).cast("int"))
-    return banded.groupBy(id_col, "band").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]), "|"
-        ).alias("band_key")
+def lsh_band_keys(
+    docs_or_sigs: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = ROWS_PER_BAND,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """(doc, band, band_key) rows; band key = ordered concatenation of
+    the band's min-hashes. Computed entirely per-row (signature array ->
+    slice per band -> one generator explode of #bands rows) — the first
+    exchange in the whole LSH pipeline is the candidate self-join's."""
+    n_bands = -(-num_hashes // rows_per_band)
+    toks = token_sets(docs_or_sigs, id_col, text_col).filter(F.size("toks") > 0)
+    sig = toks.select(F.col(id_col), _sig_array(num_hashes).alias("sig"))
+    bands = F.array(
+        [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band), "|"
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
 
 
@@ -96,10 +143,25 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidate generation + exact Jaccard
-    verification. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b."""
-    bands = lsh_band_keys(minhash_signatures(docs, id_col, text_col, num_hashes), id_col, rows_per_band)
+    verification. Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Band buckets with more than ``max_bucket_size`` members are dropped
+    before the self-join (``None`` disables): a single hot key would
+    otherwise generate size² candidates in one task. The count-filter is
+    a window count over the same (band, band_key) partitioning the
+    self-join shuffles on anyway — linear in bucket size, so the hot
+    bucket costs one sequential scan, not a quadratic join."""
+    bands = lsh_band_keys(docs, id_col, rows_per_band, text_col, num_hashes)
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_key")
+        bands = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     b1 = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b2 = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     cand = (
@@ -191,15 +253,50 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     )
 
 
-def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 16,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> DataFrame:
     """Pairs of documents whose SimHash signatures are within
-    `max_hamming` bits (xor + bit_count)."""
-    sh = simhash(docs, id_col, text_col)
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ``max_hamming`` bits (xor + bit_count).
+
+    Candidate generation is the multi-index (pigeonhole) equi-join, not
+    a cross join: the signature is cut into ``max_hamming + 1`` bit
+    bands, so any pair within the hamming budget agrees exactly on at
+    least one band — a self-join on (band index, band bits) finds every
+    such pair with zero recall loss, then the exact hamming filter and a
+    pair-distinct run on candidates only. Same hot-key guard as LSH:
+    band buckets above ``max_bucket_size`` are dropped."""
+    sh = simhash(docs, id_col, text_col, bits)
+    n_bands = max_hamming + 1
+    width = -(-bits // n_bands)  # ceil: last band may be narrower
+    band_idx = F.explode(F.array([F.lit(i) for i in range(n_bands)])).alias("band")
+    banded = sh.select(F.col(id_col), F.col("simhash"), band_idx).withColumn(
+        "band_bits",
+        F.expr(f"(simhash >> (band * {width})) & {(1 << width) - 1}"),
+    )
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_bits")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_bits"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "band_bits"
+    )
     ham = F.expr("bit_count(sh_a ^ sh_b)")
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -1,11 +1,15 @@
 """[EXT] Multimodal column plumbing: image/audio/video as opaque
 `binary` columns with typed metadata (north-star requirement).
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-`decode_image_batch` raises NotImplementedError unless a deterministic
-fake decoder is injected. Everything Spark-side — schemas, partitioning,
-Arrow batch shape, mapInPandas signatures — is real and tested
-(tests/test_multimodal.py).
+The decode path is REAL for the codec-free formats: a pure-Python
+PPM (P6/P3) and uncompressed 24-bit BMP decoder is the default, and the
+default resize is a real nearest-neighbor resample re-encoded as P6.
+Compressed formats (JPEG/PNG/...) need a codec library absent from this
+container — those payloads raise ValueError, and the decoder seam
+(`extract_features(decoder=...)`, `resize_images(resizer=...)`) is where
+a PIL/opencv-backed callable plugs in unchanged. Everything Spark-side —
+schemas, partitioning, Arrow batch shape, mapInPandas signatures — is
+identical either way.
 
 Design for 100 TB of media:
 - blobs stay in executor space end-to-end (mapInPandas iterator of Arrow
@@ -55,13 +59,139 @@ def media_metadata(df: DataFrame, id_col: str = "media_id", payload_col: str = "
     )
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python decoders (no codec dependency): PPM P6/P3 + 24-bit BMP.
+# ---------------------------------------------------------------------------
+
+
+def _ppm_tokens(data: bytes):
+    """Header tokenizer: whitespace-separated tokens, '#' comments to EOL.
+    Yields (token, offset_after_token)."""
+    i = 0
+    n = len(data)
+    while i < n:
+        c = data[i : i + 1]
+        if c == b"#":
+            while i < n and data[i : i + 1] not in (b"\n", b"\r"):
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not data[j : j + 1].isspace() and data[j : j + 1] != b"#":
+                j += 1
+            yield data[i:j], j
+            i = j
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, list[float]]:
+    """PPM (P6 binary / P3 ascii, maxval 255) -> (w, h, flat RGB floats,
+    row-major top-down)."""
+    toks = _ppm_tokens(payload)
+    magic, _ = next(toks)
+    if magic not in (b"P6", b"P3"):
+        raise ValueError(f"not a PPM payload: magic {magic!r}")
+    (w, _), (h, _), (maxval, end) = next(toks), next(toks), next(toks)
+    w, h, maxval = int(w), int(h), int(maxval)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 PPM supported, got {maxval}")
+    need = w * h * 3
+    if magic == b"P6":
+        raster = payload[end + 1 : end + 1 + need]  # exactly one whitespace after maxval
+        if len(raster) < need:
+            raise ValueError("truncated P6 raster")
+        return w, h, [float(b) for b in raster]
+    vals = []
+    for tok, _ in toks:
+        vals.append(float(int(tok)))
+        if len(vals) == need:
+            return w, h, vals
+    raise ValueError("truncated P3 raster")
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Uncompressed 24-bit bottom-up BMP -> (w, h, flat RGB floats,
+    row-major top-down)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, compression={compression})")
+    flipped = h > 0  # positive height = bottom-up storage
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    out: list[float] = []
+    for y in range(h):
+        src_y = (h - 1 - y) if flipped else y
+        base = pix_off + src_y * row_bytes
+        row = payload[base : base + w * 3]
+        if len(row) < w * 3:
+            raise ValueError("truncated BMP raster")
+        for x in range(w):
+            b, g, r = row[3 * x], row[3 * x + 1], row[3 * x + 2]
+            out.extend((float(r), float(g), float(b)))
+    return w, h, out
+
+
+def encode_ppm(w: int, h: int, pixels: list[float]) -> bytes:
+    """(w, h, flat RGB floats) -> binary P6 bytes (the inverse of
+    decode_ppm for round-trip tests and the default resizer's output)."""
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + bytes(int(p) & 0xFF for p in pixels[: w * h * 3])
+
+
+def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Dispatch on magic bytes: PPM (P6/P3) and 24-bit BMP decode here;
+    compressed formats raise — plug a codec-backed callable into the
+    decoder seam for those."""
+    if payload is None or len(payload) < 2:
+        raise ValueError("empty image payload")
+    magic = bytes(payload[:2])
+    if magic in (b"P6", b"P3"):
+        return decode_ppm(payload)
+    if magic == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(
+        f"unsupported image format (magic {magic!r}): only PPM/BMP decode without a codec "
+        "library; pass decoder= a callable(payload bytes) -> (width, height, pixels)"
+    )
+
+
+def default_decoder(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real default decode + feature map: decode PPM/BMP pixels, emit an
+    8-dim deterministic feature (w, h, per-channel means, luminance
+    min/max/mean) — compact enough for a feature column at any scale."""
+    w, h, px = decode_image(payload)
+    n = max(1, w * h)
+    chan = [0.0, 0.0, 0.0]
+    lum_min, lum_max, lum_sum = 255.0, 0.0, 0.0
+    for i in range(0, len(px), 3):
+        r, g, b = px[i], px[i + 1], px[i + 2]
+        chan[0] += r
+        chan[1] += g
+        chan[2] += b
+        lum = 0.299 * r + 0.587 * g + 0.114 * b
+        lum_min = min(lum_min, lum)
+        lum_max = max(lum_max, lum)
+        lum_sum += lum
+    return w, h, [float(w), float(h), chan[0] / n, chan[1] / n, chan[2] / n, lum_min, lum_max, lum_sum / n]
+
+
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """STUB — real decoder needs an image codec (PIL/opencv), absent in
-    this container. Raises; inject a fake via `extract_features(decoder=...)`
-    for tests."""
-    raise NotImplementedError(
-        "image decode requires a codec library not present in this environment; "
-        "pass decoder= a callable(payload bytes) -> (width, height, pixels)"
+    """Vectorized decode of a payload Series -> DataFrame(width, height,
+    pixels) via the pure-Python PPM/BMP path."""
+    decoded = [decode_image(bytes(p)) for p in payloads]
+    return pd.DataFrame(
+        {
+            "width": [d[0] for d in decoded],
+            "height": [d[1] for d in decoded],
+            "pixels": [d[2] for d in decoded],
+        }
     )
 
 
@@ -82,19 +212,18 @@ def extract_features(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas: Arrow-batched, executor-
-    side, preserves partitioning. With decoder=None the real (stubbed)
-    decoder raises — callers inject fake_decoder in tests."""
+    side, preserves partitioning. decoder=None uses the real pure-Python
+    PPM/BMP default (compressed formats raise ValueError there); inject
+    a codec-backed or fake callable through the same seam."""
     import hashlib
 
-    dec = decoder
+    dec = decoder if decoder is not None else default_decoder
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else None
-                if dec is None:
-                    decode_image_batch(pd.Series([raw]))  # raises NotImplementedError
                 _w, _h, feat = dec(raw)
                 rows.append(
                     {
@@ -117,6 +246,20 @@ RESIZED_SCHEMA = T.StructType([
 ])
 
 
+def default_resizer(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize for PPM/BMP payloads: decode, nearest-neighbor
+    resample to (w, h), re-encode as binary P6."""
+    sw, sh, px = decode_image(payload)
+    out: list[float] = []
+    for ty in range(h):
+        sy = min(sh - 1, ty * sh // h) if sh else 0
+        for tx in range(w):
+            sx = min(sw - 1, tx * sw // w) if sw else 0
+            base = 3 * (sy * sw + sx)
+            out.extend(px[base : base + 3])
+    return encode_ppm(w, h, out)
+
+
 def fake_resizer(payload: bytes, w: int, h: int) -> bytes:
     """Deterministic fake resize for tests: truncate/tile the byte
     payload to w*h bytes — stands in for a real codec's re-encode."""
@@ -136,18 +279,16 @@ def resize_images(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Resize plumbing via mapInPandas: Arrow-batched blob-in/blob-out,
-    never touching the driver. The real resize needs a codec (absent
-    here) — with resizer=None this raises at execution, exactly like
-    the decode stub; tests inject fake_resizer. At 100 TB the only
-    things that matter are preserved here: iterator-of-batches (bounded
-    memory), metadata columns updated relationally, and the payload
-    staying a single binary cell per row."""
-    res = resizer
+    never touching the driver. resizer=None uses the real nearest-
+    neighbor PPM/BMP default (compressed formats raise ValueError);
+    tests also exercise the injected fake_resizer seam. At 100 TB the
+    things that matter are preserved either way: iterator-of-batches
+    (bounded memory), metadata columns updated relationally, and the
+    payload staying a single binary cell per row."""
+    res = resizer if resizer is not None else default_resizer
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if res is None:
-                decode_image_batch(pdf[payload_col])  # raises NotImplementedError
             out = pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),

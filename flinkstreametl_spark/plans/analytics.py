@@ -465,10 +465,10 @@ def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT r.r_name AS region_name,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN e.ts >= TIMESTAMP '2024-01-10 00:00:00'
-                 AND e.ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS n_active,
        CAST(SUM(CASE WHEN e.ts >= TIMESTAMP '2024-01-10 00:00:00'
-                      AND e.ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS DOUBLE)
+                      AND e.ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(CAST(SUM(CASE WHEN e.ts >= TIMESTAMP '2024-01-10 00:00:00'
+                           AND e.ts <  TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
            / COUNT(*) AS active_rate
 FROM events e
 LEFT JOIN customer c ON e.user_id = c.c_custkey

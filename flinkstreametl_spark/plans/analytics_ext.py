@@ -111,7 +111,7 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
-    tags=("ext", "aggregate", "having", "join"),
+    tags=("ext", "aggregate", "having", "join", "bench"),
     oracle=f"""
 SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, t.total_qty
 FROM orders o
@@ -269,8 +269,8 @@ SELECT user_id, session_id,
        MAX(ts) AS session_end
 FROM (
     SELECT user_id, ts,
-           SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           CAST(SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) t
 ) s
 GROUP BY user_id, session_id
@@ -401,17 +401,48 @@ def null_handling_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_quantities", tags=("ext", "aggregate", "approx"))
+@register(
+    "percentile_quantities",
+    tags=("ext", "aggregate", "stats", "window"),
+    oracle="""
+WITH ranked AS (
+    SELECT l_returnflag, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(MAX(n) AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN l_quantity END) AS p50_disc,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN l_quantity END) AS p90_disc
+FROM ranked
+GROUP BY l_returnflag
+""",
+)
 def percentile_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact and approximate percentiles per return flag. Rows-only:
-    interpolation arithmetic differs across engines in the last ulp;
-    tests pin the exact values against DuckDB's quantile_cont within
-    tolerance instead."""
+    """Exact discrete percentiles (percentile_disc 0.5 / 0.9) per return
+    flag, formulated portably as the stored value at a rank position of a
+    fully-tie-broken ordering — no interpolation arithmetic, so the
+    result is engine-exact (interpolating percentiles differ in the last
+    ulp between engines; the approx sketch lives in
+    ``approx_percentile_price``). One window sort per group; the 100 TB
+    default is the sketch, this is the audit path."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
-        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_price_approx"),
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("l_quantity"))).alias("p50_disc"),
+        F.max(F.when(F.col("rn") == F.expr("CAST(ceil(0.9 * n) AS BIGINT)"), F.col("l_quantity"))).alias(
+            "p90_disc"
+        ),
     )
 
 
@@ -544,12 +575,43 @@ def stats_builtin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pandas_udf_quality", tags=("ext", "llm", "udf"))
+@register("approx_percentile_price", tags=("ext", "aggregate", "approx"))
+def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile via the KLL/GK-style sketch — the 100 TB
+    default for quantiles (mergeable, one pass, no sort). Rows-only:
+    sketch internals are engine-specific; the exact audit twin is
+    ``percentile_quantities``, and tests pin the sketch within rank
+    tolerance of the exact value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_price_approx"),
+        F.expr("approx_percentile(l_extendedprice, 0.9, 10000)").alias("p90_price_approx"),
+    )
+
+
+@register(
+    "pandas_udf_quality",
+    tags=("ext", "llm", "udf"),
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_split_to_array(trim(lower(text)), '\\s+') AS tok
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(tok) >= 10 AND len(tok) <= 10000
+                 AND CAST(len(list_distinct(tok)) AS DOUBLE) / GREATEST(len(tok), 1) > 0.1
+            THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS quality
+FROM toks
+""",
+)
 def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vectorized-UDF extensibility surface (the Spark answer to the
     reference's anonymous Map/FilterFunctions, Main.java:68-86): an
-    Arrow-batched pandas_udf scoring text quality. Rows-only; tests
-    assert it agrees with the pure-column text_quality_stats gate."""
+    Arrow-batched pandas_udf scoring text quality. Oracle-safe because
+    the only float arithmetic is one IEEE division (distinct/n) and the
+    output is an exact 0.0/1.0 gate; tests also assert it agrees with
+    the pure-column text_quality_stats path."""
     from pyspark.sql.functions import pandas_udf
 
     def _score(text):
@@ -650,7 +712,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "aggregate", "conditional"),
     oracle="""
 SELECT c_nationkey,
-       count_if(c_acctbal > 0) AS n_positive,
+       CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
        bool_and(c_acctbal > -1000) AS all_above_floor,
        bool_or(c_mktsegment = 'BUILDING') AS any_building,
        arg_max(c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest_cust,

@@ -121,7 +121,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q12_priority_shipping_counts",
-    tags=("ext", "join", "aggregate", "conditional"),
+    tags=("ext", "join", "aggregate", "conditional", "bench"),
     oracle="""
 SELECT l_returnflag,
        COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,

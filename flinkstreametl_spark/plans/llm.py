@@ -120,7 +120,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "exact_dup_groups",
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
     oracle=f"""
 SELECT {X.sql_fingerprint('text')} AS fp,
        COUNT(*) AS n_docs,
@@ -167,12 +167,17 @@ WITH tok AS (
     SELECT doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT) AS band,
            string_agg(mh, '|' ORDER BY j) AS band_key
     FROM mh GROUP BY doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT)
+), kept AS (
+    SELECT doc_id, band, band_key,
+           COUNT(*) OVER (PARTITION BY band, band_key) AS bn
+    FROM bands
+    QUALIFY bn <= {D.MAX_BUCKET_SIZE}
 ), sets AS (
     SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
 ), cand AS (
     SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-    FROM bands b1
-    JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+    FROM kept b1
+    JOIN kept b2 ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
 )
 SELECT doc_a, doc_b, jaccard FROM (
     SELECT c.doc_a, c.doc_b,
@@ -186,19 +191,21 @@ WHERE jaccard >= 0.6
 """
 
 
-# NOTE benched deliberately, with eyes open: the synthetic corpus has a
-# ~40-word vocabulary, so nearly every doc pair is a near-dup and LSH
-# degenerates toward all-pairs (6.6M verified pairs at sf0.1) — the
-# timing is dominated by the pathological output size, and it is the
-# one bench entry that exercises a many-million-row shuffle + verify
-# join. Candidate-dedup alternatives were A/B'd (docs/SCALE.md): the
-# shuffle-free first-matching-band rewrite lost 4x to a codegen cliff.
+# NOTE the synthetic corpus has a ~40-word vocabulary, so nearly every
+# doc pair is a near-dup and un-capped LSH degenerates toward all-pairs
+# (6.6M verified pairs at sf0.1 in round 1). The band-bucket cap
+# (operators/dedup.py MAX_BUCKET_SIZE, mirrored in the oracle's QUALIFY)
+# drops those degenerate hot buckets — which is exactly what it exists
+# to do to boilerplate at 100 TB. Candidate-dedup alternatives were
+# A/B'd (docs/SCALE.md): the shuffle-free first-matching-band rewrite
+# lost 4x to a codegen cliff.
 @register("minhash_lsh_neardup", tags=("llm", "dedup", "bench"), oracle=_MINHASH_ORACLE)
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification
     (operators/dedup.py): md5-based hash family so the oracle reproduces
     signatures bit-for-bit. Candidate generation is the banded self-join
-    — output-sized, not O(n²)."""
+    with a hot-bucket cap — output-sized, not O(n²), even when one band
+    key collects the whole corpus."""
     return D.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), threshold=0.6)
 
 
@@ -416,7 +423,7 @@ def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup_pairs",
-    tags=("llm", "dedup", "similarity"),
+    tags=("llm", "dedup", "similarity", "bench"),
     oracle="""
 WITH e AS (
     SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
@@ -472,7 +479,7 @@ _CHUNK, _STRIDE = 64, 48  # 16-token overlap
 
 @register(
     "chunk_documents",
-    tags=("llm", "text", "chunk"),
+    tags=("llm", "text", "chunk", "bench"),
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 n AS (SELECT doc_id, toks,

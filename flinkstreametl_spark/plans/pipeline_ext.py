@@ -85,8 +85,8 @@ def stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        len(embedding) AS n_dims,
        len(list_filter(embedding, x -> x > 0)) AS n_pos,
-       list_aggregate(list_transform(embedding,
-           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)), 'sum') AS fp_sum,
+       CAST(list_aggregate(list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)), 'sum') AS BIGINT) AS fp_sum,
        CAST(floor(CAST(list_max(embedding) AS DOUBLE) * 1048576) AS BIGINT) AS fp_max
 FROM embeddings
 """,

@@ -82,7 +82,7 @@ def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    tags=("ext", "join", "aggregate"),
+    tags=("ext", "join", "aggregate", "bench"),
     oracle=f"""
 SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
        {sql_dbl(f"SUM(CASE WHEN n2.n_name = 'NATION_1' THEN {_REV_SQL} ELSE CAST(0 AS DECIMAL(12,2)) END)", 6)}

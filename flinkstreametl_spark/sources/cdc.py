@@ -38,19 +38,31 @@ def read_cdc_file_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(RAW_SCHEMA).text(path)
 
 
+def kafka_source_options(brokers: str, topic: str, starting_offsets: str = "latest") -> dict[str, str]:
+    """The documented Kafka-reader option set (unit-testable without a
+    broker). Mirrors KafkaConfigUtil.java:12-30: bootstrap servers +
+    subscribe + offset reset; Flink's group.id/enable.auto.commit have
+    no analog because Spark tracks offsets in its own checkpoint
+    (SURVEY.md §2.8 T4), never in the broker."""
+    if not brokers or not topic:
+        raise ValueError("brokers and topic are required")
+    if starting_offsets not in ("latest", "earliest") and not starting_offsets.startswith("{"):
+        raise ValueError(f"startingOffsets must be latest/earliest/per-partition JSON, got {starting_offsets!r}")
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_cdc_kafka(spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "latest") -> DataFrame:
     """S1 — Kafka source (requires the spark-sql-kafka package on the
-    classpath and a live broker; gated so CI never touches it).
-
-    Mirrors KafkaConfigUtil.java:12-30: subscribe + offset reset; group
-    management and checkpointed offsets replace Flink's group.id
-    (SURVEY.md §2.8 T4).
+    classpath and a live broker; gated so CI never touches it —
+    ``kafka_source_options`` carries the CI-tested wiring).
     """
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
         .selectExpr("CAST(value AS STRING) AS value")
     )

@@ -144,17 +144,35 @@ def changelog_with_op(df: DataFrame, op: str = "+I") -> DataFrame:
     return df.withColumn("op", F.lit(op))
 
 
+def kafka_sink_options(brokers: str, topic: str, checkpoint_dir: str) -> dict[str, str]:
+    """The documented Kafka-writer option set (unit-testable without a
+    broker): bootstrap servers + target topic + the checkpoint dir that
+    makes the write restart-safe (KafkaConfigUtil.java:9-27 semantics on
+    the egress side)."""
+    if not brokers or not topic or not checkpoint_dir:
+        raise ValueError("brokers, topic, and checkpoint_dir are required")
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def kafka_payload(df: DataFrame) -> DataFrame:
+    """JSON-serialize every column into the Kafka `value` envelope (E8)."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+
+
 def kafka_sink(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
     """S6 — Kafka egress (the reference declared SinkToKafka but left it
     an empty stub, sinks/SinkToKafka.java:3-4; this is the completed
-    intent). Serializes rows as JSON (E8). Requires the Kafka connector
-    jar + a broker; gated out of CI."""
-    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    intent). Requires the Kafka connector jar + a broker; gated out of
+    CI — ``kafka_sink_options`` / ``kafka_payload`` carry the CI-tested
+    wiring."""
     return (
-        payload.writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
+        kafka_payload(df)
+        .writeStream.format("kafka")
+        .options(**kafka_sink_options(brokers, topic, checkpoint_dir))
         .start()
     )
 
@@ -172,8 +190,13 @@ class IncrementalAggSink:
 
     Exactly-once under foreachBatch retry: the merge is NOT naturally
     idempotent (adding a delta twice double-counts), so the last applied
-    batch_id is stored with the table and replays of an already-applied
-    batch are skipped — the standard transactional-foreachBatch pattern.
+    batch_id is stored INSIDE the table directory (an `_applied_batch_id`
+    metadata file, invisible to the parquet reader like `_SUCCESS`) and
+    written into the tmp directory BEFORE the rename — data and marker
+    commit atomically in the same directory swap, so a crash between
+    write and swap leaves the old table + old marker, and a crash after
+    the swap leaves the new table + new marker; there is no window where
+    a replayed batch re-merges its delta.
     """
 
     def __init__(self, path: str, key_cols: list[str], value_col: str):
@@ -181,8 +204,14 @@ class IncrementalAggSink:
         self.key_cols = key_cols
         self.value_col = value_col
 
-    def _meta_path(self) -> str:
-        return self.path + ".batchid"
+    _MARKER = "_applied_batch_id"
+
+    def _applied_batch_id(self) -> int | None:
+        marker = os.path.join(self.path, self._MARKER)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as fh:
+            return int(fh.read().strip())
 
     def read(self, spark: SparkSession) -> DataFrame | None:
         if not os.path.exists(self.path):
@@ -190,10 +219,9 @@ class IncrementalAggSink:
         return spark.read.parquet(self.path)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(self._meta_path()):
-            with open(self._meta_path()) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch: already merged
+        applied = self._applied_batch_id()
+        if applied is not None and batch_id <= applied:
+            return  # replayed batch: already merged
         spark = batch_df.sparkSession
         partial = batch_df.groupBy(*self.key_cols).agg(
             F.count(F.lit(1)).alias("_dn"), F.sum(self.value_col).alias("_ds")
@@ -216,6 +244,10 @@ class IncrementalAggSink:
             )
         tmp = self.path + f".tmp-{batch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        # marker goes into tmp BEFORE the swap: data + batch-id commit
+        # in the same atomic rename
+        with open(os.path.join(tmp, self._MARKER), "w") as fh:
+            fh.write(str(batch_id))
         old = self.path + f".old-{batch_id}"
         if os.path.exists(self.path):
             os.rename(self.path, old)
@@ -224,5 +256,3 @@ class IncrementalAggSink:
             import shutil
 
             shutil.rmtree(old)
-        with open(self._meta_path(), "w") as fh:
-            fh.write(str(batch_id))

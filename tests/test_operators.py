@@ -58,6 +58,63 @@ def test_simhash_near_pairs_on_dups(spark, crafted_docs):
     assert all(0 <= v < 2**16 for v in sh.values())
 
 
+def test_simhash_pairs_plan_has_no_cross_join(spark, crafted_docs):
+    """Candidate generation must be the banded equi-join, never a
+    cartesian/nested-loop product."""
+    plan = D.simhash_near_pairs(crafted_docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banding_is_lossless_vs_bruteforce(spark, crafted_docs):
+    """Pigeonhole banding finds exactly the pairs a brute-force O(n²)
+    hamming scan finds (banding is a candidate restriction with zero
+    recall loss; the cap is disabled here to isolate the banding)."""
+    sh = {r.doc_id: r.simhash for r in D.simhash(crafted_docs).collect()}
+    brute = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in D.simhash_near_pairs(crafted_docs, max_hamming=3, max_bucket_size=None).collect()
+    }
+    assert banded == brute
+
+
+def test_lsh_bucket_cap_noop_on_small_buckets(spark, crafted_docs):
+    """On a corpus whose band buckets are all under the cap, capped and
+    uncapped LSH return identical pair sets."""
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(crafted_docs, threshold=0.5).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(crafted_docs, threshold=0.5, max_bucket_size=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_lsh_bucket_cap_drops_hot_bucket(spark):
+    """A bucket larger than the cap is dropped wholesale: 6 identical
+    boilerplate docs (bucket size 6 > cap 3) produce no pairs, while the
+    distinct near-dup pair elsewhere survives."""
+    rows = [(i, "identical boilerplate footer text repeated everywhere") for i in range(1, 7)]
+    rows += [(10, "a genuinely unique document about spark shuffles"),
+             (11, "a genuinely unique document about spark shuffle")]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=3).collect()
+    }
+    assert all(a not in range(1, 7) and b not in range(1, 7) for a, b in pairs)
+    if pairs:  # the near-dup pair banded together: verify it's the right one
+        assert pairs == {(10, 11)}
+
+
 def test_knn_fast_matches_exact_sets(spark, sf_dir):
     """The HOF fast path must return the same neighbor sets (per query)
     as the fixed-point exact path — scores may differ in the last ulp."""
@@ -135,11 +192,69 @@ def test_replace_upsert_idempotent(spark):
     assert twice.count() == 2
 
 
-def test_multimodal_stub_raises(spark):
+def test_multimodal_unsupported_format_raises(spark):
+    """Compressed/unknown formats still need an injected codec: the
+    default decoder must refuse them loudly, not fake an answer."""
     docs = spark.createDataFrame([(1, bytearray(b"payload"))], "media_id LONG, payload BINARY")
     with pytest.raises(Exception) as ei:
         M.extract_features(docs).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    assert "codec" in str(ei.value) or "unsupported" in str(ei.value)
+
+
+def _ppm_p6(w, h, pixels):
+    return f"P6\n{w} {h}\n255\n".encode() + bytes(pixels)
+
+
+def test_decode_ppm_p6_and_p3():
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]  # 2x2 RGB
+    w, h, out = M.decode_ppm(_ppm_p6(2, 2, px))
+    assert (w, h) == (2, 2) and out == [float(v) for v in px]
+    p3 = ("P3\n# comment\n2 2\n255\n" + " ".join(str(v) for v in px)).encode()
+    assert M.decode_ppm(p3) == (2, 2, [float(v) for v in px])
+
+
+def test_decode_bmp_24bit():
+    import struct
+
+    # 2x2 bottom-up 24-bit BMP; rows padded to 4 bytes (2*3=6 -> 8)
+    top = [(255, 0, 0), (0, 255, 0)]     # row y=0 (stored last)
+    bottom = [(0, 0, 255), (10, 20, 30)]  # row y=1 (stored first)
+    raster = b""
+    for row in (bottom, top):
+        for r, g, b in row:
+            raster += bytes((b, g, r))
+        raster += b"\x00\x00"
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    w, h, px = M.decode_bmp(header + info + raster)
+    assert (w, h) == (2, 2)
+    assert px == [255.0, 0.0, 0.0, 0.0, 255.0, 0.0, 0.0, 0.0, 255.0, 10.0, 20.0, 30.0]
+
+
+def test_default_decoder_end_to_end(spark):
+    """extract_features with NO injected decoder must decode a real PPM
+    payload on the executor — the default path is real, not a stub."""
+    px = [100] * 12
+    docs = spark.createDataFrame(
+        [(1, bytearray(_ppm_p6(2, 2, px)))], "media_id LONG, payload BINARY"
+    )
+    out = M.extract_features(docs).collect()
+    assert len(out) == 1
+    feat = out[0].feature
+    assert feat[:2] == [2.0, 2.0]          # w, h
+    assert feat[2:5] == [100.0, 100.0, 100.0]  # channel means
+    assert abs(feat[7] - 100.0) < 1e-9     # mean luminance of a flat image
+
+
+def test_default_resizer_round_trip(spark):
+    """resize_images default path: nearest-neighbor 1x1 -> 2x2 P6 whose
+    re-decoded pixels replicate the source pixel."""
+    src = _ppm_p6(1, 1, [7, 8, 9])
+    media = spark.createDataFrame([(1, bytearray(src))], "media_id long, payload binary")
+    rows = M.resize_images(media, 2, 2).collect()
+    w, h, px = M.decode_image(bytes(rows[0].payload))
+    assert (w, h) == (2, 2)
+    assert px == [7.0, 8.0, 9.0] * 4
 
 
 def test_multimodal_fake_decoder_roundtrip(spark):
@@ -218,16 +333,15 @@ def test_resize_images_plumbing(spark):
     assert rows[3] == b""
 
 
-def test_resize_without_codec_raises(spark):
+def test_resize_unsupported_format_raises(spark):
     from flinkstreametl_spark.operators import multimodal as M
 
     media = spark.createDataFrame([(1, bytearray(b"abc"))], "media_id long, payload binary")
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     with _pytest.raises(Exception) as exc:
         M.resize_images(media, 4, 2).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(exc.value, Py4JJavaError)
+    assert "codec" in str(exc.value) or "unsupported" in str(exc.value)
 
 
 def test_grouped_agg_udf_matches_builtin(spark, sf_dir):

@@ -82,3 +82,37 @@ def test_rows_only_queries_run(spark, sf_dir, spec):
     df = spec.fn(spark, sf_dir)
     assert df.columns
     assert df.count() >= 0
+
+
+def test_oracle_output_types_are_hash_compatible(spark, sf_dir):
+    """Driver-calibrated type audit (tools/typecheck_oracles.py): the
+    driver's value-hash normalizes through pandas, where DuckDB HUGEINT
+    becomes float64 and fails against Spark's int64 even when values are
+    equal (both round-1 hash-FAILs). Both engines expose result types
+    lazily, so this covers every oracle without executing a single
+    query."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    import duckdb
+
+    from typecheck_oracles import compatible
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    bad = []
+    for spec in ORACLE_SPECS:
+        stypes = dict(spec.fn(spark, sf_dir).dtypes)
+        rel = con.sql(spec.oracle)
+        dtypes = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        if sorted(stypes) != sorted(dtypes):
+            bad.append(f"{spec.name}: columns {sorted(stypes)} vs {sorted(dtypes)}")
+            continue
+        bad.extend(
+            f"{spec.name}.{c}: spark={st} duck={dtypes[c]}"
+            for c, st in stypes.items()
+            if not compatible(st, dtypes[c])
+        )
+    con.close()
+    assert not bad, "\n".join(bad)

@@ -174,3 +174,24 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
         assert sorted(r.k for r in rows) == ["a", "b", "c"]
     finally:
         q.stop()
+
+
+def test_incremental_agg_marker_commits_with_data(spark, tmp_path):
+    """The applied-batch-id marker must live INSIDE the table directory
+    (committed by the same atomic rename as the data): a crash between
+    data swap and a separate marker write would otherwise double-merge
+    the replayed delta."""
+    import os
+
+    from flinkstreametl_spark.streaming.sinks import IncrementalAggSink
+
+    sink = IncrementalAggSink(str(tmp_path / "mv3"), ["k"], "v")
+    batch = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "k STRING, v DOUBLE")
+    sink.process_batch(batch, 0)
+    assert os.path.exists(os.path.join(sink.path, "_applied_batch_id"))
+    # no stray sidecar marker outside the directory
+    assert not os.path.exists(sink.path + ".batchid")
+    # replay of the same batch is a no-op even though the marker moved
+    sink.process_batch(batch, 0)
+    rows = {r.k: (r.n, r.total) for r in sink.read(spark).collect()}
+    assert rows == {"a": (2, 3.0)}

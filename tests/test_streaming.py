@@ -388,3 +388,48 @@ def test_observed_metrics_on_enrich(spark, sf_dir, tmp_path):
         assert sum(m["n_rows"] for m in {id(m): m for m in metrics}.values()) >= rows > 0
     finally:
         q.stop()
+
+
+def test_kafka_source_option_wiring():
+    """S1 wiring without a broker (KafkaConfigUtil.java:12-30 parity):
+    subscribe + bootstrap + offset reset must round-trip; bad inputs
+    must be rejected before they reach a DataStreamReader."""
+    import pytest
+
+    from flinkstreametl_spark.sources.cdc import kafka_source_options
+
+    opts = kafka_source_options("host1:9092,host2:9092", "canal-topic", "earliest")
+    assert opts == {
+        "kafka.bootstrap.servers": "host1:9092,host2:9092",
+        "subscribe": "canal-topic",
+        "startingOffsets": "earliest",
+    }
+    # per-partition JSON offsets are legal
+    kafka_source_options("b:9092", "t", '{"t":{"0":23}}')
+    with pytest.raises(ValueError):
+        kafka_source_options("", "topic")
+    with pytest.raises(ValueError):
+        kafka_source_options("b:9092", "topic", "sometimes")
+
+
+def test_kafka_sink_option_and_payload_wiring(spark):
+    """S6 wiring without a broker: options + the JSON value envelope
+    (E8) the writer would ship."""
+    import json
+
+    import pytest
+
+    from flinkstreametl_spark.streaming.sinks import kafka_payload, kafka_sink_options
+
+    opts = kafka_sink_options("b:9092", "out-topic", "/tmp/ckpt")
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out-topic",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+    with pytest.raises(ValueError):
+        kafka_sink_options("b:9092", "", "/tmp/ckpt")
+    df = spark.createDataFrame([(1, "a")], "id INT, name STRING")
+    payload = kafka_payload(df).collect()
+    assert [c for c in kafka_payload(df).columns] == ["value"]
+    assert json.loads(payload[0].value) == {"id": 1, "name": "a"}
