@@ -35,7 +35,14 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    # Warmup: trivial action to absorb session/codegen startup.
+    # Warmup: absorb session/codegen startup and touch every fixture
+    # table once so the first benched query doesn't pay the initial
+    # parquet footer reads / filesystem cache misses for its inputs.
+    from flinkstreametl_spark.schemas import FIXTURE_TABLES
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    for t in FIXTURE_TABLES:
+        load_table(spark, SF_DIR, t).count()
     REGISTRY["flagship_enrich"].fn(spark, SF_DIR).count()
 
     times: dict[str, float] = {}

@@ -232,3 +232,153 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
         )
     )
+
+
+_CTX = 64  # context-window length in tokens
+
+
+@register(
+    "pack_sequences",
+    tags=("ext", "llm", "pipeline", "packing"),
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id, lang, source,
+           CAST(len({_PIPE_TOKS}) AS BIGINT) AS n_tokens
+    FROM documents
+), placed AS (
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS "offset"
+    FROM sized
+    WHERE n_tokens > 0
+)
+SELECT doc_id, lang, source, n_tokens, "offset",
+       "offset" // {_CTX} AS start_bin,
+       ("offset" + n_tokens - 1) // {_CTX} AS end_bin,
+       ("offset" + n_tokens - 1) // {_CTX} - "offset" // {_CTX} + 1 AS n_bins
+FROM placed
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in a stable
+    order and split the token stream into fixed 64-token context
+    windows — each doc's placement is its running-sum offset, so the
+    whole assignment is two window functions over a per-(lang, source)
+    shard sort, no iteration and no driver state. At 100 TB the shard
+    key bounds each sort partition; packing never needs a global order,
+    only a reproducible one. Emits (offset, start_bin, end_bin, n_bins)
+    per doc — the writer that materializes the packed windows is a
+    partition-local array slice exactly like chunk_documents."""
+    from flinkstreametl_spark.operators import text as X
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(X.tokens("text")).cast("long")
+    sized = docs.select("doc_id", "lang", "source", n.alias("n_tokens")).filter(F.col("n_tokens") > 0)
+    w = Window.partitionBy("lang", "source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    placed = sized.withColumn("offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    start_bin = F.floor(F.col("offset") / _CTX)
+    end_bin = F.floor((F.col("offset") + F.col("n_tokens") - 1) / _CTX)
+    return placed.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        "offset",
+        start_bin.alias("start_bin"),
+        end_bin.alias("end_bin"),
+        (end_bin - start_bin + 1).alias("n_bins"),
+    )
+
+
+_PROBE_SOURCE = "src0"  # stand-in benchmark/eval corpus
+
+
+@register(
+    "decontaminate_ngram_hits",
+    tags=("ext", "llm", "pipeline", "decontamination"),
+    oracle=f"""
+WITH grams AS (
+    SELECT doc_id, source,
+           unnest(list_distinct(list_transform(range(1, len({_PIPE_TOKS}) - 1),
+                  i -> {_PIPE_TOKS}[i] || ' ' || {_PIPE_TOKS}[i+1] || ' ' || {_PIPE_TOKS}[i+2]))) AS gram
+    FROM documents
+), probe AS (
+    SELECT DISTINCT gram FROM grams WHERE source = '{_PROBE_SOURCE}'
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+FROM grams g
+JOIN probe p ON g.gram = p.gram
+WHERE g.source <> '{_PROBE_SOURCE}'
+GROUP BY g.doc_id
+""",
+)
+def decontaminate_ngram_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 3-gram with the probe corpus (here: source=src0 as the
+    stand-in eval set; production swaps in the benchmark suite). The
+    probe side is tiny by nature, so its distinct grams BROADCAST and
+    the training side never shuffles — one scan, map-side explode,
+    broadcast-hash semi-ish join, one aggregate keyed by doc. Real
+    pipelines use 8-13-grams; 3 fits the fixture's short docs."""
+    from flinkstreametl_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    grams = docs.select("doc_id", "source", F.explode(tri).alias("gram"))
+    probe = grams.filter(F.col("source") == _PROBE_SOURCE).select("gram").distinct()
+    return (
+        grams.filter(F.col("source") != _PROBE_SOURCE)
+        .join(F.broadcast(probe), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+@register(
+    "bpe_pair_counts",
+    tags=("ext", "llm", "text", "tokenizer"),
+    oracle=f"""
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM (
+    SELECT unnest(list_transform(range(1, length(tok)), i -> substr(tok, i, 2))) AS pair
+    FROM (SELECT unnest({_PIPE_TOKS}) AS tok FROM documents) t
+) p
+GROUP BY pair
+ORDER BY cnt DESC, pair
+LIMIT 50
+""",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE vocabulary training: corpus-wide adjacent
+    symbol-pair frequencies (character bigrams within tokens), top-50.
+    Explode -> partial aggregate absorbs the pair explosion before the
+    shuffle -> top-k; at 100 TB this is the same plan as wordcount with
+    a two-level generator."""
+    from flinkstreametl_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    # length-1 tokens have no pairs; filtering them also avoids Spark's
+    # sequence(1, 0) pitfall (descending sequence, where DuckDB's
+    # range(1, 1) is empty)
+    tok = docs.select(F.explode(X.tokens("text")).alias("tok")).filter(F.length("tok") > 1)
+    pairs = tok.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(50)
+    )

@@ -120,3 +120,45 @@ def test_malformed_envelope_lines_dropped(spark, golden_path, tmp_path):
 
     got = run_cdc_batch(spark, str(dirty)).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, clean))
+
+
+def test_jdbc_pushdown_option_wiring():
+    """S2 wiring without a database (CreateJDBCInputFormat.java:22-35
+    parity): the pushed-down dim-join SQL plus reader options; the
+    partition quartet is all-or-nothing."""
+    import pytest
+
+    from flinkstreametl_spark.sources.jdbc import (
+        MEETING_DIM_PUSHDOWN_SQL,
+        jdbc_pushdown_options,
+    )
+
+    opts = jdbc_pushdown_options("jdbc:mysql://db:3306/meet", MEETING_DIM_PUSHDOWN_SQL, user="u", password="p")
+    assert opts["query"] is MEETING_DIM_PUSHDOWN_SQL
+    assert opts["fetchsize"] == "10000" and opts["user"] == "u"
+    # the pushed SQL is the reference's join, not a bare table scan
+    for frag in ("LEFT JOIN t_meeting_location", "LEFT JOIN t_meeting_region", "meetingroom_id"):
+        assert frag in MEETING_DIM_PUSHDOWN_SQL
+    part = jdbc_pushdown_options(
+        "jdbc:mysql://db/m", "SELECT 1", partition_column="id",
+        lower_bound=0, upper_bound=1000, num_partitions=8,
+    )
+    assert part["numPartitions"] == "8" and part["lowerBound"] == "0"
+    with pytest.raises(ValueError):
+        jdbc_pushdown_options("mysql://db/m", "SELECT 1")
+    with pytest.raises(ValueError):
+        jdbc_pushdown_options("jdbc:mysql://db/m", "SELECT 1", partition_column="id")
+
+
+def test_jdbc_pushdown_sql_matches_sparkside_dim(spark):
+    """The pushed-down SQL must compute the same result as the
+    Spark-side fixture dim join (meeting_address_dim): run it against
+    the same fixture tables as temp views."""
+    from flinkstreametl_spark.sources.cdc import meeting_address_dim, meeting_dim_tables
+    from flinkstreametl_spark.sources.jdbc import MEETING_DIM_PUSHDOWN_SQL
+
+    for name, df in meeting_dim_tables(spark).items():
+        df.createOrReplaceTempView(name)
+    pushed = {tuple(r) for r in spark.sql(MEETING_DIM_PUSHDOWN_SQL).collect()}
+    local = {tuple(r) for r in meeting_address_dim(spark).collect()}
+    assert pushed == local and len(pushed) == 4
