@@ -1,0 +1,325 @@
+"""[EXT] Corpus-analysis extensions for LLM training-data pipelines
+(SURVEY.md §2.9 / north-star, round 2): TF-IDF term scoring, an
+inverted index, cross-document passage dedup, and signed-random-
+projection (SRP) LSH for embedding-cosine near-dup without a blocking
+label.
+
+All four follow the repo's determinism rules (plans/registry.py):
+integer fixed-point scoring instead of float ratios where a ranking is
+hashed, md5 for portable hashing, fixed tie-break keys on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators import similarity as S
+from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+_TOKS = X.sql_tokens("text")
+
+
+@register(
+    "tfidf_top_terms",
+    tags=("ext", "llm", "text", "tfidf"),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, score_fp, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT doc_id, term, tf, df,
+           (tf * 1000000 * n_docs) // df AS score_fp,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY (tf * 1000000 * n_docs) // df DESC, term) AS rk
+    FROM tf JOIN df USING (term), n
+) ranked
+WHERE rk <= 5
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by TF-IDF-style scoring.
+
+    The score is fixed-point integer arithmetic — ``tf * 1e6 * N // df``
+    — which ranks identically to tf·(N/df) but is bit-exact across
+    engines (float log-idf is not, and ln() monotonicity means the
+    ranking is unchanged). Plan: one token explode feeding BOTH the
+    per-(doc, term) tf aggregate and, from tf's output, the per-term df
+    aggregate — df is vocabulary-sized, so its join back to tf
+    broadcasts at any realistic vocabulary; the final per-doc top-5 is a
+    bounded window over the doc's own terms. At 100 TB: two shuffles
+    (doc+term, term) and a window partitioned by doc — nothing global.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_fp", F.expr("(tf * 1000000 * n_docs) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_fp").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score_fp", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+@register(
+    "inverted_index_terms",
+    tags=("ext", "llm", "text", "index"),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
+SELECT term, df, postings FROM (
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           list_sort(list(doc_id)) AS postings
+    FROM tok GROUP BY term
+) t
+ORDER BY df DESC, term
+LIMIT 100
+""",
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the corpus: for the 100 highest-document-
+    frequency terms, the sorted posting list of containing doc_ids.
+
+    Tokens are deduped per document BEFORE the shuffle (array_distinct
+    map-side), so the aggregate sees each (doc, term) once — the same
+    partial-aggregation discipline as wordcount. Posting lists are
+    sorted for determinism; at 100 TB postings for stopword-class terms
+    are the skew hazard, which is why real indexes shard postings by
+    doc-range — the per-term list here is the per-shard unit of that
+    layout.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.distinct_tokens("text")).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(100)
+    )
+
+
+_WIN = 16  # tokens per passage window
+
+
+@register(
+    "passage_dedup_stats",
+    tags=("ext", "llm", "dedup", "passage"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(floor((len(toks) + {_WIN - 1}) / {_WIN}.0) AS BIGINT))) AS wid
+      FROM t),
+h AS (SELECT doc_id,
+             md5(array_to_string(list_slice(toks, wid * {_WIN} + 1, wid * {_WIN} + {_WIN}), ' ')) AS wh
+      FROM w),
+d AS (SELECT wh, count(DISTINCT doc_id) AS nd FROM h GROUP BY wh)
+SELECT h.doc_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (d.nd >= 2) AS BIGINT) AS n_dup_windows,
+       (CAST(count(*) FILTER (d.nd >= 2) AS BIGINT) * 10000)
+           // CAST(count(*) AS BIGINT) AS dup_bp,
+       (CAST(count(*) FILTER (d.nd >= 2) AS BIGINT) * 10000)
+           // CAST(count(*) AS BIGINT) < 5000 AS keep
+FROM h JOIN d USING (wh)
+GROUP BY h.doc_id
+""",
+)
+def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup (C4/RefinedWeb-style repetition
+    removal): split each document into non-overlapping 16-token windows,
+    fingerprint each window, and flag documents where >=50% of windows
+    (dup_bp = duplicated basis points) also appear in ANOTHER document.
+
+    Differs from doc_repetition_stats (within-doc n-gram dups) and
+    exact_dup_groups (whole-doc): this catches boilerplate passages
+    shared across otherwise-distinct pages. Plan: explode windows
+    map-side, one shuffle keyed by window hash to count distinct
+    containing docs, join back on the same key (no second shuffle of the
+    big side under AQE), aggregate per doc. The window-hash key space is
+    huge, so no hot keys; at 100 TB this is the exact-dedup sweep shape
+    run at passage granularity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_win = F.floor((F.size(toks) + (_WIN - 1)) / _WIN).cast("long")
+    w = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("wid"),
+    )
+    wtext = F.array_join(F.slice(F.col("toks"), F.col("wid") * _WIN + 1, _WIN), " ")
+    h = w.select("doc_id", F.md5(wtext.cast("binary")).alias("wh"))
+    d = h.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
+    per_doc = (
+        h.join(d, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("nd") >= 2, 1)).alias("n_dup_windows"),
+        )
+    )
+    dup_bp = F.expr("(n_dup_windows * 10000) div n_windows")
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_dup_windows",
+        dup_bp.alias("dup_bp"),
+        (dup_bp < 5000).alias("keep"),
+    )
+
+
+# --- SRP (signed random projection) LSH over embeddings ------------------
+#
+# 16 deterministic +/-1 hyperplanes (md5-parity seeded, identical in both
+# engines), 4 bands x 4 bits. Any pair agreeing on at least one band is a
+# candidate; candidates are verified with the exact fixed-point cosine
+# and cut at the threshold. Unlike embedding_neardup_pairs (label
+# blocking), this needs NO precomputed cluster id — the sketch itself is
+# the blocking key, which is the label-free 100 TB path.
+
+_SRP_H = 16
+_SRP_BAND_BITS = 4
+_SRP_SCALE = 1048576  # 2^20 quantization: exact integer dots for sign bits
+_SRP_DIM = 64  # fixture embedding dimensionality
+_SRP_TAU = 0.3  # verification threshold (synthetic corpus is zero-centered)
+
+
+def _srp_weights(spark: SparkSession) -> DataFrame:
+    """The +/-1 hyperplane matrix as a (h, pos, w) relation: w is +1 when
+    the first hex digit of md5('h_pos') has its top bit set. Pure
+    engine-side derivation — the oracle builds the identical matrix."""
+    flat = spark.range(_SRP_H * _SRP_DIM).select(
+        F.expr(f"id div {_SRP_DIM}").alias("h"),
+        (F.col("id") % _SRP_DIM + 1).alias("pos"),
+    )
+    parity = F.substring(F.md5(F.concat_ws("_", F.col("h"), F.col("pos")).cast("binary")), 1, 1) >= "8"
+    return flat.select("h", "pos", F.when(parity, 1).otherwise(-1).cast("long").alias("w"))
+
+
+@register(
+    "embedding_srp_pairs",
+    tags=("ext", "llm", "dedup", "similarity", "lsh"),
+    oracle=f"""
+WITH w AS (
+    SELECT CAST(t1.range AS BIGINT) AS h, CAST(t2.range AS BIGINT) AS pos,
+           CASE WHEN substr(md5(t1.range || '_' || t2.range), 1, 1) >= '8'
+                THEN 1 ELSE -1 END AS wv
+    FROM range(0, {_SRP_H}) t1, range(1, {_SRP_DIM + 1}) t2
+),
+ex0 AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+    FROM embeddings
+),
+ex AS (
+    SELECT vec_id, pos, val,
+           CAST(floor(CAST(val AS DOUBLE) * {_SRP_SCALE}) AS BIGINT) AS vf
+    FROM ex0
+),
+dots AS (
+    SELECT e.vec_id, w.h, SUM(w.wv * e.vf) AS dot
+    FROM ex e JOIN w ON e.pos = w.pos GROUP BY e.vec_id, w.h
+),
+bands AS (
+    SELECT vec_id, h // {_SRP_BAND_BITS} AS band,
+           SUM(CASE WHEN dot >= 0
+                    THEN (1 << CAST(h % {_SRP_BAND_BITS} AS INTEGER)) ELSE 0 END) AS band_val
+    FROM dots GROUP BY vec_id, band
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+),
+p AS (
+    SELECT c.vec_a, c.vec_b,
+           SUM(CAST(floor(CAST(ea.val AS DOUBLE) * CAST(eb.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(ea.val AS DOUBLE) * CAST(ea.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(eb.val AS DOUBLE) * CAST(eb.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+    FROM cand c
+    JOIN ex ea ON ea.vec_id = c.vec_a
+    JOIN ex eb ON eb.vec_id = c.vec_b AND eb.pos = ea.pos
+    GROUP BY c.vec_a, c.vec_b
+)
+SELECT vec_a, vec_b, cosine FROM (
+    SELECT vec_a, vec_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine
+    FROM p
+) v
+WHERE cosine >= {_SRP_TAU}
+""",
+)
+def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup via SIGNED RANDOM PROJECTION LSH: each
+    vector gets a 16-bit sketch (sign of the dot with 16 deterministic
+    +/-1 hyperplanes), cut into 4 bands of 4 bits; pairs sharing any
+    band are candidates; candidates are verified with the exact
+    fixed-point cosine and kept at >= 0.3.
+
+    Scale shape: sketching is a broadcast join with the 16x64 weight
+    relation plus two bounded aggregates — linear, no shuffle of pairs;
+    the candidate self-join on (band, band_val) is output-sized, never
+    O(n²) (plan-shape test asserts no cartesian product). Sign dots use
+    2^20-quantized integer arithmetic so the bit pattern — and hence the
+    candidate set — is bit-identical in the DuckDB oracle. Recall vs the
+    brute-force scan is ~0.45 at tau=0.3 on this zero-centered corpus
+    (measured in tests) — SRP recall rises steeply with the cosine, and
+    production near-dup thresholds (~0.95) sit where band agreement is
+    near-certain. Band width/count tune recall exactly like MinHash LSH
+    (operators/dedup.py); the hot-bucket cap there applies verbatim if a
+    degenerate corpus concentrates sketches.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val"),
+        F.floor(F.col("val").cast("double") * _SRP_SCALE).cast("long").alias("vf"),
+    )
+    dots = (
+        ex.join(F.broadcast(_srp_weights(spark)), "pos")
+        .groupBy("vec_id", "h")
+        .agg(F.sum(F.col("w") * F.col("vf")).alias("dot"))
+    )
+    bit = F.when(F.col("dot") >= 0, F.expr(f"shiftleft(1, CAST(h % {_SRP_BAND_BITS} AS INT))")).otherwise(0)
+    bands = (
+        dots.select("vec_id", F.floor(F.col("h") / _SRP_BAND_BITS).alias("band"), bit.cast("long").alias("bit"))
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("band_val"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = ex.select(F.col("vec_id").alias("vec_a"), "pos", F.col("val").alias("va"))
+    eb = ex.select(F.col("vec_id").alias("vec_b"), "pos", F.col("val").alias("vb"))
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, ["vec_b", "pos"])
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.sum(S.fp(F.col("va").cast("double") * F.col("vb").cast("double"))).alias("dot"),
+            F.sum(S.fp(F.col("va").cast("double") * F.col("va").cast("double"))).alias("qq"),
+            F.sum(S.fp(F.col("vb").cast("double") * F.col("vb").cast("double"))).alias("cc"),
+        )
+    )
+    cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
+    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= _SRP_TAU)
