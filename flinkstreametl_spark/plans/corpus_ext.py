@@ -196,16 +196,21 @@ _SRP_DIM = 64  # fixture embedding dimensionality
 _SRP_TAU = 0.3  # verification threshold (synthetic corpus is zero-centered)
 
 
-def _srp_weights(spark: SparkSession) -> DataFrame:
-    """The +/-1 hyperplane matrix as a (h, pos, w) relation: w is +1 when
-    the first hex digit of md5('h_pos') has its top bit set. Pure
-    engine-side derivation — the oracle builds the identical matrix."""
-    flat = spark.range(_SRP_H * _SRP_DIM).select(
-        F.expr(f"id div {_SRP_DIM}").alias("h"),
-        (F.col("id") % _SRP_DIM + 1).alias("pos"),
-    )
-    parity = F.substring(F.md5(F.concat_ws("_", F.col("h"), F.col("pos")).cast("binary")), 1, 1) >= "8"
-    return flat.select("h", "pos", F.when(parity, 1).otherwise(-1).cast("long").alias("w"))
+def _srp_weight_rows() -> list[list[int]]:
+    """The +/-1 hyperplane matrix, seeded by md5('h_pos') hex-digit
+    parity. Computed driver-side with hashlib (bit-identical to the
+    engines' md5) and embedded as plan literals, so sketching needs no
+    weights join at all; the oracle derives the same matrix relationally
+    in SQL."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{h}_{p}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for p in range(1, _SRP_DIM + 1)
+        ]
+        for h in range(_SRP_H)
+    ]
 
 
 @register(
@@ -267,37 +272,49 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band are candidates; candidates are verified with the exact
     fixed-point cosine and kept at >= 0.3.
 
-    Scale shape: sketching is a broadcast join with the 16x64 weight
-    relation plus two bounded aggregates — linear, no shuffle of pairs;
-    the candidate self-join on (band, band_val) is output-sized, never
-    O(n²) (plan-shape test asserts no cartesian product). Sign dots use
-    2^20-quantized integer arithmetic so the bit pattern — and hence the
-    candidate set — is bit-identical in the DuckDB oracle. Recall vs the
-    brute-force scan is ~0.45 at tau=0.3 on this zero-centered corpus
-    (measured in tests) — SRP recall rises steeply with the cosine, and
-    production near-dup thresholds (~0.95) sit where band agreement is
-    near-certain. Band width/count tune recall exactly like MinHash LSH
-    (operators/dedup.py); the hot-bucket cap there applies verbatim if a
-    degenerate corpus concentrates sketches.
+    Scale shape: sketching is fully in-row — the 16x64 ±1 weight matrix
+    is embedded as plan literals (hashlib md5 == engine md5) and each
+    sign dot is a higher-order-function fold over the quantized vector,
+    so there is NO shuffle and NO join before the candidate self-join on
+    (band, band_val), which is output-sized, never O(n²) (plan-shape
+    test asserts no cartesian product). Per-vector squared norms are
+    computed once and joined in, so pair verification folds only the
+    cross dot. Sign dots use 2^20-quantized integer arithmetic so the
+    bit pattern — and hence the candidate set — is bit-identical in the
+    DuckDB oracle. Recall vs the brute-force scan is ~0.45 at tau=0.3 on
+    this zero-centered corpus (measured in tests) — SRP recall rises
+    steeply with the cosine, and production near-dup thresholds (~0.95)
+    sit where band agreement is near-certain. Band width/count tune
+    recall exactly like MinHash LSH (operators/dedup.py); the hot-bucket
+    cap there applies verbatim if a degenerate corpus concentrates
+    sketches.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
-        "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("val"),
-        F.floor(F.col("val").cast("double") * _SRP_SCALE).cast("long").alias("vf"),
+    lzero = F.lit(0).cast("long")
+    vfp = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * _SRP_SCALE).cast("long"))
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: S.fp(x.cast("double") * x.cast("double"))),
+        lzero,
+        lambda acc, x: acc + x,
     )
-    dots = (
-        ex.join(F.broadcast(_srp_weights(spark)), "pos")
-        .groupBy("vec_id", "h")
-        .agg(F.sum(F.col("w") * F.col("vf")).alias("dot"))
-    )
-    bit = F.when(F.col("dot") >= 0, F.expr(f"shiftleft(1, CAST(h % {_SRP_BAND_BITS} AS INT))")).otherwise(0)
-    bands = (
-        dots.select("vec_id", F.floor(F.col("h") / _SRP_BAND_BITS).alias("band"), bit.cast("long").alias("bit"))
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bit").alias("band_val"))
-    )
+    base = emb.select("vec_id", "embedding", vfp.alias("vfp"), sq.alias("sq"))
+
+    weights = _srp_weight_rows()
+    n_bands = _SRP_H // _SRP_BAND_BITS
+    band_structs = []
+    for band in range(n_bands):
+        val = lzero
+        for bit in range(_SRP_BAND_BITS):
+            warr = F.array(*[F.lit(w) for w in weights[band * _SRP_BAND_BITS + bit]])
+            dot = F.aggregate(
+                F.zip_with(F.col("vfp"), warr, lambda x, w: x * w), lzero, lambda acc, x: acc + x
+            )
+            val = val + F.when(dot >= 0, F.lit(1 << bit)).otherwise(F.lit(0)).cast("long")
+        band_structs.append(F.struct(F.lit(band).cast("long").alias("band"), val.alias("band_val")))
+    bands = base.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -309,17 +326,13 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    ea = ex.select(F.col("vec_id").alias("vec_a"), "pos", F.col("val").alias("va"))
-    eb = ex.select(F.col("vec_id").alias("vec_b"), "pos", F.col("val").alias("vb"))
-    pairs = (
-        cand.join(ea, "vec_a")
-        .join(eb, ["vec_b", "pos"])
-        .groupBy("vec_a", "vec_b")
-        .agg(
-            F.sum(S.fp(F.col("va").cast("double") * F.col("vb").cast("double"))).alias("dot"),
-            F.sum(S.fp(F.col("va").cast("double") * F.col("va").cast("double"))).alias("qq"),
-            F.sum(S.fp(F.col("vb").cast("double") * F.col("vb").cast("double"))).alias("cc"),
-        )
+    ea = base.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("sq").alias("qq"))
+    eb = base.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("sq").alias("cc"))
+    cross = F.aggregate(
+        F.zip_with(F.col("emb_a"), F.col("emb_b"), lambda x, y: S.fp(x.cast("double") * y.cast("double"))),
+        lzero,
+        lambda acc, x: acc + x,
     )
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b").select("vec_a", "vec_b", cross.alias("dot"), "qq", "cc")
     cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
     return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= _SRP_TAU)

@@ -266,14 +266,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the blocked pairwise pattern: candidate pairs come from cheap
     equi-join blocking keys, never a full cross join."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
+    # Materialize the token array BEFORE the per-element lambda: an
+    # inline tokens("text") inside element_at re-runs the regexp split
+    # per gram position (measured ~7x slower at sf0.1).
+    base = docs.select("doc_id", "lang", "source", X.tokens("text").alias("toks"))
+    toks = F.col("toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
             lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
         )
     )
-    g = docs.select("doc_id", "lang", "source", grams.alias("grams"))
+    g = base.select("doc_id", "lang", "source", grams.alias("grams"))
     a = g.select(F.col("doc_id").alias("doc_a"), "lang", "source", F.col("grams").alias("grams_a"))
     b = g.select(F.col("doc_id").alias("doc_b"), "lang", "source", F.col("grams").alias("grams_b"))
     inter = F.size(F.array_intersect("grams_a", "grams_b"))

@@ -1,0 +1,242 @@
+"""[EXT] ML-adjacent corpus operators (round 2): vectorized Pandas-UDF
+kNN (the Arrow/BLAS path for dense math), deterministic K-Means over the
+embedding table (semantic clustering for data curation), and a
+linear-model quality classifier with integer weights.
+
+Placement of the Python boundary follows the repo rule: JVM column
+expressions wherever they express the op; Arrow-batched Pandas UDFs only
+where dense linear algebra genuinely beats per-element expression trees
+(matrix products here); never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+_TOKS = X.sql_tokens("text")
+
+
+@register("knn_pandas_topk", tags=("ext", "llm", "similarity", "pandas"))
+def knn_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 5, computed as
+    numpy matrix products inside mapInPandas — the vectorized
+    BLAS path that at 100 TB replaces both the posexplode join
+    (knn_brute_topk) and the per-element HOF fold (knn_cosine_fast) for
+    dense scoring: one Arrow batch in, a (batch x queries) GEMM, top-k
+    PER BATCH out (map-side combine), then a tiny global top-k window.
+
+    The query side is collected driver-side by design — it is the
+    operator's parameter table (a handful of vectors), broadcast into
+    the UDF closure; candidates stream through executors and only
+    k rows per query survive each batch. Registered rows-only (float
+    summation order differs from the fixed-point oracle in the last
+    ulp); tests assert neighbor sets match knn_exact per query.
+    """
+    import numpy as np
+
+    n_queries, k = 5, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            cos = Cn @ Qn.T  # (batch, n_queries)
+            out = []
+            for j, qid in enumerate(qids):
+                col = cos[:, j]
+                mask = cids != qid  # exclude self
+                order = np.lexsort((cids[mask], -col[mask]))[:k]
+                idx = np.flatnonzero(mask)[order]
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": cids[idx], "cosine": col[idx]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    per_batch = emb.select("vec_id", "embedding").mapInPandas(score, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        per_batch.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+_KM_K = 8
+_KM_ITERS = 5
+
+
+def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
+    """Lloyd's algorithm over the embedding table, fully deterministic:
+    init = the k lowest vec_ids (no RNG), fixed iteration count,
+    float64 numpy arithmetic. Per iteration: assignment is an
+    Arrow-batched Pandas UDF (a (batch x k) GEMM against the broadcast
+    centroid matrix — k x dim floats in the closure, never a shuffle of
+    pairs), new centroids come from one groupBy mean over the
+    fixed-point-exact per-dimension sums. Only k rows ever reach the
+    driver per iteration. Returns (centroids ndarray, assign_fn) where
+    assign_fn(df) adds `cluster` / `sq_dist` columns.
+
+    Empty clusters keep their previous centroid (standard Lloyd
+    fallback), preserving determinism.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    init_rows = sorted(
+        emb.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents = np.array([r.embedding for r in init_rows], dtype=np.float64)
+
+    def make_assign(c_mat: "np.ndarray"):
+        @pandas_udf("long")
+        def assign(emb_s):
+            M = np.array(emb_s.tolist(), dtype=np.float64)
+            # ||x - c||² = ||x||² - 2 x·c + ||c||²; argmin over c
+            d = -2.0 * (M @ c_mat.T) + (c_mat * c_mat).sum(axis=1)[None, :]
+            import pandas as pd
+
+            return pd.Series(np.argmin(d, axis=1).astype(np.int64))
+
+        return assign
+
+    for _ in range(n_iters):
+        assign = make_assign(cents)
+        assigned = emb.select("vec_id", "embedding", assign(F.col("embedding")).alias("cluster"))
+        ex = assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+        means = (
+            ex.groupBy("cluster", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("cs"))
+            .select("cluster", F.transform("cs", lambda s: s["m"]).alias("centroid"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in means:
+            new[r.cluster] = np.array(r.centroid, dtype=np.float64)
+        cents = new
+
+    final_assign = make_assign(cents)
+
+    def assign_df(df: DataFrame) -> DataFrame:
+        return df.withColumn("cluster", final_assign(F.col("embedding")))
+
+    return cents, assign_df
+
+
+@register("kmeans_cluster_sizes", tags=("ext", "llm", "similarity", "iterative", "pandas"))
+def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for corpus curation: K-Means (k=8, 5 Lloyd
+    iterations, deterministic lowest-id init) over the embedding table,
+    reporting per-cluster membership counts — the partition a semantic
+    dedup / stratified-sampling pass would operate within. Rows-only:
+    the iterative fixpoint is not single-query SQL; tests verify the
+    assignment against a pure-numpy Lloyd reference and determinism
+    across runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assign_df = kmeans_fit(emb)
+    return (
+        assign_df(emb)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "quality_classifier_score",
+    tags=("ext", "llm", "text", "quality"),
+    oracle=f"""
+WITH feat AS (
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(list_distinct({_TOKS})) AS n_distinct,
+           {X.sql_marker_hits(_TOKS, X.EN_STOPWORDS)} AS n_stop,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+    FROM documents
+)
+SELECT doc_id,
+       n_tokens BETWEEN 10 AND 10000 AS f_len,
+       n_distinct * 10 > n_tokens AS f_ttr,
+       n_stop * 20 >= n_tokens AS f_stop,
+       n_chars BETWEEN n_tokens * 3 AND n_tokens * 13 AS f_wordlen,
+       n_punct * 10 <= n_chars AS f_punct,
+       CAST(3 * CAST(n_tokens BETWEEN 10 AND 10000 AS BIGINT)
+          + 2 * CAST(n_distinct * 10 > n_tokens AS BIGINT)
+          + 2 * CAST(n_stop * 20 >= n_tokens AS BIGINT)
+          + 1 * CAST(n_chars BETWEEN n_tokens * 3 AND n_tokens * 13 AS BIGINT)
+          + 1 * CAST(n_punct * 10 <= n_chars AS BIGINT) AS BIGINT) AS score,
+       (3 * CAST(n_tokens BETWEEN 10 AND 10000 AS BIGINT)
+          + 2 * CAST(n_distinct * 10 > n_tokens AS BIGINT)
+          + 2 * CAST(n_stop * 20 >= n_tokens AS BIGINT)
+          + 1 * CAST(n_chars BETWEEN n_tokens * 3 AND n_tokens * 13 AS BIGINT)
+          + 1 * CAST(n_punct * 10 <= n_chars AS BIGINT)) >= 6 AS keep
+FROM feat
+""",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier with integer weights (a
+    fasttext-style filter with its trained weights frozen into the
+    plan): five boolean features — length band, type-token ratio,
+    stopword density, mean word length band, punctuation density — are
+    weighted 3/2/2/1/1 and thresholded at 6. All comparisons are
+    integer cross-multiplications (ratio > r becomes count * K > total),
+    so the decision boundary is bit-exact in both engines. One scan,
+    map-side only; at 100 TB this is the shape of every model-based
+    filter whose features are cheap column expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        X.marker_hits(toks, X.EN_STOPWORDS).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+        X.punct_count("text").alias("n_punct"),
+    )
+    f_len = F.col("n_tokens").between(10, 10000)
+    f_ttr = F.col("n_distinct") * 10 > F.col("n_tokens")
+    f_stop = F.col("n_stop") * 20 >= F.col("n_tokens")
+    f_wordlen = F.col("n_chars").between(F.col("n_tokens") * 3, F.col("n_tokens") * 13)
+    f_punct = F.col("n_punct") * 10 <= F.col("n_chars")
+    score = (
+        3 * f_len.cast("long")
+        + 2 * f_ttr.cast("long")
+        + 2 * f_stop.cast("long")
+        + 1 * f_wordlen.cast("long")
+        + 1 * f_punct.cast("long")
+    )
+    return base.select(
+        "doc_id",
+        f_len.alias("f_len"),
+        f_ttr.alias("f_ttr"),
+        f_stop.alias("f_stop"),
+        f_wordlen.alias("f_wordlen"),
+        f_punct.alias("f_punct"),
+        score.alias("score"),
+        (score >= 6).alias("keep"),
+    )

@@ -1,0 +1,77 @@
+"""Tests for plans/ml_ext.py: Pandas-UDF kNN vs the exact path, K-Means
+vs a pure-numpy Lloyd reference, determinism of both. The oracle-backed
+quality classifier is covered by test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from flinkstreametl_spark.plans import REGISTRY
+from flinkstreametl_spark.plans.ml_ext import _KM_ITERS, _KM_K, kmeans_fit
+from flinkstreametl_spark.sources.parquet import load_table
+
+
+def test_knn_pandas_matches_exact_sets(spark, sf_dir):
+    """The numpy GEMM path must return the same neighbor sets per query
+    as the fixed-point exact path (scores may differ in the last ulp)."""
+    from flinkstreametl_spark.operators.similarity import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {}
+    for r in knn_exact(emb).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    fast = {}
+    for r in REGISTRY["knn_pandas_topk"].fn(spark, sf_dir).collect():
+        fast.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert fast == exact
+
+
+def test_knn_pandas_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, REGISTRY["knn_pandas_topk"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, REGISTRY["knn_pandas_topk"].fn(spark, sf_dir).collect()))
+    assert a == b
+
+
+def _numpy_lloyd(M: np.ndarray, ids: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Reference Lloyd: same deterministic init (k lowest ids), same
+    empty-cluster fallback, float64 means."""
+    order = np.argsort(ids)
+    cents = M[order[:k]].astype(np.float64)
+    for _ in range(iters):
+        d = -2.0 * (M @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+        a = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            members = M[a == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        cents = new
+    d = -2.0 * (M @ cents.T) + (cents * cents).sum(axis=1)[None, :]
+    return np.argmin(d, axis=1)
+
+
+def test_kmeans_matches_numpy_reference(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    ref = _numpy_lloyd(M, ids, _KM_K, _KM_ITERS)
+    ref_by_id = dict(zip(ids.tolist(), ref.tolist()))
+
+    _, assign_df = kmeans_fit(emb)
+    got = {r.vec_id: r.cluster for r in assign_df(emb).select("vec_id", "cluster").collect()}
+    # Spark means aggregate floats in partition order, so a centroid can
+    # differ from numpy's in the last ulp; allow a tiny disagreement set
+    # for points sitting exactly on a boundary, but require bulk match.
+    diffs = [i for i in ref_by_id if ref_by_id[i] != got[i]]
+    assert len(diffs) <= max(2, len(ids) // 100), f"assignments diverged: {len(diffs)}"
+
+
+def test_kmeans_sizes_deterministic_and_complete(spark, sf_dir):
+    out1 = {(r.cluster, r.n_members) for r in REGISTRY["kmeans_cluster_sizes"].fn(spark, sf_dir).collect()}
+    out2 = {(r.cluster, r.n_members) for r in REGISTRY["kmeans_cluster_sizes"].fn(spark, sf_dir).collect()}
+    assert out1 == out2
+    total = sum(n for _, n in out1)
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert total == n_vecs
+    assert all(0 <= c < _KM_K for c, _ in out1)
