@@ -24,7 +24,7 @@ _TOKS = X.sql_tokens("text")
 
 @register(
     "tfidf_top_terms",
-    tags=("ext", "llm", "text", "tfidf"),
+    tags=("ext", "llm", "text", "tfidf", "bench"),
     oracle=f"""
 WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
 tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term),
@@ -115,7 +115,7 @@ _WIN = 16  # tokens per passage window
 
 @register(
     "passage_dedup_stats",
-    tags=("ext", "llm", "dedup", "passage"),
+    tags=("ext", "llm", "dedup", "passage", "bench"),
     oracle=f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 w AS (SELECT doc_id, toks,

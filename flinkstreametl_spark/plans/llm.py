@@ -233,11 +233,43 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"))
 
 
-@register("simhash_near_pairs", tags=("llm", "dedup"))
+_SIMHASH_PAIRS_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), bits AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), 1 + CAST(floor(i / 4) AS INT), 1)) - 1)
+                          & (1 << CAST(i % 4 AS INT))) > 0 THEN 1 ELSE -1 END) AS s
+    FROM tok, (SELECT unnest(range(16)) AS i) bb
+    GROUP BY doc_id, i
+), sh AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, simhash, band, (simhash >> (band * 4)) & 15 AS band_bits
+    FROM sh, (SELECT unnest(range(4)) AS band) b
+    QUALIFY COUNT(*) OVER (PARTITION BY band, band_bits) <= {D.MAX_BUCKET_SIZE}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
+@register("simhash_near_pairs", tags=("llm", "dedup", "bench"), oracle=_SIMHASH_PAIRS_ORACLE)
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 via xor+bit_count). Rows-only:
-    the O(n²) oracle join is checked at unit-test scale instead."""
-    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash near-dup pairs (hamming <= 3 via xor+bit_count) through
+    the pigeonhole banded equi-join with the hot-bucket cap. Promoted
+    from rows-only in round 2: the banded candidate join (including the
+    QUALIFY bucket cap) is now mirrored exactly in the DuckDB oracle —
+    signatures were already bit-identical, so the full pair set is
+    hash-verified."""
+    out = D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 _BIGRAMS = f"list_distinct(list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))"

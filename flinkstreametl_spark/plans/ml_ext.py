@@ -21,7 +21,7 @@ from flinkstreametl_spark.sources.parquet import load_table
 _TOKS = X.sql_tokens("text")
 
 
-@register("knn_pandas_topk", tags=("ext", "llm", "similarity", "pandas"))
+@register("knn_pandas_topk", tags=("ext", "llm", "similarity", "pandas", "bench"))
 def knn_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 5, computed as
     numpy matrix products inside mapInPandas — the vectorized

@@ -296,7 +296,7 @@ _PROBE_SOURCE = "src0"  # stand-in benchmark/eval corpus
 
 @register(
     "decontaminate_ngram_hits",
-    tags=("ext", "llm", "pipeline", "decontamination"),
+    tags=("ext", "llm", "pipeline", "decontamination", "bench"),
     oracle=f"""
 WITH grams AS (
     SELECT doc_id, source,
