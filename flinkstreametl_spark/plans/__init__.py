@@ -14,6 +14,7 @@ from flinkstreametl_spark.plans import pipeline_ext as _pipeline_ext  # noqa: E4
 from flinkstreametl_spark.plans import coverage_ext as _coverage_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import corpus_ext as _corpus_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ml_ext as _ml_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a

@@ -130,3 +130,21 @@ def test_unpivot_is_expand(spark, sf_dir):
     plan = _physical(spark, "unpivot_part_measures", sf_dir)
     assert "Expand" in plan, plan
     assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """range_join_error_context: the bucketed decomposition must plan as
+    a hash/sort-merge EQUI-join on (user_id, bucket) — never a
+    CartesianProduct or BroadcastNestedLoopJoin, which is what the
+    naive |Δt| <= 5min inequality join degenerates to."""
+    plan = _physical(spark, "range_join_error_context", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_mix_no_fact_shuffle(spark, sf_dir):
+    """temperature_mix_sample: the rates side is a tiny broadcast; the
+    documents scan must reach the filter with no Exchange on the fact
+    side (the only exchanges belong to the per-language aggregate)."""
+    plan = _physical(spark, "temperature_mix_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan
