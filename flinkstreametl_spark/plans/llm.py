@@ -435,6 +435,52 @@ def media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_features_wav",
+    tags=("llm", "multimodal", "audio"),
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(160 + (n_chars % 100) * 16 AS BIGINT) AS n_frames,
+       CAST((160 + (n_chars % 100) * 16) // 8 AS BIGINT) AS duration_ms,
+       CAST(1000 + (doc_id % 25) * 100 AS BIGINT) AS rms,
+       CAST(1000 + (doc_id % 25) * 100 AS BIGINT) AS peak,
+       CAST((160 + (n_chars % 100) * 16) // 8 - 1 AS BIGINT) AS n_sign_flips
+FROM documents
+""",
+)
+def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode path on REAL RIFF/WAVE payloads: each document row
+    synthesizes a deterministic 16-bit PCM square wave (amplitude and
+    length derived from doc_id / n_chars), and the pipeline under test
+    decodes those bytes with the stdlib wave parser and extracts integer
+    frame features (operators/multimodal.py audio_features). The oracle
+    states the CLOSED-FORM expected features — a square wave of
+    amplitude A has floor-RMS exactly A, peak A, and one sign flip per
+    half-period — so any decode/ordering/feature bug breaks parity.
+    Both mapInPandas stages are Arrow-batched and executor-side; blobs
+    never exist driver-side, exactly the 100 TB media shape."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from flinkstreametl_spark.operators.multimodal import audio_features, synth_square_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                synth_square_wav(8000, 160 + int(nch) % 100 * 16, 1000 + int(did) % 25 * 100)
+                for did, nch in zip(pdf["doc_id"], pdf["n_chars"])
+            ]
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id LONG, payload BINARY")
+    return audio_features(media)
+
+
+@register(
     "bpe_ish_token_count",
     tags=("llm", "text"),
     oracle="""

@@ -440,3 +440,45 @@ def test_chunk_documents_tiles_all_tokens(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_wav_decode_roundtrip():
+    """synth -> decode is lossless: sample rate, channel count, and the
+    exact sample sequence survive the RIFF round trip."""
+    payload = M.synth_square_wav(8000, 32, 500, period=16)
+    sr, nch, samples = M.decode_wav(payload)
+    assert (sr, nch, len(samples)) == (8000, 1, 32)
+    assert samples[:10] == [500] * 8 + [-500] * 2
+    assert min(samples) == -500 and max(samples) == 500
+
+
+def test_wav_decode_rejects_non_riff_and_wide_samples():
+    import io
+    import wave
+
+    import pytest
+
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"not audio at all")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)  # 32-bit: unsupported
+        w.setframerate(8000)
+        w.writeframes(b"\x00" * 64)
+    with pytest.raises(ValueError, match="16-bit"):
+        M.decode_wav(buf.getvalue())
+
+
+def test_audio_features_square_wave(spark):
+    """floor-RMS of a square wave == its amplitude; sign flips once per
+    half period; duration from frame count — checked through the full
+    mapInPandas path."""
+    rows = [(1, M.synth_square_wav(8000, 160, 1200)), (2, M.synth_square_wav(16000, 320, 800))]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    out = {r.media_id: r for r in M.audio_features(df).collect()}
+    r1, r2 = out[1], out[2]
+    assert (r1.sample_rate, r1.n_frames, r1.duration_ms) == (8000, 160, 20)
+    assert (r1.rms, r1.peak, r1.n_sign_flips) == (1200, 1200, 19)
+    assert (r2.sample_rate, r2.n_frames, r2.duration_ms) == (16000, 320, 20)
+    assert (r2.rms, r2.peak, r2.n_sign_flips) == (800, 800, 39)
