@@ -410,3 +410,88 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, id_col: str = "media_id") 
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video: concatenated-P6 container (the MJPEG shape: every frame is an
+# independently-decodable image back to back). Real parse, no codec.
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("mean_r", T.LongType(), True),   # floor mean per channel
+    T.StructField("mean_g", T.LongType(), True),
+    T.StructField("mean_b", T.LongType(), True),
+])
+
+
+def encode_video_ppm(frames: list[tuple[int, int, list[float]]]) -> bytes:
+    """Concatenate P6 frames into the container payload."""
+    return b"".join(encode_ppm(w, h, px) for w, h, px in frames)
+
+
+def decode_video_ppm(payload: bytes) -> list[tuple[int, int, list[float]]]:
+    """Parse the concatenated-P6 container back into frames: repeatedly
+    decode a P6 header at the cursor, slice its raster, advance. A
+    malformed header anywhere raises — a truncated tail is data loss,
+    not a silent short video."""
+    frames: list[tuple[int, int, list[float]]] = []
+    data = bytes(payload)
+    off = 0
+    while off < len(data):
+        if data[off : off + 2] != b"P6":
+            raise ValueError(f"not a P6 frame header at offset {off}")
+        w, h, px = decode_ppm(data[off:])
+        frames.append((w, h, px))
+        # header is exactly "P6\n{w} {h}\n255\n" as encode_ppm writes it;
+        # re-derive its length from the parsed dims rather than guessing.
+        header_len = len(f"P6\n{w} {h}\n255\n")
+        off += header_len + w * h * 3
+    return frames
+
+
+def video_frame_features(
+    df: DataFrame,
+    every_n: int = 1,
+    decoder: Callable[[bytes], list[tuple[int, int, list[float]]]] | None = None,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode + per-frame feature extraction for container payloads via
+    mapInPandas: sample every `every_n`-th frame, emit integer per-frame
+    channel means (floor). Same 100 TB contract as the image/audio
+    paths: Arrow batches, executor-side blobs, one output row per
+    SAMPLED frame — the frame explosion happens after decode, inside
+    the executor, never as a payload copy per frame."""
+    dec = decoder if decoder is not None else decode_video_ppm
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                for idx, (w, h, px) in enumerate(dec(bytes(payload))):
+                    if idx % every_n:
+                        continue
+                    n = max(1, w * h)
+                    sums = [0, 0, 0]
+                    for i in range(0, len(px), 3):
+                        sums[0] += int(px[i])
+                        sums[1] += int(px[i + 1])
+                        sums[2] += int(px[i + 2])
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": idx,
+                            "width": w,
+                            "height": h,
+                            "mean_r": sums[0] // n,
+                            "mean_g": sums[1] // n,
+                            "mean_b": sums[2] // n,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields])
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=VIDEO_FRAME_SCHEMA)

@@ -106,6 +106,103 @@ def ingest_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Rabin-Karp rolling hash over token windows: k=8 tokens, base 131,
+# modulus 2^31-1 (intermediates stay < 2^38 — no BIGINT overflow in
+# either engine), boundary where hash % 64 == 0.
+_CDC_K = 8
+_CDC_B = 131
+_CDC_M = 2147483647
+_CDC_MASK = 64
+
+
+def _rolling_expr(h: str, idx: str) -> str:
+    """Unrolled ((...)*B + h[i+j]) % M chain over the k-token window —
+    identical text in Spark SQL and DuckDB (element_at vs [] differs)."""
+    rh = f"element_at({h}, {idx})"
+    for j in range(1, _CDC_K):
+        rh = f"(({rh}) * {_CDC_B} + element_at({h}, {idx}+{j})) % {_CDC_M}"
+    return rh
+
+
+def _rolling_expr_duck(h: str, idx: str) -> str:
+    rh = f"{h}[{idx}]"
+    for j in range(1, _CDC_K):
+        rh = f"(({rh}) * {_CDC_B} + {h}[{idx}+{j}]) % {_CDC_M}"
+    return rh
+
+
+@register(
+    "cdc_rolling_hash_chunks",
+    tags=("ext", "llm", "dedup", "chunking", "rolling-hash"),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, list_transform({_TOKS},
+               t -> CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT)) AS h
+    FROM documents
+), w AS (
+    SELECT doc_id,
+           CASE WHEN len(h) >= {_CDC_K}
+                THEN list_transform(range(1, len(h) - {_CDC_K - 2}),
+                                    i -> {_rolling_expr_duck('h', 'i')})
+                ELSE [] END AS wins
+    FROM t
+), b AS (
+    SELECT doc_id, wins,
+           list_filter(range(1, len(wins) + 1), p -> wins[p] % {_CDC_MASK} = 0) AS bpos
+    FROM w
+)
+SELECT doc_id,
+       CAST(len(wins) AS BIGINT) AS n_windows,
+       CAST(len(bpos) AS BIGINT) AS n_boundaries,
+       CAST(len(bpos) + 1 AS BIGINT) AS n_chunks,
+       CAST(coalesce(list_sum(bpos), 0) AS BIGINT) AS boundary_pos_sum
+FROM b
+""",
+)
+def cdc_rolling_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking by Rabin-Karp rolling hash (the rsync /
+    LowBW-dedup technique, at token granularity): hash every 8-token
+    window, declare a chunk boundary where hash % 64 == 0, report
+    window/boundary/chunk counts and the boundary-position sum per doc.
+    Unlike fixed-stride chunking (chunk_documents), an insertion shifts
+    at most the chunks around the edit — the property substring-level
+    dedup at 100 TB depends on.
+
+    All arithmetic is integer with an explicit mod after every fold
+    step (intermediates < 2^38), so the hash is bit-identical in both
+    engines. Plan shape: one scan, all higher-order functions, ZERO
+    shuffles — the token hash array is materialized as a column first
+    (docs/SCALE.md round-2 lesson: HOF lambda bodies do not get
+    subexpression elimination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "transform(split(lower(trim(text)), '\\\\s+'),"
+        " t -> CAST(conv(substr(md5(t), 1, 4), 16, 10) AS BIGINT))"
+    )
+    wins = F.expr(
+        f"CASE WHEN size(h) >= {_CDC_K}"
+        f" THEN transform(sequence(1, size(h) - {_CDC_K - 1}), i -> {_rolling_expr('h', 'i')})"
+        " ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    bpos = F.expr(
+        "CASE WHEN size(wins) > 0"
+        f" THEN filter(sequence(1, size(wins)), p -> element_at(wins, p) % {_CDC_MASK} = 0)"
+        " ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .select("doc_id", wins.alias("wins"))
+        .select("doc_id", F.size("wins").alias("n_windows"), bpos.alias("bpos"))
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.size("bpos").cast("long").alias("n_boundaries"),
+            (F.size("bpos") + 1).cast("long").alias("n_chunks"),
+            F.expr("aggregate(bpos, CAST(0 AS BIGINT), (a, x) -> a + x)").alias("boundary_pos_sum"),
+        )
+    )
+
+
 _BUCKET_US = 300_000_000  # 5-minute range, in microseconds
 
 

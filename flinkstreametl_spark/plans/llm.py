@@ -481,6 +481,61 @@ def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "video_frame_sample",
+    tags=("llm", "multimodal", "video"),
+    oracle="""
+WITH fr AS (
+    SELECT doc_id, unnest(range(0, 2 + doc_id % 5, 2)) AS frame_idx FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       CAST((doc_id * 7 + frame_idx * 13) % 256 AS BIGINT) AS mean_r,
+       CAST((doc_id * 11 + frame_idx * 17) % 256 AS BIGINT) AS mean_g,
+       CAST((doc_id * 13 + frame_idx * 19) % 256 AS BIGINT) AS mean_b
+FROM fr
+""",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video decode + frame sampling on REAL container payloads: each
+    document synthesizes a concatenated-P6 'video' (the MJPEG shape —
+    2 + doc_id % 5 solid-color 4×4 frames whose colors are a function of
+    (doc_id, frame_idx)), and the pipeline under test re-parses the
+    container (operators/multimodal.py decode_video_ppm), samples every
+    2nd frame, and extracts integer per-frame channel means. The oracle
+    states the closed-form colors, so frame ORDER, sampling stride, and
+    raster decode are all hash-verified. The frame explosion happens
+    executor-side after decode — one output row per sampled frame, the
+    payload is never copied per frame."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from flinkstreametl_spark.operators.multimodal import (
+        encode_video_ppm,
+        video_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = [
+                    (4, 4, [(did * 7 + f * 13) % 256, (did * 11 + f * 17) % 256, (did * 13 + f * 19) % 256] * 16)
+                    for f in range(2 + did % 5)
+                ]
+                payloads.append(encode_video_ppm(frames))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id LONG, payload BINARY")
+    return video_frame_features(media, every_n=2)
+
+
+@register(
     "bpe_ish_token_count",
     tags=("llm", "text"),
     oracle="""

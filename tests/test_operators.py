@@ -482,3 +482,23 @@ def test_audio_features_square_wave(spark):
     assert (r1.rms, r1.peak, r1.n_sign_flips) == (1200, 1200, 19)
     assert (r2.sample_rate, r2.n_frames, r2.duration_ms) == (16000, 320, 20)
     assert (r2.rms, r2.peak, r2.n_sign_flips) == (800, 800, 39)
+
+
+def test_video_container_roundtrip(spark):
+    """encode -> decode of the concatenated-P6 container is lossless,
+    and frame sampling respects stride and frame order."""
+    frames = [(2, 2, [float(10 * f + c) for _ in range(4) for c in range(3)]) for f in range(5)]
+    payload = M.encode_video_ppm(frames)
+    back = M.decode_video_ppm(payload)
+    assert [(w, h) for w, h, _ in back] == [(2, 2)] * 5
+    assert back[3][2] == frames[3][2]
+    import pytest
+
+    with pytest.raises(ValueError, match="P6 frame header"):
+        M.decode_video_ppm(b"BM" + payload)
+
+    df = spark.createDataFrame([(7, payload)], "media_id LONG, payload BINARY")
+    out = M.video_frame_features(df, every_n=2).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    r0 = next(r for r in out if r.frame_idx == 2)
+    assert (r0.mean_r, r0.mean_g, r0.mean_b) == (20, 21, 22)
