@@ -336,3 +336,56 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b").select("vec_a", "vec_b", cross.alias("dot"), "qq", "cc")
     cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
     return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= _SRP_TAU)
+
+
+_ALL_BIGRAMS = f"list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])"
+
+
+@register(
+    "bigram_familiarity_score",
+    tags=("ext", "llm", "text", "quality", "lm", "bench"),
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, unnest({_ALL_BIGRAMS}) AS gram FROM documents
+), cnt AS (
+    SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(cnt.c) AS BIGINT) AS familiarity_sum,
+       CAST(SUM(CASE WHEN cnt.c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_bigrams
+FROM g JOIN cnt ON g.gram = cnt.gram
+GROUP BY g.doc_id
+""",
+)
+def bigram_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram familiarity — the exact-integer surrogate for
+    LM-perplexity quality filtering: count every bigram across the
+    corpus (pass 1), then score each document by the total corpus
+    frequency of its bigrams and its count of corpus-unique bigrams
+    (pass 2). High familiarity ≈ boilerplate, high uniqueness ≈ novel
+    (or garbled) text — the two tails a perplexity filter trims, with
+    no transcendental math (log/exp are not correctly-rounded IEEE, so
+    a true-perplexity oracle could not be exact across engines).
+
+    Plan shape: explode bigrams map-side; ONE shuffle keyed by gram for
+    the count; the score join is on the SAME key so it reuses that
+    partitioning (no third exchange for the join side); final per-doc
+    aggregate is the second shuffle. Hot grams (stopword pairs) are
+    bounded by vocabulary², and the count side of the join is
+    vocabulary-sized — broadcastable for bounded vocabularies, shuffle
+    co-located beyond."""
+    docs = load_table(spark, sf_dir, "documents")
+    # X.ngrams guards the <2-token case (Spark's sequence(1, 0) DESCENDS
+    # instead of returning empty — see the helper's docstring).
+    grams = docs.select("doc_id", F.explode(X.ngrams("text", 2)).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        grams.join(counts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c").alias("familiarity_sum"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_unique_bigrams"),
+        )
+    )
