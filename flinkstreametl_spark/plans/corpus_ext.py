@@ -389,3 +389,80 @@ def bigram_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_unique_bigrams"),
         )
     )
+
+
+def _textrank_oracle(iters: int = 5) -> str:
+    """Chained-CTE PageRank in exact integer arithmetic: score scaled by
+    1e6, per-edge contribution score*w // out_w, damping 0.85 as
+    (150000 + 850*s // 1000) — every step integer, so the fixpoint
+    trajectory is bit-identical in both engines."""
+    ctes = [
+        f"t AS (SELECT {_TOKS} AS toks FROM documents)",
+        "ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)",
+        "e0 AS (SELECT toks[i] AS src, toks[i+1] AS dst FROM ix)",
+        "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst)",
+        "ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM e GROUP BY src)",
+        "ee AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e JOIN ow USING (src))",
+        "n AS (SELECT DISTINCT src AS token FROM e UNION SELECT DISTINCT dst AS token FROM e)",
+        "r0 AS (SELECT token, CAST(1000000 AS BIGINT) AS score FROM n)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"r{k} AS (SELECT n.token,"
+            f" CAST(150000 + 850 * coalesce(s.s, 0) // 1000 AS BIGINT) AS score"
+            f" FROM n LEFT JOIN (SELECT ee.dst AS token,"
+            f" CAST(SUM(r{k - 1}.score * ee.w // ee.out_w) AS BIGINT) AS s"
+            f" FROM ee JOIN r{k - 1} ON ee.src = r{k - 1}.token GROUP BY ee.dst) s USING (token))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT token, score FROM r{iters} ORDER BY score DESC, token LIMIT 20"
+    )
+
+
+@register(
+    "textrank_keywords",
+    tags=("ext", "llm", "text", "graph", "iterative"),
+    oracle=_textrank_oracle(),
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction: PageRank over the directed token
+    co-occurrence graph (edge a→b weighted by corpus count of bigram
+    "a b"), 5 fixed iterations, top-20 tokens. ALL arithmetic is
+    integer (score scaled 1e6, per-edge share score*w // out_w,
+    damping 150000 + 850*s // 1000), so unlike float PageRank the whole
+    iterative trajectory is hash-exact across engines — the oracle runs
+    the same five steps as chained CTEs.
+
+    Scale shape: the edge list is vocabulary²-bounded and the rank
+    table vocabulary-sized, so each iteration is one bounded join + one
+    aggregate keyed by token — the same iterative-join discipline as
+    connected components (operators/dedup.py), with lineage kept short
+    by the fixed iteration count. Document-scale data appears only in
+    the first two map-side stages (token pair explode + count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(X.tokens("text").alias("toks")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+                " i -> struct(element_at(toks, i) AS src, element_at(toks, i + 1) AS dst))"
+                " ELSE CAST(array() AS ARRAY<STRUCT<src: STRING, dst: STRING>>) END"
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ee = edges.join(out_w, "src")
+    nodes = edges.select(F.col("src").alias("token")).union(edges.select(F.col("dst").alias("token"))).distinct()
+    rank = nodes.select("token", F.lit(1000000).cast("long").alias("score"))
+    for _ in range(5):
+        contrib = (
+            ee.join(rank, ee.src == rank.token)
+            .select(F.col("dst").alias("token"), F.expr("score * w div out_w").alias("c"))
+            .groupBy("token")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = nodes.join(contrib, "token", "left").select(
+            "token",
+            (F.lit(150000) + F.expr("850 * coalesce(s, CAST(0 AS BIGINT)) div 1000")).cast("long").alias("score"),
+        )
+    return rank.orderBy(F.col("score").desc(), "token").limit(20)
