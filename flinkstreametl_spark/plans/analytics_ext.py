@@ -787,3 +787,104 @@ def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "funnel_conversion",
+    tags=("ext", "aggregate", "window", "funnel"),
+    oracle="""
+WITH s1 AS (
+    SELECT user_id, ts, event_type,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+), s2 AS (
+    SELECT user_id, ts, event_type, t1,
+           MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+    FROM s1
+), s3 AS (
+    SELECT user_id, t1, t2,
+           MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+    FROM s2
+), per_user AS (
+    SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+    FROM s3 GROUP BY user_id
+)
+SELECT CAST(COUNT(t1) AS BIGINT) AS n_signup,
+       CAST(COUNT(t2) AS BIGINT) AS n_signup_click,
+       CAST(COUNT(t3) AS BIGINT) AS n_full_funnel
+FROM per_user
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (signup → later click → later purchase):
+    per user, the first signup, the first click strictly after it, and
+    the first purchase strictly after that — then how many users reach
+    each stage. The ordering constraint is what makes this a funnel and
+    not three filters; it is expressed as three chained conditional-MIN
+    windows over the SAME user partitioning, so Spark plans ONE shuffle
+    on user_id and evaluates all three windows in a single sort pass
+    (the follow-up aggregate reuses the partitioning too). At 100 TB:
+    one fact shuffle, state bounded per user, no self-joins — the
+    pattern scales to any step count linearly."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = (
+        events.withColumn("t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))
+            ).over(w),
+        )
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_signup_click"),
+        F.count("t3").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "cohort_retention",
+    tags=("ext", "aggregate", "cohort"),
+    oracle="""
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+)
+SELECT f.cohort_date,
+       CAST(datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY f.cohort_date, day_offset
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity date,
+    counted distinct on each day offset they return. Plan: the per-user
+    first-seen aggregate shuffles on user_id; the join back to events is
+    on the SAME key (partitioning reused / broadcast when the user dim
+    fits); the final (cohort, offset) distinct-count is the second
+    shuffle. Date arithmetic is calendar-exact (datediff) on both
+    engines — no epoch-second division to disagree on."""
+    events = load_table(spark, sf_dir, "events")
+    first_seen = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    return (
+        events.join(first_seen, "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
