@@ -78,8 +78,20 @@ def ngrams(col: str | Column = "text", n: int = 3) -> Column:
     """Word n-grams (with multiplicity), space-joined. Empty array when
     the document has fewer than n tokens — guarded explicitly because
     Spark's sequence(1, stop) DESCENDS for stop < 1 instead of
-    returning empty."""
-    toks = tokens(col)
+    returning empty.
+
+    PERF: this tokenizes inline, and the token expression is referenced
+    from inside the per-element lambda — Spark re-runs the split per
+    ELEMENT (no subexpression elimination into HOF lambda bodies; see
+    docs/SCALE.md). For anything hot, materialize the token array as a
+    column first and use ngrams_from_tokens."""
+    return ngrams_from_tokens(tokens(col), n)
+
+
+def ngrams_from_tokens(toks: Column, n: int) -> Column:
+    """n-grams over an ALREADY-MATERIALIZED token-array column — the
+    hot-path form: the lambda references a bound column, not an
+    expression tree, so nothing is recomputed per element."""
     cnt = F.size(toks)
     gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
     return F.when(

@@ -376,9 +376,13 @@ def bigram_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-sized — broadcastable for bounded vocabularies, shuffle
     co-located beyond."""
     docs = load_table(spark, sf_dir, "documents")
-    # X.ngrams guards the <2-token case (Spark's sequence(1, 0) DESCENDS
-    # instead of returning empty — see the helper's docstring).
-    grams = docs.select("doc_id", F.explode(X.ngrams("text", 2)).alias("gram"))
+    # Materialize the token array BEFORE the n-gram lambda (the HOF
+    # subexpression-duplication pitfall, docs/SCALE.md: inline ngrams
+    # re-ran the split per element — measured 10s -> 1s at sf0.1), and
+    # guard the <2-token case (sequence(1, 0) DESCENDS).
+    grams = docs.select("doc_id", X.tokens("text").alias("toks")).select(
+        "doc_id", F.explode(X.ngrams_from_tokens(F.col("toks"), 2)).alias("gram")
+    )
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     return (
         grams.join(counts, "gram")

@@ -679,11 +679,16 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     int-distinct/int-total division, identical in both engines. Pure
     map-side column expressions — one scan, no shuffle, no UDF."""
     docs = load_table(spark, sf_dir, "documents")
-    g3, g2 = X.ngrams("text", 3), X.ngrams("text", 2)
+    # Materialize tokens before the n-gram lambdas (HOF subexpression
+    # pitfall, docs/SCALE.md) — inline ngrams("text") re-splits per
+    # element.
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+    g3 = X.ngrams_from_tokens(F.col("toks"), 3)
+    g2 = X.ngrams_from_tokens(F.col("toks"), 2)
     n3, n2 = F.size(g3), F.size(g2)
     dup3 = F.when(n3 > 0, F.lit(1.0) - F.size(F.array_distinct(g3)).cast("double") / n3).otherwise(0.0)
     dup2 = F.when(n2 > 0, F.lit(1.0) - F.size(F.array_distinct(g2)).cast("double") / n2).otherwise(0.0)
-    return docs.select(
+    return base.select(
         "doc_id",
         n3.alias("n_grams3"),
         dup3.alias("dup3_ratio"),

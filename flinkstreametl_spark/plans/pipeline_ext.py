@@ -386,3 +386,72 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(50)
     )
+
+
+@register(
+    "weighted_sample_topk",
+    tags=("ext", "llm", "sampling", "weighted"),
+    oracle="""
+SELECT doc_id, n_chars,
+       (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+            * 1000000000000) // n_chars AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority, doc_id
+LIMIT 100
+""",
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted sampling (PPS flavor): each document
+    gets priority hash16(doc_id)·10¹² // weight and the 100 smallest
+    win — heavier documents draw systematically smaller priorities, so
+    selection probability grows with weight, yet the draw is a pure
+    function of doc_id (reproducible across engines/retries, stable
+    under corpus growth). The exact A-ES scheme keys on u^(1/w), which
+    needs transcendentals; the integer rational surrogate keeps the
+    same monotone weight trade with a hash-exact oracle. Plan: map-side
+    priority + global top-k (TakeOrderedAndProject — no full sort at
+    any scale)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h16 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    priority = F.expr("_h * 1000000000000 div n_chars")
+    return (
+        docs.select("doc_id", "n_chars", h16.alias("_h"))
+        .select("doc_id", "n_chars", priority.alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(100)
+    )
+
+
+@register(
+    "quota_sample_per_lang",
+    tags=("ext", "llm", "sampling", "quota"),
+    oracle="""
+SELECT doc_id, lang, rk FROM (
+    SELECT doc_id, lang,
+           CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id
+           ) AS BIGINT) AS rk
+    FROM documents
+) t WHERE rk <= 20
+""",
+)
+def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-quota stratified sampling: exactly 20 documents per
+    language, chosen by md5-hash order (a deterministic shuffle) — the
+    eval-set / holdout construction where every stratum must contribute
+    the SAME count regardless of its size, unlike rate-based
+    stratified_hash_sample. Catalyst plans the rank-filter as a
+    window-group-limit pushdown: each partition keeps only its top-20
+    before the exchange, so the shuffle carries ≤ 20·n_partitions rows
+    per stratum at any corpus size."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("lang").orderBy(h32, "doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
