@@ -25,6 +25,15 @@ from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F
 # analogs, pipeline + coverage ops). Queries already verified green in
 # CORRECTNESS_r01.json move behind the window (their evidence stands);
 # rows-only queries go last so they never consume a verdict slot.
+#
+# ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands, swap the then-
+# verified window for the queries still without any driver verdict —
+# the round-2 additions (ingest_batch_pipeline, range_join_error_context,
+# temperature_mix_sample, cdc_rolling_hash_chunks, audio_features_wav,
+# video_frame_sample, bigram_familiarity_score, textrank_keywords,
+# funnel_conversion, cohort_retention, weighted_sample_topk,
+# quota_sample_per_lang, simhash_near_pairs) plus any remaining
+# unverified oracle-backed names in registration order.
 _WINDOW_R2 = [
     # round-1 hash-FAILs, re-submitted with fixed oracles
     "occupancy_rate_by_region",

@@ -502,3 +502,36 @@ def test_video_container_roundtrip(spark):
     assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 2, 4]
     r0 = next(r for r in out if r.frame_idx == 2)
     assert (r0.mean_r, r0.mean_g, r0.mean_b) == (20, 21, 22)
+
+
+def test_range_join_bucket_boundaries(spark):
+    """The bucketed interval decomposition must find pairs that cross a
+    5-minute bucket edge and must honor the inclusive ±300s bound
+    exactly (300s in, 301s out)."""
+    import datetime as dt
+
+    from flinkstreametl_spark.plans import REGISTRY
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # click just before a bucket edge; error just after it (cross-bucket, |dt|=2s)
+        (1, base + dt.timedelta(seconds=299), 7, "click", 0.0, "{}"),
+        (2, base + dt.timedelta(seconds=301), 7, "error", 0.0, "{}"),
+        # exactly 300s away -> counted
+        (3, base + dt.timedelta(seconds=599), 7, "error", 0.0, "{}"),
+        # 301s away -> not counted
+        (4, base + dt.timedelta(seconds=600), 7, "error", 0.0, "{}"),
+        # different user inside range -> not counted
+        (5, base + dt.timedelta(seconds=300), 8, "error", 0.0, "{}"),
+        # click with no nearby errors -> survives with count 0
+        (6, base + dt.timedelta(days=1), 7, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.event_id: r.n_errors_5min for r in REGISTRY["range_join_error_context"].fn(spark, d).collect()}
+    assert out == {1: 2, 6: 0}

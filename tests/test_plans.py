@@ -148,3 +148,20 @@ def test_temperature_mix_no_fact_shuffle(spark, sf_dir):
     side (the only exchanges belong to the per-language aggregate)."""
     plan = _physical(spark, "temperature_mix_sample", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark, sf_dir):
+    """weighted_sample_topk: global top-100 by priority must plan as
+    TakeOrderedAndProject (per-partition heap + merge), never a full
+    sort of the corpus."""
+    plan = _physical(spark, "weighted_sample_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "global=true" not in plan
+
+
+def test_quota_sample_group_limit_pushdown(spark, sf_dir):
+    """quota_sample_per_lang: the rk <= 20 filter must push into a
+    WindowGroupLimit so each partition keeps only its stratum top-20
+    before the exchange."""
+    plan = _physical(spark, "quota_sample_per_lang", sf_dir)
+    assert "WindowGroupLimit" in plan
