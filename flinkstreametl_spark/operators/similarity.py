@@ -46,6 +46,22 @@ def cosine_col(a, b) -> F.Column:
     return dot / F.sqrt(na * nb)
 
 
+def cosine_col_fp(a, b) -> F.Column:
+    """In-row cosine with the SAME fixed-point quantization as
+    knn_exact: per-element floor(x*y*2^40) summed as BIGINT inside the
+    row, then double(dot)/sqrt(double(qq)·double(cc)). Integer folds
+    are order-exact, so this equals the relational path bit-for-bit —
+    the no-explode fast path, promoted from rows-only to oracle-backed
+    (round 2)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    zero = F.lit(0).cast("long")
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: fp(x * y)), zero, lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(ad, lambda x: fp(x * x)), zero, lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(bd, lambda x: fp(x * x)), zero, lambda acc, x: acc + x)
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
 def _exploded(emb: DataFrame, id_alias: str) -> DataFrame:
     return emb.select(
         F.col("vec_id").alias(id_alias),
@@ -84,15 +100,15 @@ def knn_exact(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
 
 def knn_fast(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     """Same semantics as knn_exact via in-row HOF cosine: broadcast the
-    query vectors, one pass over the candidates, no explode. Float
-    summation order makes last-ulp differences possible -> rows-only
-    check; tests assert neighbor sets match knn_exact."""
+    query vectors, one pass over the candidates, no explode. Uses the
+    fixed-point fold (cosine_col_fp), so scores are bit-identical to
+    knn_exact and the query is oracle-checkable."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine_col(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    scored = pairs.select("query_id", "neighbor_id", cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 

@@ -325,10 +325,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EMB_EXPLODE = "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val FROM embeddings"
 
 
-@register(
-    "knn_brute_topk",
-    tags=("llm", "similarity", "bench"),
-    oracle=f"""
+_KNN_ORACLE = f"""
 WITH q AS (SELECT * FROM ({_EMB_EXPLODE}) WHERE vec_id < 5),
      c AS ({_EMB_EXPLODE}),
      p AS (
@@ -349,8 +346,10 @@ SELECT query_id, neighbor_id, cosine, rk FROM (
     FROM p
 ) v
 WHERE rk <= 5
-""",
-)
+"""
+
+
+@register("knn_brute_topk", tags=("llm", "similarity", "bench"), oracle=_KNN_ORACLE)
 def knn_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id<5 — the ANN
     correctness baseline. Fixed-point (2^-40) dot products make scores
@@ -358,11 +357,14 @@ def knn_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_exact(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5)
 
 
-@register("knn_cosine_fast", tags=("llm", "similarity", "bench"))
+@register("knn_cosine_fast", tags=("llm", "similarity", "bench"), oracle=_KNN_ORACLE)
 def knn_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fast-path k-NN: in-row zip_with/aggregate cosine, broadcast query
-    side, no explode. Rows-only (float fold order); tests assert its
-    neighbor sets equal knn_brute_topk's."""
+    side, no explode. Promoted from rows-only in round 2: the in-row
+    fold now quantizes per-element to the SAME 2^-40 fixed point as the
+    relational path (operators/similarity.py cosine_col_fp), so scores
+    are bit-identical to knn_brute_topk and the same oracle verifies
+    both implementations."""
     return S.knn_fast(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5)
 
 
