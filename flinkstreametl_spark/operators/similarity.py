@@ -12,10 +12,12 @@ Two cosine implementations:
    portable — Spark rounds half-up, DuckDB differs at the last digit;
    floor() of an identical double is). Quantization error ~2^-40 per
    term. This is the *verifiable* path.
-2. `cosine_col` — higher-order functions (zip_with + aggregate) staying
-   entirely inside one row: no explode blow-up, the *fast* path used in
-   bench. Float-order summation makes it non-portable bit-wise, so its
-   query is registered rows-only.
+2. `cosine_col` / `cosine_col_fp` — higher-order functions (zip_with +
+   aggregate) staying entirely inside one row: no explode blow-up, the
+   *fast* path used in bench. The float fold (`cosine_col`) is not
+   portable bit-wise; the fixed-point fold (`cosine_col_fp`, round 2)
+   quantizes per element exactly like knn_exact, so the fast path and
+   the IVF path are oracle-checkable too.
 
 At cluster scale, brute-force k-NN is O(Q x N); `ivf_topk` prunes
 candidates by coarse quantization (centroid assignment) — only the
@@ -132,7 +134,11 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) ->
     """IVF-style ANN: score each query against the (broadcast) centroid
     table, keep the nprobe nearest clusters, then run exact cosine only
     against candidates in those clusters. Output schema matches
-    knn_exact; recall < 1 by construction (tests measure it)."""
+    knn_exact; recall < 1 by construction (tests measure it). Both the
+    probe ranking and the candidate scores use the fixed-point fold
+    (cosine_col_fp), so the whole ANN decision path — which clusters
+    are probed AND how candidates rank — is bit-exact and
+    oracle-checkable (round 2)."""
     cents = (
         label_centroids(emb)
         .groupBy("label")
@@ -146,13 +152,13 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) ->
     probes = (
         F.broadcast(q)
         .crossJoin(F.broadcast(cents))
-        .select("query_id", "q_emb", "label", cosine_col(F.col("q_emb"), F.col("centroid")).alias("c_score"))
+        .select("query_id", "q_emb", "label", cosine_col_fp(F.col("q_emb"), F.col("centroid")).alias("c_score"))
         .withColumn("prb", F.row_number().over(probe_w))
         .filter(F.col("prb") <= nprobe)
         .select("query_id", "q_emb", "label")
     )
     c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("label"))
     cand = probes.join(c, "label").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", cosine_col(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    scored = cand.select("query_id", "neighbor_id", cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -406,10 +406,62 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
-@register("ann_ivf_topk", tags=("llm", "similarity"))
+_IVF_ORACLE = """
+WITH cents AS (
+    SELECT label, pos,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0 / COUNT(*) AS cval
+    FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val FROM embeddings) t
+    GROUP BY label, pos
+), q AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings WHERE vec_id < 5
+), ps AS (
+    SELECT q.vec_id AS query_id, c.label,
+           SUM(CAST(floor(q.val * c.cval * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(q.val * q.val * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(c.cval * c.cval * 1099511627776.0) AS BIGINT)) AS cc
+    FROM q JOIN cents c ON q.pos = c.pos
+    GROUP BY 1, 2
+), probes AS (
+    SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC, label) AS prb
+        FROM ps) v
+    WHERE prb <= 3
+), e AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos, CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+), pairsc AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           SUM(CAST(floor(q.val * e.val * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(q.val * q.val * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(e.val * e.val * 1099511627776.0) AS BIGINT)) AS cc
+    FROM probes p
+    JOIN e ON e.label = p.label AND e.vec_id <> p.query_id
+    JOIN q ON q.vec_id = p.query_id AND q.pos = e.pos
+    GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC, neighbor_id) AS rk
+    FROM pairsc) v
+WHERE rk <= 5
+"""
+
+
+@register("ann_ivf_topk", tags=("llm", "similarity"), oracle=_IVF_ORACLE)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (probe 3 nearest label-centroids, exact cosine within
-    probed clusters). Rows-only; tests measure recall vs knn_brute_topk."""
+    probed clusters). Promoted from rows-only in round 2: probe scoring
+    and candidate scoring both use the 2^-40 fixed-point fold
+    (operators/similarity.py cosine_col_fp), so the oracle reproduces
+    the ENTIRE ANN decision path — centroid table, probe choice, and
+    final ranking — exactly; tests still measure recall vs
+    knn_brute_topk."""
     return S.ivf_topk(load_table(spark, sf_dir, "embeddings"), n_queries=5, k=5, nprobe=3)
 
 
@@ -699,14 +751,37 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("neardup_cluster_assign", tags=("llm", "dedup", "iterative"))
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_MINHASH_ORACLE}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+), m AS (
+    SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+)
+SELECT d.doc_id, m.cluster_id, m.cluster_id = d.doc_id AS is_keeper
+FROM documents d JOIN m ON d.doc_id = m.node
+"""
+
+
+@register("neardup_cluster_assign", tags=("llm", "dedup", "iterative"), oracle=_CLUSTER_ORACLE)
 def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup removal: MinHash+LSH pairs -> connected
     components (operators/dedup.neardup_clusters, iterative min-label
     propagation) -> every document assigned a cluster id (its own id if
-    unpaired) and a keeper flag (cluster minimum). Rows-only: the
-    fixpoint iteration is not single-query SQL; the component labels
-    are verified against a Python union-find in tests/test_operators.py."""
+    unpaired) and a keeper flag (cluster minimum). Promoted from
+    rows-only in round 2: the oracle re-derives the SAME pair set
+    (_MINHASH_ORACLE) and computes min-reachable-id per node with a
+    recursive-CTE transitive closure — the UNION-dedup bounds the
+    fixpoint, so the whole iterative algorithm is driver-hash-verified,
+    not just unit-tested (the Python union-find test remains as the
+    third opinion)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
     labels = D.neardup_clusters(pairs)
