@@ -32,8 +32,9 @@ from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F
 # temperature_mix_sample, cdc_rolling_hash_chunks, audio_features_wav,
 # video_frame_sample, bigram_familiarity_score, textrank_keywords,
 # funnel_conversion, cohort_retention, weighted_sample_topk,
-# quota_sample_per_lang, simhash_near_pairs) plus any remaining
-# unverified oracle-backed names in registration order.
+# quota_sample_per_lang, simhash_near_pairs, knn_cosine_fast,
+# ann_ivf_topk, neardup_cluster_assign) plus any remaining unverified
+# oracle-backed names in registration order.
 _WINDOW_R2 = [
     # round-1 hash-FAILs, re-submitted with fixed oracles
     "occupancy_rate_by_region",

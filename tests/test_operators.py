@@ -535,3 +535,37 @@ def test_range_join_bucket_boundaries(spark):
         df.write.parquet(f"{d}/events.parquet")
         out = {r.event_id: r.n_errors_5min for r in REGISTRY["range_join_error_context"].fn(spark, d).collect()}
     assert out == {1: 2, 6: 0}
+
+
+def test_text_operators_null_and_empty_robustness(spark):
+    """Null text propagates to null (never throws, gate drops it);
+    empty and whitespace-only text normalize to the SAME fingerprint
+    (they are the same document after normalization); n-grams guard the
+    short-doc case instead of erroring under ANSI."""
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.operators import text as X
+    from flinkstreametl_spark.streaming.doc_ingest import quality_gate
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "the quick brown fox is here and it is a good day here")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            X.fingerprint("text").alias("fp"),
+            X.token_count("text").alias("n"),
+            X.ngrams("text", 2).alias("g2"),
+        ).collect()
+    }
+    assert rows[1].fp is None and rows[1].n is None and rows[1].g2 == []
+    assert rows[2].fp == rows[3].fp
+    assert rows[2].g2 == [] and rows[3].g2 == []
+    assert rows[4].n == 13 and len(rows[4].g2) == 12
+
+    gated = quality_gate(
+        df.withColumn("lang", F.lit("en")).withColumn("source", F.lit("s")).withColumn("event_ts", F.current_timestamp())
+    )
+    assert [r.doc_id for r in gated.collect()] == [4]
