@@ -15,31 +15,40 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.plans.llm import _KNN_ORACLE
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 
 _TOKS = X.sql_tokens("text")
 
 
-@register("knn_pandas_topk", tags=("ext", "llm", "similarity", "pandas", "bench"))
+@register(
+    "knn_pandas_topk",
+    tags=("ext", "llm", "similarity", "pandas", "bench"),
+    oracle=_KNN_ORACLE,
+)
 def knn_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 for query vectors vec_id < 5, computed as
-    numpy matrix products inside mapInPandas — the vectorized
-    BLAS path that at 100 TB replaces both the posexplode join
-    (knn_brute_topk) and the per-element HOF fold (knn_cosine_fast) for
-    dense scoring: one Arrow batch in, a (batch x queries) GEMM, top-k
-    PER BATCH out (map-side combine), then a tiny global top-k window.
+    """Brute-force cosine top-5 for query vectors vec_id < 5, computed
+    vectorized inside mapInPandas — the Arrow-batch path that at 100 TB
+    replaces both the posexplode join (knn_brute_topk) and the
+    per-element HOF fold (knn_cosine_fast) for dense scoring: one Arrow
+    batch in, a (batch x queries x dim) numpy product, top-k PER BATCH
+    out (map-side combine), then a tiny global top-k window.
 
-    The query side is collected driver-side by design — it is the
-    operator's parameter table (a handful of vectors), broadcast into
-    the UDF closure; candidates stream through executors and only
-    k rows per query survive each batch. Registered rows-only (float
-    summation order differs from the fixed-point oracle in the last
-    ulp); tests assert neighbor sets match knn_exact per query.
+    Promoted from rows-only in round 2: the numpy kernel now floors
+    each elementwise product to the SAME 2^-40 fixed point as the
+    relational path and sums int64 (a float GEMM sums in BLAS order and
+    differs in the last ulp), so all THREE brute-force implementations
+    share one oracle (_KNN_ORACLE). The query side is collected
+    driver-side by design — it is the operator's parameter table (a
+    handful of vectors), broadcast into the UDF closure; candidates
+    stream through executors and only k rows per query survive each
+    batch.
     """
     import numpy as np
 
     n_queries, k = 5, 5
+    fp_scale = 1099511627776.0  # 2^40
     emb = load_table(spark, sf_dir, "embeddings")
     q_rows = sorted(
         emb.filter(F.col("vec_id") < n_queries).select("vec_id", "embedding").collect(),
@@ -47,7 +56,7 @@ def knn_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     Q = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qq = np.floor(Q * Q * fp_scale).astype(np.int64).sum(axis=1)  # (nq,)
 
     schema = "query_id long, neighbor_id long, cosine double"
 
@@ -59,8 +68,11 @@ def knn_pandas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             cids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-            cos = Cn @ Qn.T  # (batch, n_queries)
+            cc = np.floor(C * C * fp_scale).astype(np.int64).sum(axis=1)  # (batch,)
+            dot = np.floor(C[:, None, :] * Q[None, :, :] * fp_scale).astype(np.int64).sum(axis=2)
+            cos = dot.astype(np.float64) / np.sqrt(
+                qq[None, :].astype(np.float64) * cc[:, None].astype(np.float64)
+            )
             out = []
             for j, qid in enumerate(qids):
                 col = cos[:, j]
