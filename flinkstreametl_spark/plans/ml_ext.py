@@ -99,16 +99,25 @@ _KM_K = 8
 _KM_ITERS = 5
 
 
+_KM_FP = 1099511627776.0  # 2^40
+
+
 def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
-    """Lloyd's algorithm over the embedding table, fully deterministic:
-    init = the k lowest vec_ids (no RNG), fixed iteration count,
-    float64 numpy arithmetic. Per iteration: assignment is an
-    Arrow-batched Pandas UDF (a (batch x k) GEMM against the broadcast
-    centroid matrix — k x dim floats in the closure, never a shuffle of
-    pairs), new centroids come from one groupBy mean over the
-    fixed-point-exact per-dimension sums. Only k rows ever reach the
-    driver per iteration. Returns (centroids ndarray, assign_fn) where
-    assign_fn(df) adds `cluster` / `sq_dist` columns.
+    """Lloyd's algorithm over the embedding table, fully deterministic
+    AND engine-exact (round 2): init = the k lowest vec_ids (no RNG),
+    fixed iteration count, and EVERY accumulation in 2^-40 fixed point —
+    assignment distances are per-element floor((x-c)²·2^40) summed as
+    int64 (ties broken by lowest cluster id), centroid updates are the
+    fixed-point mean (double(Σ floor(v·2^40)) / 2^40 / n, the
+    label_centroids scheme). Integer sums are associative, so the whole
+    5-iteration trajectory is partition-order independent and
+    reproducible in DuckDB CTE-by-CTE (_KMEANS_ORACLE).
+
+    Assignment is an Arrow-batched Pandas UDF (a (batch x k x dim)
+    numpy kernel against the broadcast centroid matrix — k x dim floats
+    in the closure, never a shuffle of pairs); new centroids come from
+    one groupBy per iteration; only k rows ever reach the driver per
+    iteration. Returns (centroids ndarray, assign_fn).
 
     Empty clusters keep their previous centroid (standard Lloyd
     fallback), preserving determinism.
@@ -126,10 +135,12 @@ def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
         @pandas_udf("long")
         def assign(emb_s):
             M = np.array(emb_s.tolist(), dtype=np.float64)
-            # ||x - c||² = ||x||² - 2 x·c + ||c||²; argmin over c
-            d = -2.0 * (M @ c_mat.T) + (c_mat * c_mat).sum(axis=1)[None, :]
+            diff = M[:, None, :] - c_mat[None, :, :]
+            d = np.floor(diff * diff * _KM_FP).astype(np.int64).sum(axis=2)
             import pandas as pd
 
+            # np.argmin takes the FIRST minimum -> lowest cluster id on
+            # ties, matching the oracle's ORDER BY dist, cluster.
             return pd.Series(np.argmin(d, axis=1).astype(np.int64))
 
         return assign
@@ -140,7 +151,13 @@ def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
         ex = assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
         means = (
             ex.groupBy("cluster", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.floor(F.col("val").cast("double") * F.lit(_KM_FP)).cast("long")).cast("double")
+                    / F.lit(_KM_FP)
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("cs"))
             .select("cluster", F.transform("cs", lambda s: s["m"]).alias("centroid"))
@@ -159,15 +176,64 @@ def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
     return cents, assign_df
 
 
-@register("kmeans_cluster_sizes", tags=("ext", "llm", "similarity", "iterative", "pandas"))
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Chained-CTE Lloyd mirror: c0 = k lowest-id embeddings; per
+    iteration, fixed-point distances -> argmin assignment (tie-break by
+    cluster id) -> fixed-point centroid means with the empty-cluster
+    carry-forward; final assignment against c{iters} feeds the counts.
+    Every accumulation is int64, so the trajectory is bit-identical to
+    the Spark/pandas implementation."""
+    fp = "1099511627776.0"
+    ctes = [
+        "e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)",
+        f"init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster"
+        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) t)",
+        "c0 AS (SELECT i.cluster, e.pos, e.val AS cval FROM init i JOIN e ON e.vec_id = i.vec_id)",
+    ]
+    for i in range(1, iters + 2):  # iters updates + one final assignment
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT e.vec_id, c.cluster,"
+            f" SUM(CAST(floor((e.val - c.cval) * (e.val - c.cval) * {fp}) AS BIGINT)) AS dist"
+            f" FROM e JOIN {prev} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cluster FROM ("
+            f"SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn"
+            f" FROM d{i}) t WHERE rn = 1)"
+        )
+        if i <= iters:
+            ctes.append(
+                f"cm{i} AS (SELECT a.cluster, e.pos,"
+                f" CAST(SUM(CAST(floor(e.val * {fp}) AS BIGINT)) AS DOUBLE) / {fp} / COUNT(*) AS cval"
+                f" FROM a{i} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.pos)"
+            )
+            ctes.append(
+                f"c{i} AS (SELECT p.cluster, p.pos, coalesce(m.cval, p.cval) AS cval"
+                f" FROM {prev} p LEFT JOIN cm{i} m ON m.cluster = p.cluster AND m.pos = p.pos)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members"
+        f" FROM a{iters + 1} GROUP BY cluster ORDER BY cluster"
+    )
+
+
+@register(
+    "kmeans_cluster_sizes",
+    tags=("ext", "llm", "similarity", "iterative", "pandas"),
+    oracle=_kmeans_oracle(),
+)
 def kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering for corpus curation: K-Means (k=8, 5 Lloyd
     iterations, deterministic lowest-id init) over the embedding table,
     reporting per-cluster membership counts — the partition a semantic
-    dedup / stratified-sampling pass would operate within. Rows-only:
-    the iterative fixpoint is not single-query SQL; tests verify the
-    assignment against a pure-numpy Lloyd reference and determinism
-    across runs."""
+    dedup / stratified-sampling pass would operate within. Promoted
+    from rows-only in round 2: all accumulation is 2^-40 fixed point
+    (kmeans_fit), so the chained-CTE oracle replays the exact Lloyd
+    trajectory — centroids, tie-breaks, empty-cluster carry-forward —
+    and the driver hash-verifies the iterative ML algorithm end to end;
+    tests still check against a pure-numpy Lloyd reference."""
     emb = load_table(spark, sf_dir, "embeddings")
     _, assign_df = kmeans_fit(emb)
     return (

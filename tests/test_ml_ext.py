@@ -33,21 +33,27 @@ def test_knn_pandas_deterministic(spark, sf_dir):
 
 
 def _numpy_lloyd(M: np.ndarray, ids: np.ndarray, k: int, iters: int) -> np.ndarray:
-    """Reference Lloyd: same deterministic init (k lowest ids), same
-    empty-cluster fallback, float64 means."""
+    """Reference Lloyd mirroring kmeans_fit's fixed-point scheme exactly:
+    same deterministic init (k lowest ids), fixed-point distances and
+    means, same empty-cluster fallback — so assignments must match
+    EXACTLY, not approximately."""
+    FP = 1099511627776.0
+
+    def dists(cents):
+        diff = M[:, None, :] - cents[None, :, :]
+        return np.floor(diff * diff * FP).astype(np.int64).sum(axis=2)
+
     order = np.argsort(ids)
     cents = M[order[:k]].astype(np.float64)
     for _ in range(iters):
-        d = -2.0 * (M @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-        a = np.argmin(d, axis=1)
+        a = np.argmin(dists(cents), axis=1)
         new = cents.copy()
         for c in range(k):
             members = M[a == c]
             if len(members):
-                new[c] = members.mean(axis=0)
+                new[c] = np.floor(members * FP).astype(np.int64).sum(axis=0).astype(np.float64) / FP / len(members)
         cents = new
-    d = -2.0 * (M @ cents.T) + (cents * cents).sum(axis=1)[None, :]
-    return np.argmin(d, axis=1)
+    return np.argmin(dists(cents), axis=1)
 
 
 def test_kmeans_matches_numpy_reference(spark, sf_dir):
@@ -60,11 +66,10 @@ def test_kmeans_matches_numpy_reference(spark, sf_dir):
 
     _, assign_df = kmeans_fit(emb)
     got = {r.vec_id: r.cluster for r in assign_df(emb).select("vec_id", "cluster").collect()}
-    # Spark means aggregate floats in partition order, so a centroid can
-    # differ from numpy's in the last ulp; allow a tiny disagreement set
-    # for points sitting exactly on a boundary, but require bulk match.
+    # Fixed-point accumulation is associative -> the trajectories are
+    # bit-identical, so assignments must match exactly.
     diffs = [i for i in ref_by_id if ref_by_id[i] != got[i]]
-    assert len(diffs) <= max(2, len(ids) // 100), f"assignments diverged: {len(diffs)}"
+    assert not diffs, f"assignments diverged: {len(diffs)}"
 
 
 def test_kmeans_sizes_deterministic_and_complete(spark, sf_dir):
