@@ -145,17 +145,42 @@ def date_arithmetic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("grouped_agg_pandas_udf", tags=("ext", "udf", "aggregate"))
+@register(
+    "grouped_agg_pandas_udf",
+    tags=("ext", "udf", "aggregate"),
+    oracle="""
+SELECT l_returnflag,
+       (CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0)
+       /
+       (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / 100.0) AS wmean_price
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
 def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas_udf — the custom-UDAF surface (the reference
     has no UDAF at all; this is the Spark-idiomatic extensibility
     point): quantity-weighted mean price per return flag, Arrow-batched.
-    Rows-only; tests pin it against the equivalent built-in expression."""
+
+    Promoted from rows-only in round 2 by applying the repo's decimal
+    discipline INSIDE the UDF: values are quantized to integer cents
+    (the same decimal(12,2) the SQL twin casts to), summed as int64
+    (exact, order-independent), and converted to double through the
+    unscaled-integer path (functions/exact.py dbl) before one float
+    division — so the Python kernel, the built-in expression, and the
+    DuckDB oracle all emit the same bits."""
+    import numpy as np
+
     from pyspark.sql.functions import pandas_udf
 
     def _wmean(price: pd.Series, qty: pd.Series) -> float:
-        denom = qty.sum()
-        return float((price * qty).sum() / denom) if denom else float("nan")
+        p = np.rint(price.to_numpy(dtype=np.float64) * 100).astype(np.int64)  # cents
+        q = np.rint(qty.to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        den = int(q.sum())
+        if den == 0:
+            return float("nan")
+        num = int((p * q).sum())  # price*qty at scale 10^4
+        return (float(num) / 1e4) / (float(den) / 1e2)
 
     # GROUPED_AGG is inferred from the (Series, Series) -> scalar hints;
     # pd must be module-global for PEP-563 hint resolution.
