@@ -470,3 +470,177 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(150000) + F.expr("850 * coalesce(s, CAST(0 AS BIGINT)) div 1000")).cast("long").alias("score"),
         )
     return rank.orderBy(F.col("score").desc(), "token").limit(20)
+
+
+_LADDER = (8, 16, 32, 64)
+
+
+@register(
+    "dup_span_ladder",
+    tags=("ext", "llm", "dedup", "passage", "bench"),
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+k AS (SELECT unnest([{", ".join(str(k) for k in _LADDER)}]) AS k),
+w AS (
+    SELECT doc_id, k, unnest(range(1, len(toks) - k + 2)) AS i, toks
+    FROM t, k WHERE len(toks) >= k
+),
+h AS (SELECT doc_id, k,
+             md5(array_to_string(list_slice(toks, i, i + k - 1), ' ')) AS wh
+      FROM w),
+d AS (SELECT k, wh FROM h GROUP BY k, wh HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT DISTINCT h.doc_id, h.k FROM h JOIN d USING (k, wh)),
+m AS (SELECT doc_id, MAX(k) AS max_dup_span FROM dup GROUP BY doc_id)
+SELECT t.doc_id, CAST(COALESCE(m.max_dup_span, 0) AS BIGINT) AS max_dup_span
+FROM t LEFT JOIN m USING (doc_id)
+""",
+)
+def dup_span_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document longest cross-document duplicated substring, to
+    window resolution: for k in 8/16/32/64, fingerprint every sliding
+    k-token window and report the largest k at which some window of the
+    document also occurs in ANOTHER document (0 = no dup at any rung).
+
+    The pragmatic distributed stand-in for suffix-array exact-substring
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a suffix array needs global order — hostile at
+    100 TB — while sliding-window fingerprints at a geometric ladder of
+    widths give the same "how much of this doc is copied" signal with
+    dedup-sweep plan shape. All windows for all rungs are generated in
+    ONE pass over the token array (a flattened per-rung transform, so
+    the md5s are computed map-side inside codegen); one shuffle keyed by
+    (k, window-hash) marks hashes seen in >= 2 distinct docs via a
+    min/max window (min(doc) != max(doc) over the bucket -- no second
+    scan, no aggregate-and-join-back), then a per-doc MAX finishes it.
+    The expensive window explode therefore runs exactly once; the only
+    other scan reads the doc_id column to keep windowless (< 8 token)
+    docs at span 0. Window-hash keys are near-unique so there are no
+    hot keys, and every stage is linear in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+
+    def rung(k: int):
+        win_hash = lambda i: F.md5(  # noqa: E731
+            F.array_join(F.slice(F.col("toks"), i, F.lit(k)), " ").cast("binary")
+        )
+        return F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - k + 1),
+                lambda i: F.struct(F.lit(k).cast("long").alias("k"), win_hash(i).alias("wh")),
+            ),
+        ).otherwise(F.array().cast("array<struct<k:bigint,wh:string>>"))
+
+    h = base.select(
+        "doc_id", F.explode(F.flatten(F.array(*[rung(k) for k in _LADDER]))).alias("kw")
+    ).select("doc_id", F.col("kw.k").alias("k"), F.col("kw.wh").alias("wh"))
+    wb = Window.partitionBy("k", "wh")
+    dup = (
+        h.withColumn("_dup", F.min("doc_id").over(wb) != F.max("doc_id").over(wb))
+        .filter(F.col("_dup"))
+        .select("doc_id", "k")
+    )
+    m = dup.groupBy("doc_id").agg(F.max("k").alias("max_dup_span"))
+    return (
+        base.select("doc_id")
+        .join(m, "doc_id", "left")
+        .select("doc_id", F.coalesce("max_dup_span", F.lit(0)).cast("long").alias("max_dup_span"))
+    )
+
+
+_BPE_STEPS = 6
+
+
+def _bpe_oracle(steps: int = _BPE_STEPS) -> str:
+    """Chained-CTE mirror of the greedy BPE trainer: s0 = word counts
+    with each word exploded into bracket-wrapped characters; per step,
+    adjacent-pair counts weighted by word frequency -> argmax (count
+    DESC, pair lexicographic) -> non-overlapping left-to-right merge via
+    plain replace() (both engines scan left to right, so greedy merge
+    order is identical). Output = the merge table, one row per step."""
+    esc_tok = r"'\[([^\]]*)\]'"
+    ctes = [
+        "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM ("
+        f"SELECT unnest({_TOKS}) AS w FROM documents) t GROUP BY w)",
+        "s0 AS (SELECT regexp_replace(w, '(.)', '[\\1]', 'g') AS seq, wc FROM wc)",
+    ]
+    for i in range(1, steps + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"t{i} AS (SELECT wc, toks[i] AS l, toks[i+1] AS r FROM ("
+            f"SELECT wc, toks, unnest(range(1, len(toks))) AS i FROM ("
+            f"SELECT wc, regexp_extract_all(seq, {esc_tok}, 1) AS toks FROM {prev}) x) y)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT l, r, SUM(wc) AS cnt FROM t{i} GROUP BY l, r"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT replace(seq, '[' || b.l || '][' || b.r || ']',"
+            f" '[' || b.l || b.r || ']') AS seq, wc FROM {prev}, b{i} b)"
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS lhs, r AS rhs,"
+        f" l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, steps + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+@register("bpe_train_merges", tags=("ext", "llm", "text", "tokenizer"), oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer training, the first ``_BPE_STEPS``
+    greedy merges over the corpus vocabulary: each step counts adjacent
+    symbol pairs weighted by word frequency, merges the most frequent
+    pair everywhere (ties: lexicographically smallest), and repeats on
+    the merged sequences. Returns the merge table (step, lhs, rhs,
+    merged, pair_count) — the artifact a BPE tokenizer ships.
+
+    Distributed shape: the corpus-sized work (token explode -> word
+    counts) happens ONCE; the iteration state is the vocabulary-sized
+    (sequence, count) table, localCheckpoint-ed per step so plan depth
+    stays flat. Symbol sequences are bracket-wrapped strings
+    ("[t][h][e]") — a merge is then a plain string replace of
+    "[l][r]" with "[lr]", which both engines apply left-to-right
+    non-overlapping, exactly BPE's greedy merge scan. Each step is one
+    vocabulary-sized pair explode + aggregate; only the single argmax
+    row reaches the driver (the kmeans_fit pattern). At 100 TB the
+    vocabulary table is millions of rows regardless of corpus size, so
+    per-step cost is flat after the initial sweep."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    seqs = wc.select(F.regexp_replace("w", "(.)", "[$1]").alias("seq"), "wc").localCheckpoint()
+    toks = F.regexp_extract_all(F.col("seq"), F.lit(r"\[([^\]]*)\]"), 1)
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, _BPE_STEPS + 1):
+        pairs = seqs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "wc",
+        )
+        best = (
+            pairs.select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "wc")
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        l, r = best["l"], best["r"]
+        merges.append((step, l, r, l + r, best["cnt"]))
+        seqs = seqs.select(
+            F.replace(F.col("seq"), F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]")).alias("seq"), "wc"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, schema="step long, lhs string, rhs string, merged string, pair_count long"
+    )

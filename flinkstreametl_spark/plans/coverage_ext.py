@@ -584,3 +584,67 @@ def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity").alias("sum_qty"),
     )
+
+
+@register(
+    "fuzzy_dup_parts",
+    tags=("ext", "dedup", "entity-resolution", "bench"),
+    oracle="""
+WITH s AS (
+    SELECT p_partkey AS k, p_brand, lower(p_name) AS nm,
+           split_part(lower(p_name), ' ', -1) AS blk
+    FROM part
+), kept AS (
+    SELECT k, p_brand, nm, blk,
+           COUNT(*) OVER (PARTITION BY p_brand, blk) AS bn
+    FROM s QUALIFY bn <= 256
+)
+SELECT part_a, part_b, name_a, name_b, CAST(dist AS BIGINT) AS dist FROM (
+    SELECT a.k AS part_a, b.k AS part_b, a.nm AS name_a, b.nm AS name_b,
+           levenshtein(a.nm, b.nm) AS dist
+    FROM kept a JOIN kept b
+      ON a.p_brand = b.p_brand AND a.blk = b.blk AND a.k < b.k
+) v
+WHERE dist <= 3
+""",
+)
+def fuzzy_dup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution on part names: pairs within edit distance
+    3, candidates from blocking keys (brand, last name token), never a
+    cross join.
+
+    The classic record-linkage shape: a cheap equi-join on blocking keys
+    bounds the candidate set, then the expensive string metric runs on
+    candidates only. Spark computes ``levenshtein(a, b, 3)`` — the
+    thresholded form bails out of the DP as soon as the distance exceeds
+    the bound (O(d·n) instead of O(n²) per pair, returning -1 above the
+    bound), which the post-filter excludes together with the band. The
+    same hot-bucket guard as the dedup ops (operators/dedup.py) caps any
+    degenerate blocking bucket at 256 members — mirrored in the oracle's
+    QUALIFY — so one boilerplate name can never turn the candidate join
+    quadratic on a single key. At 100 TB: one shuffle on the blocking
+    key, bucket-bounded pair fan-out, no global state."""
+    part = load_table(spark, sf_dir, "part")
+    s = part.select(
+        F.col("p_partkey").alias("k"),
+        "p_brand",
+        F.lower("p_name").alias("nm"),
+    ).withColumn("blk", F.substring_index("nm", " ", -1))
+    wb = Window.partitionBy("p_brand", "blk")
+    kept = s.withColumn("_bn", F.count(F.lit(1)).over(wb)).filter(F.col("_bn") <= 256).drop("_bn")
+    a = kept.select(
+        F.col("k").alias("part_a"), F.col("p_brand").alias("brand_a"),
+        F.col("nm").alias("name_a"), F.col("blk").alias("blk_a"),
+    )
+    b = kept.select(
+        F.col("k").alias("part_b"), F.col("p_brand").alias("brand_b"),
+        F.col("nm").alias("name_b"), F.col("blk").alias("blk_b"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), 3)
+    return (
+        a.join(b, (F.col("brand_a") == F.col("brand_b")) & (F.col("blk_a") == F.col("blk_b")))
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("dist", dist)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= 3))
+        .select("part_a", "part_b", "name_a", "name_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -165,3 +165,21 @@ def test_quota_sample_group_limit_pushdown(spark, sf_dir):
     before the exchange."""
     plan = _physical(spark, "quota_sample_per_lang", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+def test_fuzzy_dup_parts_blocked_equi_join(spark, sf_dir):
+    """fuzzy_dup_parts: the candidate join must be an equi-join on the
+    blocking keys (brand, last-token), never a cross join; the
+    levenshtein metric runs post-join on candidates only."""
+    plan = _physical(spark, "fuzzy_dup_parts", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_dup_span_ladder_single_window_pass(spark, sf_dir):
+    """dup_span_ladder: all four rung window sets must come from ONE
+    documents scan (flattened per-rung transforms), not a per-rung
+    union of scans."""
+    plan = _physical(spark, "dup_span_ladder", sf_dir)
+    assert len(re.findall(r"Scan parquet", plan)) <= 2, plan  # h-side + final doc_id join
