@@ -33,8 +33,9 @@ from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F
 # video_frame_sample, bigram_familiarity_score, textrank_keywords,
 # funnel_conversion, cohort_retention, weighted_sample_topk,
 # quota_sample_per_lang, simhash_near_pairs, knn_cosine_fast,
-# ann_ivf_topk, neardup_cluster_assign) plus any remaining unverified
-# oracle-backed names in registration order.
+# ann_ivf_topk, neardup_cluster_assign, and the late round-2 additions
+# fuzzy_dup_parts, dup_span_ladder, bpe_train_merges) plus any
+# remaining unverified oracle-backed names in registration order.
 _WINDOW_R2 = [
     # round-1 hash-FAILs, re-submitted with fixed oracles
     "occupancy_rate_by_region",
