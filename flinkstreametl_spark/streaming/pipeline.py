@@ -63,9 +63,13 @@ def run_cdc_stream(
 
     - checkpointed source offsets (T1 ≈ enableCheckpointing(1000) +
       EXACTLY_ONCE, Main.java:49-51);
-    - stream-static broadcast join — Spark re-reads the static side per
-      micro-batch, strictly fresher than the reference's one-shot JDBC
-      snapshot-into-state (CreateJDBCInputFormat.java:8-10);
+    - stream-static broadcast join — Spark re-EXECUTES the static-side
+      plan per micro-batch: for a JDBC dim that re-queries the database
+      each batch (fresher than the reference's one-shot snapshot-into-
+      state, CreateJDBCInputFormat.java:8-10). A FILE-backed dim pins
+      its file listing at query start, so it does NOT pick up rewrites
+      mid-query (tested) — use ``run_cdc_stream_fresh_dim`` when a
+      file/table dim must refresh;
     - foreachBatch upsert with in-batch last-write-wins by (es, ts) —
       REPLACE INTO semantics under retry (SURVEY.md §7 hard part (3)).
 
@@ -77,6 +81,53 @@ def run_cdc_stream(
     enriched = enriched_meetings(raw, meeting_address_dim(spark), types=types)
     return (
         enriched.writeStream.foreachBatch(sink.process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_cdc_stream_fresh_dim(
+    spark: SparkSession,
+    source_path: str,
+    sink: KeyedParquetUpsertSink,
+    checkpoint_dir: str,
+    *,
+    dim_fn=meeting_address_dim,
+    types: tuple[str, ...] = ("INSERT", "UPDATE"),
+):
+    """``run_cdc_stream`` with a PER-MICRO-BATCH dimension reload: the
+    enrich join moves inside ``foreachBatch``, where ``dim_fn(spark)``
+    rebuilds the dim DataFrame fresh for every batch — new files, new
+    partitions, schema-compatible rewrites all picked up while the query
+    keeps running.
+
+    This closes the reference's documented limitation — its JDBC dim is
+    loaded once into state and "无法感知mysql维表的变化" (cannot see dim
+    changes, CreateJDBCInputFormat.java:8-10; async-IO + cache named as
+    future work). The cost is re-reading the dim each batch — fine for
+    broadcast-sized dims, and the 100 TB answer for bigger ones is a
+    slowly-refreshed cached snapshot, not a per-event lookup."""
+    raw = read_cdc_file_stream(spark, source_path)
+    meeting_info = ingest_meeting_stream(raw, types=types)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        dim = dim_fn(batch_df.sparkSession)
+        joined = enrich(batch_df, dim, "address_id", "meetingroom_id", "left").select(
+            "meeting_id",
+            "meeting_code",
+            "meetingroom_id",
+            "meetingroom_name",
+            "location_name",
+            "city",
+            "_es",
+            "_ts",
+            "_op",
+        )
+        sink.process_batch(joined, batch_id)
+
+    return (
+        meeting_info.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

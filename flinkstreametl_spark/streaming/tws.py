@@ -1,0 +1,89 @@
+"""Arbitrary stateful streaming via the Spark 4 ``transformWithState``
+API — the successor to ``applyInPandasWithState`` (streaming/stateful.py)
+with typed, named state variables, per-state TTL, and timers.
+
+Same semantic territory as the reference's raw ProcessFunction + idle
+state retention (Main.java:123-133, Main.java:57), but expressed on the
+modern operator: state lives in named handles (value/list/map state)
+inside the RocksDB state store, TTL is declared per state variable
+instead of per job, and the processor is an object with a lifecycle
+rather than a closure. At 100 TB the practical wins over the old API
+are incremental state encoding (no full pickle of the state row per
+update) and per-key-family TTL without watermark gymnastics.
+
+``transformWithState`` requires the RocksDB state store provider
+(``rocksdb_conf()`` returns the conf pair jobs must set) and — in
+PySpark — the ``protobuf`` package for the state-server wire protocol.
+This CI container ships neither Kafka jars nor protobuf, so like the
+Kafka source/sink (sources/cdc.py, streaming/sinks.py) the end-to-end
+path is gated: the processor's logic is unit-tested against a fake
+state handle, the plan construction is asserted, and the streaming
+run itself is skipif-gated on ``import google.protobuf``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+ROCKSDB_PROVIDER = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def rocksdb_conf() -> tuple[str, str]:
+    return ("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-key running (count, sum) with a single typed value state.
+
+    Emits one updated row per key per micro-batch — the update-mode
+    running aggregate, but with explicit state so it can host logic
+    aggregates can't express (per-key model state, conditional resets,
+    cross-column invariants). ``ttl_ms`` bounds idle-key state exactly
+    like the reference's setIdleStateRetentionTime.
+    """
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        schema = T.StructType(
+            [T.StructField("n", T.LongType()), T.StructField("total", T.DoubleType())]
+        )
+        self._agg = handle.getValueState("agg", schema, ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+        self._agg.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_running_totals(df: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
+    """(user_id, value) stream -> per-user running (n_events,
+    total_value), one refreshed row per key per batch (update mode)."""
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotalsProcessor(ttl_ms),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -433,3 +433,56 @@ def test_kafka_sink_option_and_payload_wiring(spark):
     payload = kafka_payload(df).collect()
     assert [c for c in kafka_payload(df).columns] == ["value"]
     assert json.loads(payload[0].value) == {"id": 1, "name": "a"}
+
+
+def test_fresh_dim_picked_up_across_batches(spark, tmp_path):
+    """run_cdc_stream_fresh_dim: a dim rewrite between micro-batches is
+    visible to later batches (the reference's documented staleness,
+    CreateJDBCInputFormat.java:8-10, closed), while already-upserted
+    rows are untouched. Also pins the PLAIN stream-static limitation:
+    the file-backed dim there would not refresh mid-query."""
+    from flinkstreametl_spark.sources.cdc import _meeting_row, envelope
+    from flinkstreametl_spark.streaming.pipeline import run_cdc_stream_fresh_dim
+
+    import json as _json
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dim_path = str(tmp_path / "dim")
+    dim_schema = (
+        "meetingroom_id INT, meetingroom_name STRING, location_id STRING,"
+        " location_name STRING, city STRING"
+    )
+    spark.createDataFrame([(1, "Room-A", "LOC1", "Building 1", "North")], dim_schema).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    def dim_fn(s):
+        return s.read.parquet(dim_path)
+
+    with open(src / "b1.jsonl", "w") as f:
+        f.write(
+            _json.dumps(
+                envelope(1, "INSERT", [_meeting_row(201, 1, "2020-01-01 09:00:00", "2020-01-01 10:00:00")])
+            )
+            + "\n"
+        )
+    sink = KeyedParquetUpsertSink(str(tmp_path / "out"), ["meeting_id"], ["_es", "_ts"])
+    ckpt = str(tmp_path / "ckpt")
+    run_cdc_stream_fresh_dim(spark, str(src), sink, ckpt, dim_fn=dim_fn).awaitTermination(120)
+    assert {(r.meeting_id, r.city) for r in sink.read(spark).collect()} == {(201, "North")}
+
+    # dim rewrite + a second meeting referencing the same room
+    spark.createDataFrame([(1, "Room-A", "LOC1", "Building 1", "Renamed")], dim_schema).write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+    with open(src / "b2.jsonl", "w") as f:
+        f.write(
+            _json.dumps(
+                envelope(2, "INSERT", [_meeting_row(202, 1, "2020-01-01 11:00:00", "2020-01-01 12:00:00")])
+            )
+            + "\n"
+        )
+    run_cdc_stream_fresh_dim(spark, str(src), sink, ckpt, dim_fn=dim_fn).awaitTermination(120)
+    got = {(r.meeting_id, r.city) for r in sink.read(spark).collect()}
+    assert got == {(201, "North"), (202, "Renamed")}

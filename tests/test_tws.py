@@ -1,0 +1,134 @@
+"""transformWithStateInPandas (Spark 4 stateful API): cross-batch
+running totals with typed value state.
+
+The streaming execution of this operator needs the protobuf package
+(PySpark's transformWithState state-server protocol), which this CI
+container doesn't ship — so the end-to-end run is skipif-gated, and the
+processor logic + plan construction are verified directly (the same
+gating discipline as the Kafka source/sink)."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+
+import pandas as pd
+import pytest
+
+from flinkstreametl_spark.streaming.tws import (
+    RunningTotalsProcessor,
+    rocksdb_conf,
+    streaming_user_running_totals,
+)
+
+try:
+    _HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    _HAS_PROTOBUF = False
+
+SCHEMA = "user_id LONG, value DOUBLE"
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+        self.ttls = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_processor_logic_across_batches():
+    """Two micro-batches through handleInputRows accumulate (n, total)
+    in value state and emit the refreshed row each time."""
+    p = RunningTotalsProcessor(ttl_ms=60_000)
+    handle = _FakeHandle()
+    p.init(handle)
+    assert handle.ttls["agg"] == 60_000
+
+    out1 = pd.concat(p.handleInputRows((1,), iter([pd.DataFrame({"value": [10.0, 5.0]})]), None))
+    assert out1.to_dict("records") == [{"user_id": 1, "n_events": 2, "total_value": 15.0}]
+
+    out2 = pd.concat(p.handleInputRows((1,), iter([pd.DataFrame({"value": [2.0]})]), None))
+    assert out2.to_dict("records") == [{"user_id": 1, "n_events": 3, "total_value": 17.0}]
+
+    # independent key starts fresh state? (state here is per-operator in
+    # the fake; the real engine scopes it per key — this asserts the
+    # processor reads only what the handle returns)
+    p2 = RunningTotalsProcessor()
+    h2 = _FakeHandle()
+    p2.init(h2)
+    assert h2.ttls["agg"] is None
+    out3 = pd.concat(p2.handleInputRows((2,), iter([pd.DataFrame({"value": [1.0]})]), None))
+    assert out3.to_dict("records") == [{"user_id": 2, "n_events": 1, "total_value": 1.0}]
+
+
+def test_plan_construction(spark, tmp_path):
+    """The TransformWithStateInPandas node must build on a streaming
+    relation with the declared output schema (no execution needed)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    out = streaming_user_running_totals(stream, ttl_ms=1000)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == ["user_id", "n_events", "total_value"]
+    assert "transformwithstateinpyspark" in out._jdf.queryExecution().logical().toString().lower()
+
+
+def _write_batch(path, rows):
+    with open(path, "w") as f:
+        for u, v in rows:
+            f.write(json.dumps({"user_id": u, "value": v}) + "\n")
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="transformWithState state server needs protobuf")
+def test_tws_running_totals_end_to_end(spark, tmp_path):
+    key, val = rocksdb_conf()
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, val)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch(src / "b1.jsonl", [(1, 10.0), (1, 5.0), (2, 1.0)])
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        totals = streaming_user_running_totals(stream)
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(src / "b2.jsonl", [(1, 2.0), (3, 7.0)])
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("SELECT * FROM tws_out").collect():
+                latest[r.user_id] = (r.n_events, r.total_value)
+            assert latest == {1: (3, 17.0), 2: (1, 1.0), 3: (1, 7.0)}
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
