@@ -16,6 +16,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+
+def epoch_seconds(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch seconds for a timestamp column, robust to both TIMESTAMP
+    (LTZ) and TIMESTAMP_NTZ physical types (parquet written without
+    isAdjustedToUTC reads as NTZ under Spark's inferTimestampNTZ, and
+    NTZ forbids a direct CAST(.. AS BIGINT)). NTZ is measured against a
+    naive 1970-01-01 anchor, which is timezone-independent and matches
+    DuckDB's epoch() over naive timestamps."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})")
+    return F.col(ts_col).cast("long")
+
+
+def ensure_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Cast a TIMESTAMP_NTZ event-time column to TIMESTAMP: Spark's
+    watermarks reject NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). Under
+    the session's UTC timezone (session.py) the cast is the naive-as-UTC
+    reading, identical to the DuckDB oracle's interpretation. No-op for
+    columns already TIMESTAMP."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def epoch_micros(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch microseconds, robust to TIMESTAMP vs TIMESTAMP_NTZ (same
+    rationale as ``epoch_seconds``; unix_micros() rejects NTZ input)."""
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})")
+    return F.unix_micros(F.col(ts_col))
 
 
 def sessionize(
@@ -28,7 +60,8 @@ def sessionize(
     the time since the previous event exceeds `gap_seconds`. Returns the
     input plus a `session_id` column (1-based per key, deterministic)."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    sec = epoch_seconds(df, ts_col)
+    gap = sec - F.lag(sec).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("_new", is_new).withColumn("session_id", F.sum("_new").over(run)).drop("_new")

@@ -15,99 +15,89 @@ from flinkstreametl_spark.plans import coverage_ext as _coverage_ext  # noqa: E4
 from flinkstreametl_spark.plans import corpus_ext as _corpus_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ml_ext as _ml_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
-# driver verdict each round. Round 2 window: the two round-1 hash-FAILs
-# (oracle casts now fixed), the two queries promoted from rows-only to
-# oracle-backed, then every oracle-backed query that had no round-1
-# verdict (the whole LLM/dedup/similarity suite, TPC-H q2/q7-q22
-# analogs, pipeline + coverage ops). Queries already verified green in
-# CORRECTNESS_r01.json move behind the window (their evidence stands);
+# driver verdict each round. Cumulative green verdicts: 44 (r1) + 49
+# (r2) = 93 of 131. Round 3 window: the 35 oracle-backed queries still
+# without a verdict (sessionize_events crashed in r2 on the NTZ cast,
+# since fixed; the other 34 registered past position 50 in r2), plus 15
+# re-pins — flagship + timestamp-heavy queries re-proven against the
+# regenerated testdata whose `ts` now reads as TIMESTAMP_NTZ. Verified
+# queries move behind the window (their recorded evidence stands);
 # rows-only queries go last so they never consume a verdict slot.
-#
-# ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands, swap the then-
-# verified window for the queries still without any driver verdict —
-# the round-2 additions (ingest_batch_pipeline, range_join_error_context,
-# temperature_mix_sample, cdc_rolling_hash_chunks, audio_features_wav,
-# video_frame_sample, bigram_familiarity_score, textrank_keywords,
-# funnel_conversion, cohort_retention, weighted_sample_topk,
-# quota_sample_per_lang, simhash_near_pairs, knn_cosine_fast,
-# ann_ivf_topk, neardup_cluster_assign, and the late round-2 additions
-# fuzzy_dup_parts, dup_span_ladder, bpe_train_merges) plus any
-# remaining unverified oracle-backed names in registration order.
-_WINDOW_R2 = [
-    # round-1 hash-FAILs, re-submitted with fixed oracles
-    "occupancy_rate_by_region",
+_WINDOW_R3 = [
+    # every oracle-backed query still without a green driver verdict
+    # (sessionize_events crashed in r2 on the NTZ cast — now fixed;
+    # the rest registered after position 50 in the r2 window)
     "sessionize_events",
-    # promoted rows-only -> exact oracle
-    "percentile_quantities",
-    "pandas_udf_quality",
-    # LLM-pipeline suite (llm.py) — no round-1 verdict
-    "text_quality_stats",
-    "langid_heuristic",
-    "doc_fingerprint",
-    "exact_dup_groups",
-    "dedup_keep_first",
-    "minhash_lsh_neardup",
-    "simhash_signatures",
-    "ngram_jaccard_pairs",
-    "knn_brute_topk",
-    "embedding_norms",
-    "label_centroids",
-    "media_meta",
-    "bpe_ish_token_count",
-    "embedding_neardup_pairs",
-    "chunk_documents",
-    "doc_repetition_stats",
-    # TPC-H analog extensions (tpch_ext.py) — no round-1 verdict
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping_counts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_predicate",
-    "q20_excess_suppliers",
-    "q21_sole_supplier_orders",
-    "q22_idle_customers",
-    # training-data pipeline ops (pipeline_ext.py) — no round-1 verdict
-    "hash_split_train_test",
-    "stratified_hash_sample",
-    "array_functions_embeddings",
-    "training_data_pipeline",
-    # coverage extensions (coverage_ext.py / analytics_ext.py) — no round-1 verdict
-    "conditional_aggregates",
-    "window_range_frame",
-    "window_rows_frame_dist",
-    "listagg_region_nations",
-    "unpivot_part_measures",
-    "resample_ffill_hourly",
-    "histogram_totalprice",
-    "redact_documents",
-    "stats_corr_covar_exact",
-    "median_disc_quantity",
-    "rollup_with_grouping_id",
+    "posexplode_tokens",
+    "collect_set_sorted",
+    "funnel_conversion",
+    "cohort_retention",
+    "simhash_near_pairs",
+    "knn_cosine_fast",
+    "ann_ivf_topk",
+    "audio_features_wav",
+    "video_frame_sample",
+    "neardup_cluster_assign",
+    "date_arithmetic_orders",
+    "grouped_agg_pandas_udf",
+    "pack_sequences",
+    "decontaminate_ngram_hits",
+    "bpe_pair_counts",
+    "weighted_sample_topk",
+    "quota_sample_per_lang",
+    "props_map_entries",
+    "fuzzy_dup_parts",
+    "tfidf_top_terms",
+    "inverted_index_terms",
+    "passage_dedup_stats",
+    "embedding_srp_pairs",
+    "bigram_familiarity_score",
+    "textrank_keywords",
+    "dup_span_ladder",
+    "bpe_train_merges",
+    "knn_pandas_topk",
+    "kmeans_cluster_sizes",
+    "quality_classifier_score",
+    "ingest_batch_pipeline",
+    "cdc_rolling_hash_chunks",
+    "range_join_error_context",
+    "temperature_mix_sample",
+    # re-pins: flagship + timestamp-heavy queries re-proven against the
+    # regenerated testdata (ts now reads as TIMESTAMP_NTZ under Spark 4)
+    "flagship_enrich",
+    "q1_pricing_summary",
+    "asof_latest_order",
+    "session_window_agg",
+    "sliding_window_counts",
+    "temporal_active_filter",
+    "timestamp_parse_roundtrip",
+    "monthly_revenue_trend",
+    "cdc_filter_project",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "token_frequency_top100",
+    "q6_forecast_revenue",
+    "window_lag_lead_ntile",
+    "stats_variance_exact",
 ]
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R2 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R3 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R2) != len(set(_WINDOW_R2)):
+    if len(_WINDOW_R3) != len(set(_WINDOW_R3)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R2 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R3 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R2 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R2 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R2, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R3 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R3 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R3, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.operators.windows import epoch_micros
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 from flinkstreametl_spark.streaming.doc_ingest import quality_gate, with_fingerprint
@@ -235,9 +236,9 @@ def range_join_error_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-stream interval join in streaming/pipeline.py).
 
     Time arithmetic is integer microseconds on both sides
-    (unix_micros / epoch_us), so the boundary is bit-exact."""
+    (epoch_micros / epoch_us), so the boundary is bit-exact."""
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_micros(events, "ts")
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id",
         "user_id",

@@ -1,0 +1,186 @@
+"""[EXT] Warehouse-pattern operators: SCD2 history build, coherent
+(referential-integrity-preserving) sampling, exact per-group trend fit.
+
+These are the table-maintenance / pipeline-hygiene patterns a
+production deployment of the reference's ETL would grow into (the
+reference stops at enrich-and-upsert; SURVEY.md §2.9 schedules the
+extensions):
+
+- SCD2: the upsert sink (streaming/sinks.py REPLACE semantics) keeps
+  only latest state; slowly-changing-dimension type 2 keeps the full
+  validity-interval history instead. One window shuffle per key.
+- Coherent sampling: sampling a FACT table breaks its foreign keys;
+  sampling by a hash of the JOIN KEY keeps every related row across
+  tables with ZERO joins — each table filters independently on the
+  same deterministic predicate. At 100 TB this is the only shape that
+  works: no shuffle, no coordination, pushdown-friendly.
+- Trend fit: closed-form OLS from per-group sums. Sums run in exact
+  fixed-point (functions/exact.py rationale) so the result is
+  bit-reproducible under any partitioning / AQE re-plan; the float
+  division happens once, on exact inputs, at the very end. The
+  engine-native fast path is regr_slope/regr_intercept (built-ins in
+  both Spark and DuckDB) — order-dependent double sums make them
+  hash-unstable across engines, hence the fixed-point twin here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.functions.exact import dbl, dec, sql_dbl
+from flinkstreametl_spark.operators.windows import epoch_micros
+from flinkstreametl_spark.plans.analytics import _REV_SQL
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+_SCD2_ORACLE = """
+SELECT o_custkey,
+       o_orderstatus,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       (lead(o_orderdate) OVER w IS NULL) AS is_current,
+       CAST(row_number() OVER w AS BIGINT) AS version
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("scd2_order_status_history", tags=("ext", "warehouse", "window"), oracle=_SCD2_ORACLE)
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: each order sets its customer's status from
+    its order date until the next order (validity chained with lead());
+    the open-ended row is the current one. Deterministic under date ties
+    via the unique o_orderkey tie-break. One shuffle on o_custkey; at
+    100 TB this is the standard dimension-history merge shape (and the
+    window partitioning is reusable by any downstream per-customer op).
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
+# Keep 1/16 of the keyspace: top hex digit of md5(key) == '0'. The
+# predicate is a pure function of the join key, so orders and lineitem
+# agree on membership WITHOUT any join or broadcast.
+_SAMPLE_PRED = "substr(md5(CAST({key} AS VARCHAR)), 1, 1) = '0'"
+
+# Revenue sums in exact decimal (functions/exact.py): float SUM is
+# partition-order dependent and diverged from DuckDB at sf0.01.
+_COHERENT_ORACLE = f"""
+WITH so AS (
+    SELECT * FROM orders WHERE {_SAMPLE_PRED.format(key="o_orderkey")}
+), sl AS (
+    SELECT * FROM lineitem WHERE {_SAMPLE_PRED.format(key="l_orderkey")}
+)
+SELECT so.o_orderkey,
+       so.o_custkey,
+       CAST(COUNT(sl.l_orderkey) AS BIGINT) AS n_items,
+       {sql_dbl(f"COALESCE(SUM({_REV_SQL}), 0)", 6)} AS sampled_revenue
+FROM so LEFT JOIN sl ON so.o_orderkey = sl.l_orderkey
+GROUP BY so.o_orderkey, so.o_custkey
+"""
+
+
+@register("coherent_sample_orders", tags=("ext", "pipeline", "sampling"), oracle=_COHERENT_ORACLE)
+def coherent_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coherent cross-table sample: orders and lineitem each keep rows
+    whose ORDER KEY md5 starts with '0' (a deterministic 1/16 sample of
+    the keyspace), so every sampled order arrives with ALL its line
+    items — referential integrity preserved with zero coordination.
+    Both filters evaluate independently at scan time on each table; the
+    verification join that follows runs on 1/16-sized inputs. This is
+    how a 100 TB pipeline cuts a faithful dev slice: same predicate on
+    every table that shares the key, no join against a sampled-key
+    list, no broadcast."""
+    def pred(key: str) -> F.Column:
+        # Same digest as the oracle's md5(CAST(key AS VARCHAR)): both
+        # engines hash the decimal string form of the key.
+        return F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 1) == "0"
+
+    pred_o = pred("o_orderkey")
+    pred_l = pred("l_orderkey")
+    so = load_table(spark, sf_dir, "orders").filter(pred_o)
+    sl = load_table(spark, sf_dir, "lineitem").filter(pred_l)
+    rev = F.sum(dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 6, 4)))
+    return (
+        so.join(sl, so.o_orderkey == sl.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.count("l_orderkey").cast("long").alias("n_items"),
+            dbl(F.coalesce(rev, F.lit(0).cast("decimal(18,6)")), 6).alias("sampled_revenue"),
+        )
+    )
+
+
+# OLS in exact fixed-point: x = MICROSECONDS since 2024-01-01 (the
+# fixture events carry sub-second timestamps; epoch-seconds would make
+# the engines disagree on rounding — DuckDB's CAST(epoch(ts) AS
+# DECIMAL) rounds, Spark's timestampdiff(SECOND) truncates), y = value
+# at 10^6 resolution. All five sums are decimal-exact => slope and mean
+# are ONE double division over bit-identical operands at the very end —
+# reproducible under any partitioning, identical in DuckDB.
+# DECIMAL(38,0) accumulators keep sxx (~1e27/term) overflow-free.
+# Unit bookkeeping: slope in y-fp per µs × 1e6 µs/s ÷ 1e6 fp/value = 1,
+# so the raw division IS the slope per second.
+_X0_US = 1_704_067_200 * 1_000_000  # 2024-01-01 00:00:00 UTC, epoch µs
+
+_TREND_ORACLE = f"""
+WITH pts AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) - {_X0_US} AS DECIMAL(38,0)) AS x,
+           CAST(CAST(floor(value * 1000000) AS BIGINT) AS DECIMAL(38,0)) AS y
+    FROM events
+), s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_points,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 12) AS slope_per_sec,
+       ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 6) AS mean_value
+FROM s
+"""
+
+
+@register("trend_fit_by_event_type", tags=("ext", "ml", "agg"), oracle=_TREND_ORACLE)
+def trend_fit_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend (value vs time) via closed-form sums in
+    exact DECIMAL arithmetic — the partition-invariant twin of the
+    regr_slope/regr_intercept built-ins (whose double sums are
+    order-dependent and so not bit-stable under AQE). One partial+final
+    aggregate, no shuffle beyond the groupBy; the five sums are the
+    whole state, so this scales like any hash aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        (epoch_micros(events, "ts") - F.lit(_X0_US)).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("value") * 1_000_000).cast("long").cast("decimal(38,0)").alias("y"),
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_points"),
+        F.round(
+            (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast("double"), 12
+        ).alias("slope_per_sec"),
+        F.round(sy.cast("double") / n.cast("double") / 1_000_000.0, 6).alias("mean_value"),
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators.cdc import ingest_meeting_stream, with_proctime
 from flinkstreametl_spark.operators.joins import enrich
+from flinkstreametl_spark.operators.windows import ensure_event_time
 from flinkstreametl_spark.sources.cdc import (
     meeting_address_dim,
     read_cdc_file_batch,
@@ -26,23 +27,33 @@ from flinkstreametl_spark.sources.cdc import (
 from flinkstreametl_spark.streaming.sinks import KeyedParquetUpsertSink
 
 
+# model/Meeting.java:13-18 — the enriched-output projection, shared by
+# every variant below so the column list cannot drift between them.
+MEETING_COLUMNS = (
+    "meeting_id",
+    "meeting_code",
+    "meetingroom_id",
+    "meetingroom_name",
+    "location_name",
+    "city",
+    "_es",
+    "_ts",
+    "_op",
+)
+
+
+def _enrich_project(meeting_info: DataFrame, dim: DataFrame) -> DataFrame:
+    """J1 enrich join + Meeting projection over an already-ingested
+    meeting_info DataFrame (batch or per-micro-batch)."""
+    joined = enrich(meeting_info, dim, "address_id", "meetingroom_id", "left")
+    return joined.select(*MEETING_COLUMNS)
+
+
 def enriched_meetings(raw: DataFrame, dim: DataFrame, *, types: tuple[str, ...] = ("INSERT",)) -> DataFrame:
     """Ingest chain + J1 enrich join + Meeting projection
     (sqlquery/JoinedSQLQuery.java:6-10 -> model/Meeting.java:13-18).
     Works on batch and streaming inputs alike."""
-    meeting_info = ingest_meeting_stream(raw, types=types)
-    joined = enrich(meeting_info, dim, "address_id", "meetingroom_id", "left")
-    return joined.select(
-        "meeting_id",
-        "meeting_code",
-        "meetingroom_id",
-        "meetingroom_name",
-        "location_name",
-        "city",
-        "_es",
-        "_ts",
-        "_op",
-    )
+    return _enrich_project(ingest_meeting_stream(raw, types=types), dim)
 
 
 def run_cdc_batch(spark: SparkSession, source_path: str, *, types: tuple[str, ...] = ("INSERT",)) -> DataFrame:
@@ -58,6 +69,7 @@ def run_cdc_stream(
     checkpoint_dir: str,
     *,
     types: tuple[str, ...] = ("INSERT", "UPDATE"),
+    available_now: bool = True,
 ):
     """The full streaming job with exactly-once delivery:
 
@@ -74,17 +86,16 @@ def run_cdc_stream(
       REPLACE INTO semantics under retry (SURVEY.md §7 hard part (3)).
 
     Returns the StreamingQuery (caller awaits/stops). With
-    trigger(availableNow=True) it drains existing files and stops —
-    deterministic for tests; drop the trigger for continuous runs.
+    ``available_now=True`` (default) it drains existing files and stops —
+    deterministic for tests; pass ``available_now=False`` for a
+    continuous production run (default micro-batch trigger).
     """
     raw = read_cdc_file_stream(spark, source_path)
     enriched = enriched_meetings(raw, meeting_address_dim(spark), types=types)
-    return (
-        enriched.writeStream.foreachBatch(sink.process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = enriched.writeStream.foreachBatch(sink.process_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_cdc_stream_fresh_dim(
@@ -95,12 +106,14 @@ def run_cdc_stream_fresh_dim(
     *,
     dim_fn=meeting_address_dim,
     types: tuple[str, ...] = ("INSERT", "UPDATE"),
+    available_now: bool = True,
 ):
     """``run_cdc_stream`` with a PER-MICRO-BATCH dimension reload: the
     enrich join moves inside ``foreachBatch``, where ``dim_fn(spark)``
     rebuilds the dim DataFrame fresh for every batch — new files, new
     partitions, schema-compatible rewrites all picked up while the query
-    keeps running.
+    keeps running (``available_now=False`` for that continuous mode;
+    the default drains-and-stops for deterministic tests).
 
     This closes the reference's documented limitation — its JDBC dim is
     loaded once into state and "无法感知mysql维表的变化" (cannot see dim
@@ -112,26 +125,12 @@ def run_cdc_stream_fresh_dim(
     meeting_info = ingest_meeting_stream(raw, types=types)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        dim = dim_fn(batch_df.sparkSession)
-        joined = enrich(batch_df, dim, "address_id", "meetingroom_id", "left").select(
-            "meeting_id",
-            "meeting_code",
-            "meetingroom_id",
-            "meetingroom_name",
-            "location_name",
-            "city",
-            "_es",
-            "_ts",
-            "_op",
-        )
-        sink.process_batch(joined, batch_id)
+        sink.process_batch(_enrich_project(batch_df, dim_fn(batch_df.sparkSession)), batch_id)
 
-    return (
-        meeting_info.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = meeting_info.writeStream.foreachBatch(process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes", watermark: str = "20 minutes") -> DataFrame:
@@ -140,7 +139,7 @@ def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes", wate
     Main.java:50; this is the completed version). Works in batch too
     (window() is a plain grouping expression)."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
         .select(
@@ -162,7 +161,7 @@ def session_window_counts(events: DataFrame, *, gap: str = "30 minutes", waterma
     Main.java:57). Works in batch too (session_window is a grouping
     expression there)."""
     return (
-        events.withWatermark("ts", watermark)
+        ensure_event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("win"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
         .select(
@@ -199,8 +198,8 @@ def stream_stream_interval_join(
     the interval's end — i.e. when the engine can PROVE no match will
     arrive — which is why outer stream-stream joins require the time
     bound at all."""
-    lt = left.withWatermark("ts", watermark).alias("l")
-    rt = right.withWatermark("ts", watermark).alias("r")
+    lt = ensure_event_time(left, "ts").withWatermark("ts", watermark).alias("l")
+    rt = ensure_event_time(right, "ts").withWatermark("ts", watermark).alias("r")
     return lt.join(
         rt,
         F.expr(

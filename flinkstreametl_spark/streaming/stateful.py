@@ -19,6 +19,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from flinkstreametl_spark.operators.windows import ensure_event_time
+
 
 def streaming_dedup_first_seen(
     df: DataFrame,
@@ -102,4 +104,4 @@ def streaming_dedup_within_watermark(
     duplicates arrive close together in event time (CDC retries,
     at-least-once sources); use the custom operator when "first ever
     seen" must hold across unbounded time."""
-    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)
+    return ensure_event_time(df, ts_col).withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(key_cols)

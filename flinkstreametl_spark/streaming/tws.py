@@ -80,10 +80,15 @@ class RunningTotalsProcessor(StatefulProcessor):
 
 def streaming_user_running_totals(df: DataFrame, *, ttl_ms: int | None = None) -> DataFrame:
     """(user_id, value) stream -> per-user running (n_events,
-    total_value), one refreshed row per key per batch (update mode)."""
+    total_value), one refreshed row per key per batch (update mode).
+
+    TTL requires a clocked time mode: Spark rejects ttlDurationMs under
+    timeMode="None" at query start (STATEFUL_PROCESSOR_INCORRECT_TIME_
+    MODE_TO_ASSIGN_TTL), so the mode switches to ProcessingTime whenever
+    a TTL is requested."""
     return df.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=RunningTotalsProcessor(ttl_ms),
         outputStructType=_OUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )

@@ -99,6 +99,57 @@ def _write_batch(path, rows):
             f.write(json.dumps({"user_id": u, "value": v}) + "\n")
 
 
+def test_ttl_switches_time_mode(spark, tmp_path):
+    """ttl_ms=None keeps timeMode=None; a set TTL must switch the node
+    to ProcessingTime — Spark rejects TTL under NoTime at query start
+    (STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = spark.readStream.schema(SCHEMA).json(str(src))
+    plan_ttl = streaming_user_running_totals(stream, ttl_ms=1000)._jdf.queryExecution().logical().toString()
+    plan_none = streaming_user_running_totals(stream)._jdf.queryExecution().logical().toString()
+    assert "ProcessingTime" in plan_ttl
+    assert "ProcessingTime" not in plan_none
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="transformWithState state server needs protobuf")
+def test_tws_ttl_end_to_end(spark, tmp_path):
+    """TTL path against the real engine: with a set ttl_ms the query must
+    start (ProcessingTime mode) and accumulate across batches arriving
+    well inside the TTL window."""
+    key, val = rocksdb_conf()
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, val)
+    try:
+        src = tmp_path / "src"
+        src.mkdir()
+        _write_batch(src / "b1.jsonl", [(1, 10.0)])
+        stream = spark.readStream.schema(SCHEMA).json(str(src))
+        totals = streaming_user_running_totals(stream, ttl_ms=3_600_000)
+        q = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_ttl_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            _write_batch(src / "b2.jsonl", [(1, 2.0)])
+            q.processAllAvailable()
+            latest = {}
+            for r in spark.sql("SELECT * FROM tws_ttl_out").collect():
+                latest[r.user_id] = (r.n_events, r.total_value)
+            assert latest == {1: (2, 12.0)}
+        finally:
+            q.stop()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 @pytest.mark.skipif(not _HAS_PROTOBUF, reason="transformWithState state server needs protobuf")
 def test_tws_running_totals_end_to_end(spark, tmp_path):
     key, val = rocksdb_conf()
