@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators.text import distinct_tokens, fingerprint
+from flinkstreametl_spark.sources.parquet import ensure_parallelism
 
 # 8 hashes in 4 bands of 2: at the 0.6 Jaccard threshold the candidate
 # probability is 1-(1-j²)⁴ ≈ 0.86 (vs 0.59 for 2 bands of 4) — recall
@@ -235,22 +236,49 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     contributes +1/-1 according to nibble bit ((hex_digit >> (i%4)) & 1
     of hex char i//4). Signature bit i is set iff the sum over tokens is
     positive. Pure integer/string builtins — portable to the oracle.
-    """
-    toks = token_sets(docs, id_col, text_col).select(F.col(id_col), F.explode("toks").alias("tok"))
-    h = F.md5(F.col("tok").cast("binary"))
-    bit_idx = F.explode(F.array([F.lit(i) for i in range(bits)])).alias("i")
-    with_bits = toks.select(F.col(id_col), h.alias("h"), bit_idx)
-    # Same expression text as the DuckDB oracle (instr/substring/bit ops).
-    contrib = F.expr(
-        "CASE WHEN ((instr('0123456789abcdef', substring(h, 1 + CAST(floor(i / 4) AS INT), 1)) - 1)"
-        " & shiftleft(1, CAST(i % 4 AS INT))) > 0 THEN 1 ELSE -1 END"
+
+    Computed entirely PER ROW with higher-order functions (the
+    ``_sig_array`` MinHash pattern): one ``aggregate`` over the token
+    array carries a `bits`-wide array of contribution sums, then the
+    signature folds out of the sums — zero explodes, zero shuffles,
+    whole-stage codegen. The previous explode(tokens) × explode(bits)
+    formulation shuffled ~|tokens|×bits rows through two aggregations
+    (~40M at sf0.1) and was the bench's hottest operator; the semantics
+    and the DuckDB oracle are unchanged (integer sums are
+    order-independent)."""
+    # A digest per token is CPU-bound: spread a badly-split input
+    # across cores before the hot map (measured 5.2s -> 1.5s at sf0.1,
+    # where the fixture parquet is one unsplittable row group).
+    toks = token_sets(ensure_parallelism(docs), id_col, text_col).filter(F.size("toks") > 0)
+    # md5 once per token -> the first 4 hex chars as one 16-bit int
+    # (HOF lambdas get no common-subexpression elimination, so per-bit
+    # md5 calls would run `bits` digests per token). Bit i of the
+    # oracle's scheme — nibble bit (i%4) of hex char (i//4), the
+    # leftmost hex char being the HIGH nibble of the conv() value —
+    # is bit 4*(3 - i//4) + (i%4) of that int.
+    n_chars = -(-bits // 4)
+    shifts = [4 * (n_chars - 1 - i // 4) + (i % 4) for i in range(bits)]
+    contrib_terms = ", ".join(
+        f"CASE WHEN (shiftright(v, {s}) & 1) = 1 THEN 1 ELSE -1 END" for s in shifts
     )
-    sums = with_bits.select(F.col(id_col), F.col("i"), contrib.alias("c")).groupBy(id_col, "i").agg(F.sum("c").alias("s"))
-    return sums.groupBy(id_col).agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END")
-        ).alias("simhash")
+    sums = F.expr(
+        f"""aggregate(
+            transform(toks, t -> cast(conv(substring(md5(cast(t as binary)), 1, {n_chars}), 16, 10) as bigint)),
+            array_repeat(cast(0 as bigint), {bits}),
+            (acc, v) -> zip_with(acc, array({contrib_terms}), (a, c) -> a + cast(c as bigint))
+        )"""
     )
+    with_sums = toks.select(F.col(id_col), sums.alias("_sums"))
+    sig = sum(
+        (
+            F.when(F.element_at("_sums", i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    return with_sums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

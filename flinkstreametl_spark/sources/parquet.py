@@ -45,6 +45,25 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in FIXTURE_TABLES}
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IF the input has fewer partitions than
+    the session's parallelism — the guard CPU-heavy per-row operators
+    (hashing every token, per-vector arithmetic) place before their hot
+    map stage.
+
+    Rationale: a single-row-group parquet file is one split no matter
+    its row count, so a digest-per-token operator would otherwise run
+    on ONE core while 31 idle (measured: simhash at sf0.1 spent ~4s of
+    its 5.4s single-threaded). At cluster scale inputs arrive
+    well-split and this is a no-op — the repartition only fires on
+    pathological splits, and costs one exchange of the input rows,
+    which the CPU-bound stage amortizes immediately."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql use."""
     for name, df in load_tables(spark, sf_dir).items():
