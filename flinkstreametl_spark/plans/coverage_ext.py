@@ -648,3 +648,108 @@ def fuzzy_dup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("dist") >= 0) & (F.col("dist") <= 3))
         .select("part_a", "part_b", "name_a", "name_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH e AS (
+    SELECT event_id,
+           CASE WHEN value < 50 THEN NULL ELSE event_type END AS seg
+    FROM events
+), seg_stats AS (
+    SELECT seg, CAST(COUNT(*) AS BIGINT) AS seg_n FROM e GROUP BY seg
+)
+SELECT e.event_id, e.seg, s.seg_n
+FROM e JOIN seg_stats s ON e.seg IS NOT DISTINCT FROM s.seg
+"""
+
+
+@register("null_safe_join_segments", tags=("ext", "join", "nulls"), oracle=_NULLSAFE_ORACLE)
+def null_safe_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): events with
+    a nullable derived segment join back to per-segment stats WITHOUT
+    dropping the NULL segment — an ordinary equi-join silently loses
+    every NULL-keyed row, the classic fact-table bug when the join key
+    is optional. ``eqNullSafe`` stays a hash-joinable equality (Spark
+    plans it as a normal shuffled/broadcast hash join on a
+    null-coalesced key), so the NULL bucket costs nothing extra at
+    scale; one small aggregate (broadcast) + one fact scan."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id",
+        F.when(F.col("value") < 50, F.lit(None)).otherwise(F.col("event_type")).alias("seg"),
+    )
+    stats = e.groupBy("seg").agg(F.count(F.lit(1)).cast("long").alias("seg_n"))
+    return e.join(F.broadcast(stats.withColumnRenamed("seg", "s_seg")), e.seg.eqNullSafe(F.col("s_seg"))).select(
+        "event_id", "seg", "seg_n"
+    )
+
+
+# Winsorized mean: clip at the exact p10/p90 ORDER STATISTICS
+# (percentile_disc semantics — an actual data value, identical in both
+# engines; no interpolation and no float percentile), computed per
+# group from rank/count, then exact decimal aggregation of the clipped
+# values. Two window passes + one aggregate, all on the same grouping
+# key — a single shuffle end to end.
+_WINSOR_ORACLE = """
+WITH ranked AS (
+    SELECT l_returnflag, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+), bounds AS (
+    SELECT l_returnflag,
+           MAX(CASE WHEN rn = CAST(ceil(0.10 * n) AS BIGINT) THEN l_extendedprice END) AS lo,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN l_extendedprice END) AS hi
+    FROM ranked GROUP BY l_returnflag
+)
+SELECT r.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN r.l_extendedprice < b.lo OR r.l_extendedprice > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       {mean} AS winsor_mean
+FROM ranked r JOIN bounds b ON r.l_returnflag = b.l_returnflag
+GROUP BY r.l_returnflag
+""".format(
+    mean=sql_dbl(
+        "SUM(CAST(CASE WHEN r.l_extendedprice < b.lo THEN b.lo"
+        " WHEN r.l_extendedprice > b.hi THEN b.hi"
+        " ELSE r.l_extendedprice END AS DECIMAL(12,2))) / COUNT(*)",
+        4,
+    )
+)
+
+
+@register("winsorized_price_stats", tags=("ext", "aggregate", "robust"), oracle=_WINSOR_ORACLE)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust (winsorized) per-group mean: values below the
+    exact p10 order statistic clip up, above p90 clip down, then an
+    exact decimal mean. The percentile is discrete (a real data value,
+    rank-selected with a deterministic tie-break), so both engines pick
+    the identical bound. Plan: rank window + count window + bound
+    aggregate + broadcast-join bounds back + final aggregate — the
+    window and both aggregates share the l_returnflag partitioning, so
+    the fact shuffles ONCE (Catalyst reuses the exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    bounds = ranked.groupBy(F.col("l_returnflag").alias("b_flag")).agg(
+        F.max(F.when(F.col("rn") == F.expr("CAST(ceil(0.10 * n) AS BIGINT)"), F.col("l_extendedprice"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("CAST(ceil(0.90 * n) AS BIGINT)"), F.col("l_extendedprice"))).alias("hi"),
+    )
+    j = ranked.join(F.broadcast(bounds), ranked.l_returnflag == bounds.b_flag)
+    clipped = (
+        F.when(F.col("l_extendedprice") < F.col("lo"), F.col("lo"))
+        .when(F.col("l_extendedprice") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("l_extendedprice"))
+    )
+    is_clipped = (F.col("l_extendedprice") < F.col("lo")) | (F.col("l_extendedprice") > F.col("hi"))
+    return j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(is_clipped.cast("int")).cast("long").alias("n_clipped"),
+        dbl(F.sum(dec(clipped, 12, 2)) / F.count(F.lit(1)), 4).alias("winsor_mean"),
+    )

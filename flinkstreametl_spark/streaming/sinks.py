@@ -256,3 +256,38 @@ class IncrementalAggSink:
             import shutil
 
             shutil.rmtree(old)
+
+
+class FanoutSink:
+    """One stream, many destinations: a single ``foreachBatch`` callback
+    that drives N child sinks in a fixed order — the Spark shape of the
+    reference's dual-sink wiring (MySQL + Greenplum fed from the same
+    enriched stream, ``Main.java:143-148``), which it achieves by
+    attaching two independent sink operators to one Flink job graph.
+
+    Structured Streaming allows one sink per query, so multi-destination
+    delivery is either N queries re-reading the source N times, or ONE
+    query fanning out inside foreachBatch — this class is the latter:
+    the batch is cached once, written everywhere, delivery stays
+    exactly-once per child because each child is individually
+    idempotent under batch replay (keyed upsert: replays merge the same
+    post-dedup set; incremental agg: the in-directory batch-id marker
+    skips re-merges). A crash BETWEEN children replays the whole batch:
+    already-written children no-op, unwritten children apply — the
+    standard composition rule for heterogeneous exactly-once sinks.
+
+    At scale, caching the micro-batch avoids recomputing the upstream
+    plan per destination; for huge batches swap ``cache()`` for a
+    persisted staging write that children read back.
+    """
+
+    def __init__(self, *children):
+        self.children = list(children)
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.cache()
+        try:
+            for child in self.children:
+                child.process_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
