@@ -144,3 +144,45 @@ def latest_by_key(df: DataFrame, key_cols: list[str], order_cols: list[str]) -> 
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def split_dead_letters(raw: DataFrame, value_col: str = "value") -> tuple[DataFrame, DataFrame]:
+    """Corrupt-envelope routing (dead-letter queue) — the production
+    hardening the reference omits entirely: its fastjson parse throws on
+    malformed input and fails the Flink task (``JsonFilter.java:24``,
+    no try/catch), so one bad Kafka record wedges the job in a
+    crash-loop. Spark's ``from_json`` is PERMISSIVE: unparseable input
+    yields a NULL struct instead of an exception.
+
+    Returns ``(good, dead)``:
+    - ``good`` — rows whose envelope parsed, decoded columns exposed;
+    - ``dead`` — the raw string + error metadata (why, when) for rows
+      that did not parse, ready to land in a quarantine sink for replay
+      after a fix.
+
+    A parsed-but-incomplete envelope (well-formed JSON of some other
+    shape) is NOT dead: Canal semantics put required fields in every
+    message, so "parsed but table IS NULL" is routed dead as well —
+    that predicate is the cheap structural validity check.
+
+    Scale: one scan, one map-side predicate, no shuffle; both outputs
+    share the parse (Catalyst reuses the subtree under one query, and
+    under ``foreachBatch`` the batch is cached once and split)."""
+    parsed = raw.select(
+        F.col(value_col).cast("string").alias("_raw"),
+        F.from_json(F.col(value_col).cast("string"), CANAL_ENVELOPE_SCHEMA).alias("env"),
+    )
+    # PERMISSIVE from_json returns an all-NULL struct (not NULL) for
+    # malformed input, so structural validity is checked on a required
+    # field; get_json_object separates syntactically-broken JSON from
+    # well-formed JSON of the wrong shape for the error label.
+    is_dead = F.col("env").isNull() | F.col("env.table").isNull()
+    good = parsed.filter(~is_dead).select("env.*")
+    dead = parsed.filter(is_dead).select(
+        F.col("_raw").alias("raw_value"),
+        F.when(F.get_json_object("_raw", "$").isNull(), F.lit("UNPARSEABLE_JSON"))
+        .otherwise(F.lit("MISSING_REQUIRED_FIELDS"))
+        .alias("error"),
+        F.current_timestamp().alias("quarantined_at"),
+    )
+    return good, dead
