@@ -184,3 +184,38 @@ def trend_fit_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope_per_sec"),
         F.round(sy.cast("double") / n.cast("double") / 1_000_000.0, 6).alias("mean_value"),
     )
+
+
+from flinkstreametl_spark.operators.zorder import interleave_bits_sql, zorder_key  # noqa: E402
+
+# The interleave SQL is engine-portable (pure shifts/masks); day index
+# from epoch-µs integer division — NTZ-safe and identical in DuckDB.
+_Z_ORACLE = f"""
+WITH k AS (
+    SELECT o_orderkey,
+           o_custkey % 1024 AS ckey,
+           (epoch_us(o_orderdate) // 86400000000) % 1024 AS dday
+    FROM orders
+)
+SELECT o_orderkey, ckey, dday,
+       CAST({interleave_bits_sql("ckey", "dday")} AS BIGINT) AS z
+FROM k
+"""
+
+
+@register("zorder_key_orders", tags=("ext", "layout", "zorder"), oracle=_Z_ORACLE)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key per order from (customer bucket,
+    day bucket) — the multi-dimensional data-skipping layout key
+    (operators/zorder.py; clustering property proven quantitatively in
+    tests/test_zorder.py). Pure per-row integer arithmetic: computed at
+    write time with zero extra passes, then `repartitionByRange(z)`
+    gives every file a compact rectangle of the 2-D key space so
+    min/max pruning works on EITHER filter column."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 1024).alias("ckey"),
+        (F.floor(epoch_micros(orders, "o_orderdate") / F.lit(86_400_000_000)) % 1024).cast("long").alias("dday"),
+    )
+    return k.select("o_orderkey", "ckey", "dday", zorder_key("ckey", "dday").alias("z"))
