@@ -1,32 +1,114 @@
-"""JDBC dimension source with query pushdown (reference S2).
+"""JDBC bounded dimension source with query pushdown (reference S2,
+SURVEY.md §2.1).
 
-The reference pushes its 3-way dimension join INTO MySQL and reads back
-the joined result (``Seetings/CreateJDBCInputFormat.java:22-35``: one
-``setQuery`` with the LEFT JOIN chain, driver ``com.mysql.jdbc.Driver``,
-url ``jdbc:mysql://master/canal_test``). Spark's equivalent is the
-``option("query", ...)`` form of the JDBC reader: the database executes
-the join, Spark scans only the projected result — this module constructs
-that pushed-down query instead of merely documenting it.
+The reference materializes its 3-way dim join INSIDE MySQL and ships
+only the result through JDBC (`Seetings/CreateJDBCInputFormat.java:22-35`
+builds the input format around one pushed-down SELECT). The Spark
+equivalent is the `query` option of the JDBC reader: the database runs
+the join, Spark receives the joined snapshot — same pushdown, plus
+optional partitioned parallel reads the Flink InputFormat never had.
 
-CI has no database server, so the reader itself (``read_jdbc_dim``) is
-gated like the Kafka source (sources/cdc.py). Everything testable
-without a server IS tested: the query builder's SQL is executed against
-DuckDB on the fixture tables and compared to the Spark-side
-``operators.joins.dim_3way`` plan — proving the pushed-down form and the
-in-engine form compute the same relation (tests/test_jdbc_pushdown.py).
+Two layers here:
+- `MEETING_DIM_PUSHDOWN_SQL` / `jdbc_pushdown_options` /
+  `read_jdbc_dim` — the reference-parity wiring (verbatim dim-join
+  SQL, reader options incl. the all-or-nothing partition quartet).
+- `pushdown_join_query` — a BUILDER for pushed-down LEFT-JOIN-chain
+  queries, so new dims don't hand-write SQL; its output is executed
+  against DuckDB (standing in for the remote database) and compared
+  with the Spark-side `dim_3way` plan in `tests/test_jdbc_pushdown.py`
+  — pushed and in-engine forms proven interchangeable.
 
-Scale note: a pushed-down dim query returns the small joined snapshot in
-one result set — right for broadcast-sized dims (the reference's ~554
-rooms). For a LARGE JDBC table the right shape is a partitioned parallel
-scan (``partition_options``: partitionColumn/lowerBound/upperBound/
-numPartitions), with the join done engine-side where it can shuffle —
-pushing a join that returns 100 TB through one JDBC cursor is the
-anti-pattern.
+CI has no database or driver jar, so the reader itself is gated; the
+option and query construction — the parts that encode the reference's
+semantics — are pure and unit-tested (`tests/test_cdc.py`,
+`tests/test_jdbc_pushdown.py`).
+
+Scale note: a pushed-down dim query returns the small joined snapshot
+in one result set — right for broadcast-sized dims (the reference's
+~554 rooms). For a LARGE JDBC table the right shape is the partitioned
+parallel scan (the partition quartet), with the join done engine-side
+where it can shuffle — pushing a join that returns TBs through one
+JDBC cursor is the anti-pattern.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+# CreateJDBCInputFormat.java:28-31, verbatim semantics: address
+# LEFT JOIN location LEFT JOIN region, aliased to the enrich columns.
+MEETING_DIM_PUSHDOWN_SQL = """\
+SELECT tma.id AS meetingroom_id, tma.name AS meetingroom_name,
+       tml.code AS location_id, tml.full_name AS location_name,
+       tmr.name AS city
+FROM t_meeting_address tma
+LEFT JOIN t_meeting_location tml ON tma.location = tml.code
+LEFT JOIN t_meeting_region tmr   ON tml.region_id = tmr.id"""
+
+
+def jdbc_pushdown_options(
+    url: str,
+    query: str,
+    *,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    fetchsize: int = 10_000,
+) -> dict[str, str]:
+    """The documented JDBC-reader option set (unit-testable without a
+    database). `query` pushes the dim join into the database — the
+    reference's CreateJDBCInputFormat shape. The partition_* quartet
+    turns the single-connection Flink-style read into Spark's
+    range-partitioned parallel scan; all four must be given together.
+    """
+    if not url.startswith("jdbc:"):
+        raise ValueError(f"JDBC url must start with 'jdbc:', got {url!r}")
+    if not query.strip():
+        raise ValueError("pushdown query is required")
+    opts: dict[str, str] = {
+        "url": url,
+        "query": query,
+        "fetchsize": str(fetchsize),
+    }
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    part = (partition_column, lower_bound, upper_bound, num_partitions)
+    if any(p is not None for p in part):
+        if any(p is None for p in part):
+            raise ValueError(
+                "partitionColumn, lowerBound, upperBound, numPartitions must be set together"
+            )
+        opts.update(
+            {
+                "partitionColumn": str(partition_column),
+                "lowerBound": str(lower_bound),
+                "upperBound": str(upper_bound),
+                "numPartitions": str(num_partitions),
+            }
+        )
+    return opts
+
+
+def read_jdbc_dim(
+    spark: SparkSession,
+    url: str,
+    query: str = MEETING_DIM_PUSHDOWN_SQL,
+    **kwargs,
+) -> DataFrame:
+    """S2 — the gated reader (needs a live database + driver jar;
+    ``jdbc_pushdown_options`` carries the CI-tested wiring). The result
+    is the already-joined dim snapshot, broadcast-sized by construction."""
+    return spark.read.format("jdbc").options(**jdbc_pushdown_options(url, query, **kwargs)).load()
+
+
+# ---------------------------------------------------------------------------
+# Pushed-down query builder (round 3)
+# ---------------------------------------------------------------------------
 
 
 def pushdown_join_query(
@@ -34,8 +116,8 @@ def pushdown_join_query(
     joins: list[tuple[tuple[str, str], str, str]],
     projection: list[tuple[str, str | None]],
 ) -> str:
-    """Build the single-statement LEFT-JOIN-chain query the database
-    executes (CreateJDBCInputFormat.java:28-31 shape).
+    """Build a single-statement LEFT-JOIN-chain query for the database
+    to execute (CreateJDBCInputFormat.java:28-31 shape).
 
     base: (table, alias). joins: ((table, alias), left_col, right_col)
     — each LEFT JOIN ON left_col = right_col, both sides alias-qualified
@@ -51,10 +133,10 @@ def pushdown_join_query(
 
 
 def reference_dim_query() -> str:
-    """The reference's exact pushed-down dimension join
-    (CreateJDBCInputFormat.java:28-31 / README.md:620-625):
-    t_meeting_address ⟕ t_meeting_location ⟕ t_meeting_region,
-    projecting the 5-column dim of DimensionTableSeetings.java:7-8."""
+    """The reference's pushed-down dimension join, builder-generated:
+    t_meeting_address ⟕ t_meeting_location ⟕ t_meeting_region with the
+    DimensionTableSeetings.java:7-8 projection (same relation as
+    ``MEETING_DIM_PUSHDOWN_SQL``, constructed instead of hand-written)."""
     return pushdown_join_query(
         ("t_meeting_address", "tma"),
         [
@@ -62,11 +144,11 @@ def reference_dim_query() -> str:
             (("t_meeting_region", "tmr"), "tml.region_id", "tmr.id"),
         ],
         [
-            ("tma.meetingroom_id", None),
-            ("tma.meetingroom_name", None),
-            ("tml.id", "location_id"),
-            ("tml.location_name", None),
-            ("tmr.city", None),
+            ("tma.id", "meetingroom_id"),
+            ("tma.name", "meetingroom_name"),
+            ("tml.code", "location_id"),
+            ("tml.full_name", "location_name"),
+            ("tmr.name", "city"),
         ],
     )
 
@@ -90,39 +172,3 @@ def fixture_dim_query() -> str:
             ("r.r_name", "region_name"),
         ],
     )
-
-
-def jdbc_reader_options(url: str, query: str, driver: str | None = None) -> dict[str, str]:
-    """Options for the pushed-down read (unit-testable without a DB).
-    ``query`` wraps as a derived table server-side, so the database
-    plans the join and Spark sees only its result schema."""
-    if not url.startswith("jdbc:"):
-        raise ValueError(f"not a jdbc url: {url!r}")
-    opts = {"url": url, "query": query}
-    if driver:
-        opts["driver"] = driver
-    return opts
-
-
-def partition_options(column: str, lower: int, upper: int, num_partitions: int) -> dict[str, str]:
-    """Parallel-scan options for LARGE JDBC tables: Spark issues
-    ``num_partitions`` range-predicated queries instead of one cursor.
-    Mutually exclusive with ``query`` pushdown (Spark requires ``dbtable``
-    for partitioned reads) — at scale, read the raw table partitioned and
-    join engine-side."""
-    if num_partitions < 1:
-        raise ValueError("num_partitions must be >= 1")
-    if lower >= upper:
-        raise ValueError("lower bound must be < upper bound")
-    return {
-        "partitionColumn": column,
-        "lowerBound": str(lower),
-        "upperBound": str(upper),
-        "numPartitions": str(num_partitions),
-    }
-
-
-def read_jdbc_dim(spark: SparkSession, url: str, query: str, driver: str | None = None) -> DataFrame:
-    """S2 — the gated JDBC read (needs a live database + driver jar;
-    the option construction above carries the CI-tested wiring)."""
-    return spark.read.format("jdbc").options(**jdbc_reader_options(url, query, driver)).load()

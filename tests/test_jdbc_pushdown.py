@@ -1,8 +1,11 @@
-"""S2 JDBC pushdown (sources/jdbc.py): the constructed pushed-down
-query must be (a) the reference's documented SQL shape and (b)
-semantically identical to the Spark-side dim_3way plan — proven by
-executing the generated SQL in DuckDB (standing in for the database
-that would run the pushed query) against the same fixture tables."""
+"""S2 JDBC pushdown builder (sources/jdbc.py round-3 layer): the
+constructed pushed-down query must be (a) the reference's documented
+SQL shape, (b) relation-equivalent to the verbatim
+MEETING_DIM_PUSHDOWN_SQL, and (c) semantically identical to the
+Spark-side dim_3way plan — proven by executing the generated SQL in
+DuckDB (standing in for the database that runs the pushed query)
+against the same fixture tables. Reader-option wiring is covered in
+tests/test_cdc.py."""
 
 from __future__ import annotations
 
@@ -11,11 +14,9 @@ import pytest
 
 from flinkstreametl_spark.operators.joins import dim_3way
 from flinkstreametl_spark.sources.jdbc import (
+    MEETING_DIM_PUSHDOWN_SQL,
     fixture_dim_query,
-    jdbc_reader_options,
-    partition_options,
     pushdown_join_query,
-    read_jdbc_dim,
     reference_dim_query,
 )
 from flinkstreametl_spark.sources.parquet import load_table
@@ -28,7 +29,19 @@ def test_reference_query_shape():
     assert "FROM t_meeting_address tma" in q
     assert "LEFT JOIN t_meeting_location tml ON tma.location = tml.code" in q
     assert "LEFT JOIN t_meeting_region tmr ON tml.region_id = tmr.id" in q
-    assert "tml.id AS location_id" in q
+    assert "tml.full_name AS location_name" in q
+
+
+def test_builder_query_equals_verbatim_reference_sql(spark):
+    """Builder output and the hand-written MEETING_DIM_PUSHDOWN_SQL
+    must compute the same relation over the meeting dim fixtures."""
+    from flinkstreametl_spark.sources.cdc import meeting_dim_tables
+
+    for name, df in meeting_dim_tables(spark).items():
+        df.createOrReplaceTempView(name)
+    built = {tuple(r) for r in spark.sql(reference_dim_query()).collect()}
+    verbatim = {tuple(r) for r in spark.sql(MEETING_DIM_PUSHDOWN_SQL).collect()}
+    assert built == verbatim and len(built) > 0
 
 
 def test_pushdown_query_matches_spark_side_join(spark, sf_dir):
@@ -47,37 +60,6 @@ def test_pushdown_query_matches_spark_side_join(spark, sf_dir):
     assert spark_rows == duck_rows
 
 
-def test_reader_option_wiring():
-    opts = jdbc_reader_options("jdbc:mysql://master/canal_test", "SELECT 1", driver="com.mysql.jdbc.Driver")
-    assert opts["url"] == "jdbc:mysql://master/canal_test"
-    assert opts["query"] == "SELECT 1"
-    assert opts["driver"] == "com.mysql.jdbc.Driver"
-    with pytest.raises(ValueError):
-        jdbc_reader_options("mysql://no-scheme", "SELECT 1")
-
-
-def test_partition_option_wiring():
-    opts = partition_options("c_custkey", 1, 150_000, 32)
-    assert opts == {
-        "partitionColumn": "c_custkey",
-        "lowerBound": "1",
-        "upperBound": "150000",
-        "numPartitions": "32",
-    }
-    with pytest.raises(ValueError):
-        partition_options("k", 10, 10, 4)
-    with pytest.raises(ValueError):
-        partition_options("k", 0, 10, 0)
-
-
 def test_builder_rejects_empty_projection():
     with pytest.raises(ValueError):
         pushdown_join_query(("t", "a"), [], [])
-
-
-def test_gated_reader_builds_options(spark):
-    """The gated read path must at least construct its reader without a
-    database — failure comes only at load() against a live server."""
-    reader_opts = jdbc_reader_options("jdbc:postgresql://h/db", reference_dim_query())
-    assert set(reader_opts) == {"url", "query"}
-    assert read_jdbc_dim.__doc__ and "gated" in read_jdbc_dim.__doc__
