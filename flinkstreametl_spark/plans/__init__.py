@@ -27,6 +27,15 @@ from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: 
 # regenerated testdata whose `ts` now reads as TIMESTAMP_NTZ. Verified
 # queries move behind the window (their recorded evidence stands);
 # rows-only queries go last so they never consume a verdict slot.
+#
+# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands, the only names
+# without a verdict should be the round-3 additions registered after
+# this window was frozen — scd2_order_status_history,
+# coherent_sample_orders, trend_fit_by_event_type,
+# null_safe_join_segments, winsorized_price_stats, zorder_key_orders,
+# dq_violation_counts, bpe_encode_token_counts — plus any r3 window
+# name that failed. Rotate those to the front; fill the rest of the 50
+# with re-pins of the heaviest-traffic queries.
 _WINDOW_R3 = [
     # every oracle-backed query still without a green driver verdict
     # (sessionize_events crashed in r2 on the NTZ cast — now fixed;

@@ -644,3 +644,101 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, schema="step long, lhs string, rhs string, merged string, pair_count long"
     )
+
+
+def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
+    """Encode twin of ``_bpe_oracle``: the same chained-CTE training,
+    but the vocab chain CARRIES the original word, so the final merged
+    sequences map word -> symbol count; documents then tokenize, join
+    the mapping, and sum — tokens-after-BPE per document."""
+    esc_tok = r"'\[([^\]]*)\]'"
+    ctes = [
+        "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM ("
+        f"SELECT unnest({_TOKS}) AS w FROM documents) t GROUP BY w)",
+        "s0 AS (SELECT w, regexp_replace(w, '(.)', '[\\1]', 'g') AS seq, wc FROM wc)",
+    ]
+    for i in range(1, steps + 1):
+        prev = f"s{i - 1}"
+        ctes.append(
+            f"t{i} AS (SELECT wc, toks[i] AS l, toks[i+1] AS r FROM ("
+            f"SELECT wc, toks, unnest(range(1, len(toks))) AS i FROM ("
+            f"SELECT wc, regexp_extract_all(seq, {esc_tok}, 1) AS toks FROM {prev}) x) y)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT l, r, SUM(wc) AS cnt FROM t{i} GROUP BY l, r"
+            f" ORDER BY cnt DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT w, replace(seq, '[' || b.l || '][' || b.r || ']',"
+            f" '[' || b.l || b.r || ']') AS seq, wc FROM {prev}, b{i} b)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+wl AS (SELECT w, CAST(len(regexp_extract_all(seq, {esc_tok}, 1)) AS BIGINT) AS n_syms FROM s{steps}),
+dtok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wl.n_syms) AS BIGINT) AS bpe_tokens
+FROM dtok JOIN wl USING (w)
+GROUP BY doc_id"""
+    )
+
+
+@register("bpe_encode_token_counts", tags=("ext", "llm", "text", "tokenizer"), oracle=_bpe_encode_oracle())
+def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges (the ``bpe_train_merges`` loop) back
+    to the corpus: per document, word count and token count AFTER the
+    first ``_BPE_STEPS`` merges — the train→encode loop a tokenizer
+    pipeline actually runs (and the number an LLM data pipeline bills
+    by: post-BPE tokens, not words).
+
+    Distributed shape: training iterates on the vocabulary-sized table
+    (corpus scanned once for word counts); ENCODING never re-scans text
+    either — the final (word -> n_symbols) mapping joins the exploded
+    corpus tokens (broadcast: vocabularies are small relative to
+    corpora) and aggregates per doc. One explode + one broadcast join +
+    one aggregate at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(X.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    seqs = wc.select("w", F.regexp_replace("w", "(.)", "[$1]").alias("seq"), "wc").localCheckpoint()
+    toks = F.regexp_extract_all(F.col("seq"), F.lit(r"\[([^\]]*)\]"), 1)
+    for _ in range(_BPE_STEPS):
+        pairs = seqs.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(toks, 1, F.size(toks) - 1),
+                    F.slice(toks, 2, F.size(toks) - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "wc",
+        )
+        best = (
+            pairs.select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "wc")
+            .groupBy("l", "r")
+            .agg(F.sum("wc").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        l, r = best["l"], best["r"]
+        seqs = seqs.select(
+            "w", F.replace(F.col("seq"), F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]")).alias("seq"), "wc"
+        ).localCheckpoint()
+    wl = seqs.select("w", F.size(toks).cast("long").alias("n_syms"))
+    dtok = docs.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    return (
+        dtok.join(F.broadcast(wl), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("bpe_tokens"),
+        )
+    )

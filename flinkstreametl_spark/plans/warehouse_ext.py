@@ -219,3 +219,53 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(epoch_micros(orders, "o_orderdate") / F.lit(86_400_000_000)) % 1024).cast("long").alias("dday"),
     )
     return k.select("o_orderkey", "ckey", "dday", zorder_key("ckey", "dday").alias("z"))
+
+
+_DQ_ORACLE = """
+SELECT
+  CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT) AS neg_price_orders,
+  CAST((SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS orphan_lineitems,
+  CAST((SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS BIGINT) AS bad_discounts,
+  CAST((SELECT COUNT(*) FROM events WHERE event_type NOT IN
+        ('click','view','purchase','signup','error')) AS BIGINT) AS unknown_event_types,
+  CAST((SELECT COUNT(*) FROM documents WHERE text IS NULL OR length(trim(text)) = 0) AS BIGINT) AS empty_documents,
+  CAST((SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT) AS orphan_customers
+"""
+
+
+@register("dq_violation_counts", tags=("ext", "warehouse", "quality"), oracle=_DQ_ORACLE)
+def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite (dbt-test style) in ONE pass per
+    table: null/range checks are map-side predicates; referential
+    checks are anti-joins (broadcast when the parent's key set fits,
+    shuffled otherwise — never an EXISTS-per-row probe). The output is
+    a single violations row a pipeline gate can assert on; at 100 TB
+    each count is a scan + conditional aggregate, and the FK checks
+    ride the same join machinery as the queries they protect."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    documents = load_table(spark, sf_dir, "documents")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    checks = [
+        one(orders.filter(F.col("o_totalprice") <= 0), "neg_price_orders"),
+        one(lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"), "orphan_lineitems"),
+        one(lineitem.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)), "bad_discounts"),
+        one(events.filter(~F.col("event_type").isin("click", "view", "purchase", "signup", "error")), "unknown_event_types"),
+        one(documents.filter(F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)), "empty_documents"),
+        one(customer.join(nation, customer.c_nationkey == nation.n_nationkey, "left_anti"), "orphan_customers"),
+    ]
+    # single lazy plan: six 1-row aggregates cross-joined (each side is
+    # one row, so every join is a trivial broadcast) — no driver-side
+    # actions, composable like any other query
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.crossJoin(c)
+    return out
