@@ -18,7 +18,7 @@ from flinkstreametl_spark.operators import dedup as D
 from flinkstreametl_spark.operators import similarity as S
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.registry import register
-from flinkstreametl_spark.sources.parquet import load_table
+from flinkstreametl_spark.sources.parquet import ensure_parallelism, load_table
 
 _TOKS = X.sql_tokens("text")
 
@@ -643,26 +643,24 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair count output-sized instead of O(n²)). Fixed-point cosine, so
     the threshold cut is engine-exact. Threshold 0.3 exercises the
     operator on this zero-centered synthetic corpus (real near-dup
-    pipelines use ~0.95)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos", "val"))
-    a = ex.alias("a")
-    b = ex.alias("b")
-    prod = S.fp(F.col("a.val").cast("double") * F.col("b.val").cast("double"))
-    qq = S.fp(F.col("a.val").cast("double") * F.col("a.val").cast("double"))
-    cc = S.fp(F.col("b.val").cast("double") * F.col("b.val").cast("double"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.pos") == F.col("b.pos"))
-            & (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .agg(F.sum(prod).alias("dot"), F.sum(qq).alias("qq"), F.sum(cc).alias("cc"))
+    pipelines use ~0.95).
+
+    Plan shape: one equi-join on the block label over ARRAY rows, the
+    cosine folded IN-ROW with the fixed-point HOF (cosine_col_fp) —
+    integer folds match the oracle's exploded SUM bit-for-bit, and the
+    shuffle carries |pairs| rows, not |pairs| × dim (the round-2
+    exploded formulation moved every vector element through the
+    join+aggregate and was the worst scaler in docs/SCALING.md)."""
+    # the per-pair HOF fold is CPU-bound: spread a single-split input
+    # across cores before the join (no-op on well-split inputs)
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+    scored = pairs.select(
+        "vec_a", "vec_b", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
     )
-    cosine = F.col("dot").cast("double") / F.sqrt(F.col("qq").cast("double") * F.col("cc").cast("double"))
-    return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= 0.3)
+    return scored.filter(F.col("cosine") >= 0.3)
 
 
 _CHUNK, _STRIDE = 64, 48  # 16-token overlap
