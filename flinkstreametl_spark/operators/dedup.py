@@ -328,3 +328,73 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_lsh_pairs(
+    old_bands: DataFrame,
+    new_docs: DataFrame,
+    all_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    num_hashes: int = NUM_HASHES,
+    rows_per_band: int = ROWS_PER_BAND,
+    max_bucket_size: int | None = MAX_BUCKET_SIZE,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup maintenance for continuous ingest: given the
+    persisted band index of the corpus so far (``old_bands``, the
+    output schema of ``lsh_band_keys``) and a batch of NEW documents,
+    return ``(new_pairs, updated_bands)`` where ``new_pairs`` is every
+    near-dup pair that involves at least one new document.
+
+    This is the 100 TB shape for streaming dedup: per batch the work is
+    |new| signature computations + a join of the new bands against the
+    accumulated index — NOT a recompute over the corpus. The band index
+    is the only state, it appends (no rewrite), and it lives in storage
+    (partition by band for pruning), not executor memory. Candidate
+    generation joins new-vs-all, so new-new and new-old pairs both
+    surface; old-old pairs were already emitted by earlier batches —
+    the pair stream over time equals the batch recompute (proven in
+    tests/test_incremental_dedup.py).
+
+    The hot-bucket cap applies to the UNION index, exactly as in the
+    batch path: a boilerplate bucket fed by many batches is dropped
+    once it exceeds the cap, bounding every future batch's join fan-out.
+    """
+    new_bands = lsh_band_keys(new_docs, id_col, rows_per_band, text_col, num_hashes)
+    updated = old_bands.unionByName(new_bands)
+    capped = updated
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band", "band_key")
+        capped = (
+            updated.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
+    nb = new_bands.select(F.col(id_col).alias("doc_new"), "band", "band_key")
+    ab = capped.select(F.col(id_col).alias("doc_any"), "band", "band_key")
+    cand = (
+        nb.join(ab, ["band", "band_key"])
+        .filter(F.col("doc_new") != F.col("doc_any"))
+        .select(
+            F.least("doc_new", "doc_any").alias("doc_a"),
+            F.greatest("doc_new", "doc_any").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sets = token_sets(all_docs, id_col, text_col)
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs, updated
