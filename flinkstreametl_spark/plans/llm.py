@@ -789,3 +789,60 @@ def neardup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster.alias("cluster_id"),
         (cluster == F.col("doc_id")).alias("is_keeper"),
     )
+
+
+# Uncapped twin of _MINHASH_ORACLE restricted to doc_id < 300: the
+# incremental replay disables the bucket cap (capped buckets depend on
+# arrival order; the equivalence below needs order-free semantics).
+_INCR_MINHASH_ORACLE = f"""
+WITH d AS (
+    SELECT * FROM documents WHERE doc_id < 300
+), tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM d
+), mh AS (
+    SELECT doc_id, j,
+           MIN(md5(tok || ':' || CAST(j AS VARCHAR))) AS mh
+    FROM tok, (SELECT unnest(range({D.NUM_HASHES})) AS j) seeds
+    GROUP BY doc_id, j
+), bands AS (
+    SELECT doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT) AS band,
+           string_agg(mh, '|' ORDER BY j) AS band_key
+    FROM mh GROUP BY doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT)
+), sets AS (
+    SELECT doc_id, list_distinct({_TOKS}) AS toks FROM d
+), cand AS (
+    SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM bands b1
+    JOIN bands b2 ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(s1.toks, s2.toks)) AS DOUBLE)
+             / (len(s1.toks) + len(s2.toks) - len(list_intersect(s1.toks, s2.toks))) AS jaccard
+    FROM cand c
+    JOIN sets s1 ON c.doc_a = s1.doc_id
+    JOIN sets s2 ON c.doc_b = s2.doc_id
+) v
+WHERE jaccard >= 0.6
+"""
+
+
+@register("incremental_minhash_replay", tags=("llm", "dedup", "streaming"), oracle=_INCR_MINHASH_ORACLE)
+def incremental_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup equivalence, as a verifiable query: the
+    corpus slice (doc_id < 300) arrives in two batches through
+    ``incremental_lsh_pairs`` (per batch: new-doc signatures + a join
+    against the append-only band index — old-old work never redone),
+    and the unioned pair stream must equal the one-shot batch oracle.
+    Cap disabled: capped buckets depend on arrival order, and the
+    equivalence statement needs order-free semantics (the production
+    cap story is in operators/dedup.py and docs/SCALE.md)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    first = docs.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
+    second = docs.filter(F.col("doc_id") % 2 == 1).localCheckpoint()
+
+    bands = D.lsh_band_keys(docs.limit(0))
+    p1, bands = D.incremental_lsh_pairs(bands, first, first, max_bucket_size=None)
+    bands = bands.localCheckpoint()
+    p2, _ = D.incremental_lsh_pairs(bands, second, docs, max_bucket_size=None)
+    return p1.unionByName(p2)
