@@ -40,20 +40,22 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
 
-    from flinkstreametl_spark.plans import REGISTRY
+    import flinkstreametl_spark.plans  # noqa: F401  (registration side effects)
+    from flinkstreametl_spark.plans.registry import AUDIT_REGISTRY, all_specs
 
+    specs = all_specs()
     if args.cmd == "list":
-        for name, spec in REGISTRY.items():
+        for name, spec in specs.items():
             if args.tag and args.tag not in spec.tags:
                 continue
-            kind = "oracle" if spec.oracle else "rows-only"
+            kind = "audit-only" if name in AUDIT_REGISTRY else ("oracle" if spec.oracle else "rows-only")
             print(f"{name:40s} [{kind}] {','.join(spec.tags)}")
         return 0
 
-    if args.name not in REGISTRY:
+    if args.name not in specs:
         print(f"unknown query: {args.name!r} (see `list`)", file=sys.stderr)
         return 2
-    spec = REGISTRY[args.name]
+    spec = specs[args.name]
 
     if args.cmd == "oracle":
         if spec.oracle is None:

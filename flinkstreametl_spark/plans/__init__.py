@@ -20,93 +20,98 @@ from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
 # driver verdict each round. Cumulative green verdicts: 44 (r1) + 49
-# (r2) = 93 of 131. Round 3 window: the 35 oracle-backed queries still
-# without a verdict (sessionize_events crashed in r2 on the NTZ cast,
-# since fixed; the other 34 registered past position 50 in r2), plus 15
-# re-pins — flagship + timestamp-heavy queries re-proven against the
-# regenerated testdata whose `ts` now reads as TIMESTAMP_NTZ. Verified
-# queries move behind the window (their recorded evidence stands);
-# rows-only queries go last so they never consume a verdict slot.
-#
-# ROUND-4 ROTATION PLAN: once CORRECTNESS_r03 lands, the only names
-# without a verdict should be the round-3 additions registered after
-# this window was frozen — scd2_order_status_history,
-# coherent_sample_orders, trend_fit_by_event_type,
-# null_safe_join_segments, winsorized_price_stats, zorder_key_orders,
-# dq_violation_counts, bpe_encode_token_counts — plus any r3 window
-# name that failed. Rotate those to the front; fill the rest of the 50
-# with re-pins of the heaviest-traffic queries.
-_WINDOW_R3 = [
-    # every oracle-backed query still without a green driver verdict
-    # (sessionize_events crashed in r2 on the NTZ cast — now fixed;
-    # the rest registered after position 50 in the r2 window)
-    "sessionize_events",
-    "posexplode_tokens",
+# (r2) + 48 (r3) = 126 distinct of 137 registered. Round 4 window =
+# three tiers, truncated to 50:
+#   1. _PRIORITY_R4 — the 9 round-3 additions that registered after
+#      _WINDOW_R4 froze (no verdict yet) plus the 2 r3 failures
+#      repaired this round (collect_set_sorted / inverted_index_terms
+#      now emit string-joined collections — the driver canonicalizer
+#      cannot hash array columns, see plans/registry.py).
+#   2. _NEW_R4 — queries added during round 4; each new registration
+#      is appended here so it gets a verdict THIS round instead of
+#      waiting a full rotation (the round-3 mistake).
+#   3. _REPINS_R4 — high-traffic re-pins (whole bench set + the §2
+#      CDC/streaming core), displaced from the tail as _NEW_R4 grows.
+# Verified queries move behind the window (their recorded evidence
+# stands). The 3 sketch queries (HLL/KLL/moments) moved to
+# AUDIT_REGISTRY this round — queries() is now 100% oracle-backed.
+_PRIORITY_R4 = [
+    "incremental_minhash_replay",
+    "scd2_order_status_history",
+    "coherent_sample_orders",
+    "trend_fit_by_event_type",
+    "null_safe_join_segments",
+    "winsorized_price_stats",
+    "zorder_key_orders",
+    "dq_violation_counts",
+    "bpe_encode_token_counts",
     "collect_set_sorted",
-    "funnel_conversion",
-    "cohort_retention",
-    "simhash_near_pairs",
-    "knn_cosine_fast",
-    "ann_ivf_topk",
-    "audio_features_wav",
-    "video_frame_sample",
-    "neardup_cluster_assign",
-    "date_arithmetic_orders",
-    "grouped_agg_pandas_udf",
-    "pack_sequences",
-    "decontaminate_ngram_hits",
-    "bpe_pair_counts",
-    "weighted_sample_topk",
-    "quota_sample_per_lang",
-    "props_map_entries",
-    "fuzzy_dup_parts",
-    "tfidf_top_terms",
     "inverted_index_terms",
-    "passage_dedup_stats",
-    "embedding_srp_pairs",
-    "bigram_familiarity_score",
-    "textrank_keywords",
-    "dup_span_ladder",
-    "bpe_train_merges",
-    "knn_pandas_topk",
-    "kmeans_cluster_sizes",
-    "quality_classifier_score",
-    "ingest_batch_pipeline",
-    "cdc_rolling_hash_chunks",
-    "range_join_error_context",
-    "temperature_mix_sample",
-    # re-pins: flagship + timestamp-heavy queries re-proven against the
-    # regenerated testdata (ts now reads as TIMESTAMP_NTZ under Spark 4)
+]
+
+_NEW_R4: list[str] = [
+]
+
+_REPINS_R4 = [
+    # whole frozen bench set (31) — keeps perf + correctness evidence
+    # on the same names every round
     "flagship_enrich",
     "q1_pricing_summary",
+    "sessionize_events",
+    "minhash_lsh_neardup",
+    "simhash_near_pairs",
+    "knn_cosine_fast",
+    "knn_pandas_topk",
+    "knn_brute_topk",
+    "exact_dup_groups",
+    "embedding_neardup_pairs",
+    "decontaminate_ngram_hits",
+    "fuzzy_dup_parts",
+    "tfidf_top_terms",
+    "passage_dedup_stats",
+    "bigram_familiarity_score",
+    "dup_span_ladder",
     "asof_latest_order",
-    "session_window_agg",
-    "sliding_window_counts",
-    "temporal_active_filter",
-    "timestamp_parse_roundtrip",
-    "monthly_revenue_trend",
-    "cdc_filter_project",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "token_frequency_top100",
     "q6_forecast_revenue",
-    "window_lag_lead_ntile",
-    "stats_variance_exact",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q12_priority_shipping_counts",
+    "q13_order_count_distribution",
+    "q18_large_orders",
+    "token_frequency_top100",
+    "occupancy_rate_by_region",
+    "text_quality_stats",
+    "chunk_documents",
+    "training_data_pipeline",
+    # §2 CDC/streaming core re-pins
+    "cdc_filter_project",
+    "temporal_active_filter",
+    "dim_3way_join",
+    "replace_upsert_latest",
+    "changelog_op_column",
+    "json_payload_roundtrip",
+    "session_window_agg",
+    "timestamp_parse_roundtrip",
 ]
+
+_WINDOW_R4 = (*_PRIORITY_R4, *_NEW_R4, *_REPINS_R4)[:50]
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R3 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R4 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R3) != len(set(_WINDOW_R3)):
+    if len(_WINDOW_R4) != len(set(_WINDOW_R4)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R3 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R4 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R3 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R3 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R3, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R4 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R4 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R4, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

@@ -185,7 +185,7 @@ def group_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", tags=("ext", "aggregate", "approx"))
+@register("approx_distinct_users", tags=("ext", "aggregate", "approx"), driver=False)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the scale path for
     distinct-count at 100 TB — mergeable sketches, no distinct shuffle.

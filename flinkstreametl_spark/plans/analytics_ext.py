@@ -560,7 +560,7 @@ def stats_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stats_builtin_moments", tags=("ext", "aggregate", "stats"))
+@register("stats_builtin_moments", tags=("ext", "aggregate", "stats"), driver=False)
 def stats_builtin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Built-in statistical aggregates (stddev/var/corr/skew/kurtosis).
     Rows-only: engines accumulate these with different algorithms;
@@ -575,7 +575,7 @@ def stats_builtin_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentile_price", tags=("ext", "aggregate", "approx"))
+@register("approx_percentile_price", tags=("ext", "aggregate", "approx"), driver=False)
 def approx_percentile_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile via the KLL/GK-style sketch — the 100 TB
     default for quantiles (mergeable, one pass, no sort). Rows-only:
@@ -772,7 +772,7 @@ def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ext", "aggregate", "array"),
     oracle="""
 SELECT o_custkey,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        COUNT(*) AS n_orders
 FROM orders
 GROUP BY o_custkey
@@ -781,10 +781,15 @@ GROUP BY o_custkey
 def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: collect_set + array_sort (collection
     order is nondeterministic in ANY distributed engine — sorting is
-    what makes a set-valued result comparable, here and at 100 TB)."""
+    what makes a set-valued result comparable, here and at 100 TB).
+
+    The sorted set is emitted as a comma-joined string: driver-windowed
+    queries must not output array-typed columns (the verdict
+    canonicalizer hashes values via pandas and lists are unhashable) —
+    see the determinism notes in ``plans/registry.py``."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_custkey").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 

@@ -78,7 +78,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH tok AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents)
 SELECT term, df, postings FROM (
     SELECT term, CAST(count(*) AS BIGINT) AS df,
-           list_sort(list(doc_id)) AS postings
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
     FROM tok GROUP BY term
 ) t
 ORDER BY df DESC, term
@@ -96,6 +96,10 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the skew hazard, which is why real indexes shard postings by
     doc-range — the per-term list here is the per-shard unit of that
     layout.
+
+    Postings are emitted as a comma-joined string (numeric sort FIRST,
+    then stringify): driver-windowed queries must not output
+    array-typed columns — see ``plans/registry.py`` determinism notes.
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(X.distinct_tokens("text")).alias("term"))
@@ -103,7 +107,9 @@ def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+            ).alias("postings"),
         )
         .orderBy(F.col("df").desc(), "term")
         .limit(100)

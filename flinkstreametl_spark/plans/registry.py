@@ -10,7 +10,14 @@ Determinism rules (driver hashes values order-insensitively but exactly):
   (float sums are order-dependent; rounding removes last-ulp noise);
 - integer sums are cast to BIGINT on both sides (DuckDB widens to
   HUGEINT, Spark keeps BIGINT);
-- LIMIT/top-k queries order by a unique tie-break key.
+- LIMIT/top-k queries order by a unique tie-break key;
+- NO array-typed output columns: the driver canonicalizes results via
+  pandas sort/hash and Python lists are unhashable (``TypeError:
+  unhashable type: 'list'`` — the two r3 window failures). Emit
+  collection results as delimiter-joined strings instead: Spark
+  ``array_join(array_sort(...), ',')`` (cast numeric arrays to
+  ``array<string>`` AFTER sorting), DuckDB
+  ``array_to_string(list_sort(...), ',')``.
 """
 
 from __future__ import annotations
@@ -34,15 +41,34 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
+# Sketch/approximate operators whose outputs are engine-specific
+# (HLL++, KLL percentiles, moment accumulators): structurally
+# unverifiable by the driver's exact-hash gate, so they are NOT
+# exposed through ``queries()``. They stay runnable (CLI, tests pin
+# them against exact twins within tolerance) via this tier.
+AUDIT_REGISTRY: dict[str, QuerySpec] = {}
 
-def register(name: str, *, oracle: str | None = None, tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
+
+def register(
+    name: str,
+    *,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    driver: bool = True,
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
+        if name in REGISTRY or name in AUDIT_REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip())
+        target = REGISTRY if driver else AUDIT_REGISTRY
+        target[name] = QuerySpec(name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip())
         return fn
 
     return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    """Driver-facing + audit-only specs (CLI / test surface)."""
+    return {**REGISTRY, **AUDIT_REGISTRY}
 
 
 def queries_map() -> dict[str, QueryFn]:

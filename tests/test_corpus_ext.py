@@ -113,5 +113,8 @@ def test_inverted_index_postings_sorted_and_consistent(spark, sf_dir):
     out = REGISTRY["inverted_index_terms"].fn(spark, sf_dir).collect()
     assert out
     for r in out:
-        assert list(r.postings) == sorted(r.postings)
-        assert r.df == len(r.postings) == len(set(r.postings))
+        # postings is a comma-joined string (no array output columns in
+        # driver-windowed queries); sorted numerically before stringify.
+        postings = [int(p) for p in r.postings.split(",")]
+        assert postings == sorted(postings)
+        assert r.df == len(postings) == len(set(postings))

@@ -300,9 +300,9 @@ def test_builtin_moments_match_duckdb_tolerance(spark, sf_dir):
     within float tolerance — the rows-only counterpart of the exact gate."""
     import duckdb
 
-    from flinkstreametl_spark.plans.registry import REGISTRY
+    from flinkstreametl_spark.plans.registry import AUDIT_REGISTRY
 
-    got = {r.l_returnflag: r for r in REGISTRY["stats_builtin_moments"].fn(spark, sf_dir).collect()}
+    got = {r.l_returnflag: r for r in AUDIT_REGISTRY["stats_builtin_moments"].fn(spark, sf_dir).collect()}
     con = duckdb.connect()
     ref = con.sql(
         f"""SELECT l_returnflag, stddev_samp(l_quantity) sd, var_samp(l_quantity) v,
