@@ -165,9 +165,12 @@ def split_dead_letters(raw: DataFrame, value_col: str = "value") -> tuple[DataFr
     message, so "parsed but table IS NULL" is routed dead as well —
     that predicate is the cheap structural validity check.
 
-    Scale: one scan, one map-side predicate, no shuffle; both outputs
-    share the parse (Catalyst reuses the subtree under one query, and
-    under ``foreachBatch`` the batch is cached once and split)."""
+    Scale: one map-side predicate, no shuffle. ``good`` and ``dead``
+    are two independent DataFrames, so materializing BOTH re-scans and
+    re-parses the source unless the caller caches the batch first —
+    under ``foreachBatch``, cache/persist the micro-batch (e.g. via
+    ``FanoutSink``, which does exactly this) before splitting to pay
+    the parse once."""
     parsed = raw.select(
         F.col(value_col).cast("string").alias("_raw"),
         F.from_json(F.col(value_col).cast("string"), CANAL_ENVELOPE_SCHEMA).alias("env"),

@@ -246,6 +246,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     (~40M at sf0.1) and was the bench's hottest operator; the semantics
     and the DuckDB oracle are unchanged (integer sums are
     order-independent)."""
+    # ceil(bits/4) hex chars must fit a signed 64-bit int after conv():
+    # 16 chars can exceed it and the non-ANSI cast would silently NULL
+    # every signature. 15 hex chars (60 bits) is the safe maximum.
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60] (conv() of {-(-bits // 4)} hex chars overflows bigint): {bits}")
     # A digest per token is CPU-bound: spread a badly-split input
     # across cores before the hot map (measured 5.2s -> 1.5s at sf0.1,
     # where the fixture parquet is one unsplittable row group).

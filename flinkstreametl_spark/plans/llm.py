@@ -274,6 +274,8 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BIGRAMS = f"list_distinct(list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))"
 
+_ID_BAND = 25  # max doc-id distance for a candidate pair (== bucket width)
+
 
 @register(
     "ngram_jaccard_pairs",
@@ -296,7 +298,17 @@ WHERE jaccard >= 0.05
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram Jaccard over (lang, source)-bucketed, id-bounded pairs
     — the blocked pairwise pattern: candidate pairs come from cheap
-    equi-join blocking keys, never a full cross join."""
+    equi-join blocking keys, never a full cross join.
+
+    The id-distance bound is part of the JOIN KEY, not a post-filter:
+    with bucket = floor(doc_id / BAND), any pair with doc_b - doc_a <=
+    BAND has bucket_b in {bucket_a, bucket_a + 1}, so the probe side
+    explodes to its own and the next bucket and the join runs on (lang,
+    source, id_bucket). Candidates per block are then linear in block
+    size; the old key (lang, source alone) enumerated O(block²) pairs
+    before the id filter — fine at 500 docs, a skew hazard at 100 TB
+    where a (lang, source) block can be billions of rows. The two probe
+    buckets are distinct, so no pair is produced twice."""
     docs = load_table(spark, sf_dir, "documents")
     # Materialize the token array BEFORE the per-element lambda: an
     # inline tokens("text") inside element_at re-runs the regexp split
@@ -310,13 +322,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = base.select("doc_id", "lang", "source", grams.alias("grams"))
-    a = g.select(F.col("doc_id").alias("doc_a"), "lang", "source", F.col("grams").alias("grams_a"))
-    b = g.select(F.col("doc_id").alias("doc_b"), "lang", "source", F.col("grams").alias("grams_b"))
+    bucket = F.floor(F.col("doc_id") / _ID_BAND)
+    a = g.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("grams").alias("grams_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("id_bucket"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("grams").alias("grams_b"),
+        bucket.alias("id_bucket"),
+    )
     inter = F.size(F.array_intersect("grams_a", "grams_b"))
     jac = inter.cast("double") / (F.size("grams_a") + F.size("grams_b") - inter)
     return (
-        a.join(b, ["lang", "source"])
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") <= 25))
+        a.join(b, ["lang", "source", "id_bucket"])
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") <= _ID_BAND))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.05)
     )

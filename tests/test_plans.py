@@ -183,3 +183,17 @@ def test_dup_span_ladder_single_window_pass(spark, sf_dir):
     union of scans."""
     plan = _physical(spark, "dup_span_ladder", sf_dir)
     assert len(re.findall(r"Scan parquet", plan)) <= 2, plan  # h-side + final doc_id join
+
+
+def test_ngram_jaccard_id_bucket_in_join_key(spark, sf_dir):
+    """ngram_jaccard_pairs: the id-distance band must be part of the
+    equi-join key (lang, source, id_bucket), not only a post-join
+    filter — candidates per (lang, source) block stay linear in block
+    size instead of O(block²)."""
+    plan = _physical(spark, "ngram_jaccard_pairs", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "id_bucket" in plan, plan
+    # the join node itself must key on id_bucket (hashpartitioning or
+    # broadcast HashedRelation keys include it)
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "id_bucket" in ln]
+    assert join_lines, plan
