@@ -345,12 +345,23 @@ def incremental_lsh_pairs(
     num_hashes: int = NUM_HASHES,
     rows_per_band: int = ROWS_PER_BAND,
     max_bucket_size: int | None = MAX_BUCKET_SIZE,
+    dedupe_redelivered: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup maintenance for continuous ingest: given the
     persisted band index of the corpus so far (``old_bands``, the
     output schema of ``lsh_band_keys``) and a batch of NEW documents,
     return ``(new_pairs, updated_bands)`` where ``new_pairs`` is every
     near-dup pair that involves at least one new document.
+
+    ``dedupe_redelivered`` (default on) makes the operator safe under
+    at-least-once delivery: a doc re-delivered in a later batch (CDC
+    replay, source retry) is anti-joined away against the ids already
+    in the band index BEFORE signature computation, so the index stays
+    one-entry-per-(doc, band) and re-deliveries cost one anti-join
+    probe instead of duplicate signatures, duplicate index rows, and
+    re-emitted pairs. The probe reuses the index itself as the seen-id
+    set (distinct over doc_id — one small aggregation on data already
+    partitioned by the join key), so there is no second state table.
 
     This is the 100 TB shape for streaming dedup: per batch the work is
     |new| signature computations + a join of the new bands against the
@@ -366,6 +377,9 @@ def incremental_lsh_pairs(
     batch path: a boilerplate bucket fed by many batches is dropped
     once it exceeds the cap, bounding every future batch's join fan-out.
     """
+    if dedupe_redelivered:
+        seen_ids = old_bands.select(id_col).distinct()
+        new_docs = new_docs.join(seen_ids, id_col, "left_anti")
     new_bands = lsh_band_keys(new_docs, id_col, rows_per_band, text_col, num_hashes)
     updated = old_bands.unionByName(new_bands)
     capped = updated

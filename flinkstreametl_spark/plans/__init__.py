@@ -50,6 +50,7 @@ _PRIORITY_R4 = [
 ]
 
 _NEW_R4: list[str] = [
+    "incremental_minhash_multibatch",
 ]
 
 _REPINS_R4 = [

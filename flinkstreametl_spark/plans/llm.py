@@ -871,3 +871,41 @@ def incremental_minhash_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = bands.localCheckpoint()
     p2, _ = D.incremental_lsh_pairs(bands, second, docs, max_bucket_size=None)
     return p1.unionByName(p2)
+
+
+@register("incremental_minhash_multibatch", tags=("llm", "dedup", "streaming", "bench"), oracle=_INCR_MINHASH_ORACLE)
+def incremental_minhash_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production replay shape: the same corpus slice arrives in
+    THREE batches, and later batches RE-DELIVER documents from earlier
+    ones (at-least-once sources do this on retry/CDC replay — batch 2
+    re-ships every even doc of batch 1, batch 3 re-ships a slice of
+    batch 2). ``incremental_lsh_pairs`` anti-joins re-deliveries away
+    against the ids already in the band index before any signature
+    work, so the pair stream across batches still equals the one-shot
+    batch recompute (same oracle as the 2-batch replay) with no
+    duplicate pairs and no duplicate index entries. Cap disabled: the
+    equivalence statement needs arrival-order-free semantics."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0).localCheckpoint()
+    # late/duplicate arrivals: batch 1 re-delivers batch 0's even docs,
+    # batch 2 re-delivers batch 1's %5 slice
+    b1 = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .unionByName(docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)))
+        .localCheckpoint()
+    )
+    b2 = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(docs.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 0)))
+        .localCheckpoint()
+    )
+
+    bands = D.lsh_band_keys(docs.limit(0))
+    seen = b0
+    p0, bands = D.incremental_lsh_pairs(bands, b0, seen, max_bucket_size=None)
+    bands = bands.localCheckpoint()
+    seen = seen.unionByName(docs.filter(F.col("doc_id") % 3 == 1))
+    p1, bands = D.incremental_lsh_pairs(bands, b1, seen, max_bucket_size=None)
+    bands = bands.localCheckpoint()
+    p2, _ = D.incremental_lsh_pairs(bands, b2, docs, max_bucket_size=None)
+    return p0.unionByName(p1).unionByName(p2)

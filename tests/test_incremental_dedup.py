@@ -66,3 +66,43 @@ def test_updated_index_is_append_only(spark, sf_dir):
     bands0 = lsh_band_keys(docs.limit(0))
     _, bands1 = incremental_lsh_pairs(bands0, docs, docs, max_bucket_size=None)
     assert bands1.count() == lsh_band_keys(docs).count()
+
+
+def test_incremental_redelivery_is_idempotent(spark, sf_dir):
+    """At-least-once delivery: re-delivering an earlier batch's docs in
+    a later batch must add NO index entries and emit NO duplicate
+    pairs — the pair stream still equals the batch recompute."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    b0 = docs.filter(F.col("doc_id") % 3 == 0).localCheckpoint()
+    b1_dupes = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .unionByName(docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 0)))
+        .localCheckpoint()
+    )
+    b2_dupes = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(docs.filter((F.col("doc_id") % 3 == 1) & (F.col("doc_id") % 5 == 0)))
+        .localCheckpoint()
+    )
+
+    expected = _pairs_set(minhash_lsh_pairs(docs, max_bucket_size=None))
+
+    bands = lsh_band_keys(docs.limit(0))
+    emitted = []
+    seen = b0
+    p, bands = incremental_lsh_pairs(bands, b0, seen, max_bucket_size=None)
+    bands = bands.localCheckpoint()
+    emitted.append(_pairs_set(p))
+    seen = seen.unionByName(docs.filter(F.col("doc_id") % 3 == 1))
+    p, bands = incremental_lsh_pairs(bands, b1_dupes, seen, max_bucket_size=None)
+    bands = bands.localCheckpoint()
+    emitted.append(_pairs_set(p))
+    p, bands = incremental_lsh_pairs(bands, b2_dupes, docs, max_bucket_size=None)
+    emitted.append(_pairs_set(p))
+
+    got = set().union(*emitted)
+    assert got == expected and expected
+    # disjoint emission: no pair surfaces in two batches
+    assert sum(len(s) for s in emitted) == len(got)
+    # index stayed one-entry-per-(doc, band): same count as one-shot
+    assert bands.count() == lsh_band_keys(docs).count()
