@@ -16,6 +16,7 @@ from flinkstreametl_spark.plans import corpus_ext as _corpus_ext  # noqa: E402,F
 from flinkstreametl_spark.plans import ml_ext as _ml_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import quality_ext as _quality_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -23,7 +24,7 @@ from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: 
 # (r2) + 48 (r3) = 126 distinct of 137 registered. Round 4 window =
 # three tiers, truncated to 50:
 #   1. _PRIORITY_R4 — the 9 round-3 additions that registered after
-#      _WINDOW_R4 froze (no verdict yet) plus the 2 r3 failures
+#      the round-3 window froze (no verdict yet) plus the 2 r3 failures
 #      repaired this round (collect_set_sorted / inverted_index_terms
 #      now emit string-joined collections — the driver canonicalizer
 #      cannot hash array columns, see plans/registry.py).
@@ -51,6 +52,11 @@ _PRIORITY_R4 = [
 
 _NEW_R4: list[str] = [
     "incremental_minhash_multibatch",
+    "gopher_quality_gate",
+    "vocab_coverage_curve",
+    "mad_robust_price",
+    "zscore_tail_events",
+    "asof_tolerance_enrich",
 ]
 
 _REPINS_R4 = [

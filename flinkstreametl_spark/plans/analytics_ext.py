@@ -339,6 +339,75 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Staleness bound sized to the fixture's era gap (events are 2024, the
+# TPC-H-style orders 1995-2001, so every match is decades old): ~23.1
+# years splits the age distribution (p10 22.5y / p90 24.1y) into real
+# fresh and stale populations. In production this would be days.
+_ASOF_TOL_SECONDS = 730_000_000
+
+
+@register(
+    "asof_tolerance_enrich",
+    tags=("ext", "join", "asof"),
+    oracle=f"""
+WITH u AS (
+    SELECT event_id, user_id, ts, ts AS _t, 1 AS _tag,
+           CAST(NULL AS BIGINT) AS _tb, CAST(NULL AS BIGINT) AS r_okey, CAST(NULL AS TIMESTAMP) AS r_odate
+    FROM events
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), o_custkey, CAST(NULL AS TIMESTAMP), o_orderdate, 0,
+           o_orderkey, o_orderkey, o_orderdate
+    FROM orders
+), c AS (
+    SELECT event_id, user_id, ts, _tag,
+           last_value(r_okey IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY _t, _tag, _tb NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lk,
+           last_value(r_odate IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY _t, _tag, _tb NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ld
+    FROM u
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN date_diff('second', ld, ts) <= {_ASOF_TOL_SECONDS} THEN lk END AS last_orderkey,
+       CASE WHEN date_diff('second', ld, ts) <= {_ASOF_TOL_SECONDS} THEN ld END AS last_orderdate,
+       (ld IS NOT NULL AND date_diff('second', ld, ts) > {_ASOF_TOL_SECONDS}) AS stale_dropped
+FROM c WHERE _tag = 1
+""",
+)
+def asof_tolerance_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness tolerance (pandas ``merge_asof
+    tolerance=`` / kdb ``wj`` semantics): each event takes the user's
+    most recent order ONLY if it is within the staleness bound at event time;
+    older matches are nulled out (the row survives — left-join
+    semantics), flagged ``stale_dropped``. Composition of the verified
+    union-window as-of carry + one post-window predicate — the
+    tolerance costs ZERO extra shuffles because the carried right-side
+    timestamp is already in the frame."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    out = asof_join(
+        events,
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_orderdate"],
+        tie_break="o_orderkey",
+    )
+    age = F.expr("timestampdiff(SECOND, o_orderdate, ts)")
+    fresh = age <= _ASOF_TOL_SECONDS
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(fresh, F.col("o_orderkey")).alias("last_orderkey"),
+        F.when(fresh, F.col("o_orderdate")).alias("last_orderdate"),
+        (F.col("o_orderdate").isNotNull() & ~fresh).alias("stale_dropped"),
+    )
+
+
 @register(
     "full_outer_nation_counts",
     tags=("ext", "join", "outer"),

@@ -269,3 +269,139 @@ def dq_violation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.crossJoin(c)
     return out
+
+
+# Median-absolute-deviation: both medians are EXACT order statistics
+# (percentile_disc semantics — rank ceil(n/2) under a deterministic
+# tie-break), so both engines select the identical data value; the
+# deviation |x - med| is one IEEE subtract of two doubles, identical
+# everywhere. Two rank windows + two small aggregates, all partitioned
+# by the group key — the fact shuffles once and every later operator
+# reuses the exchange.
+_MAD_ORACLE = """
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+), med AS (
+    SELECT o_orderpriority, MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN o_totalprice END) AS median_price
+    FROM ranked GROUP BY o_orderpriority
+), dev AS (
+    SELECT r.o_orderpriority, m.n, m.median_price,
+           abs(r.o_totalprice - m.median_price) AS d,
+           row_number() OVER (PARTITION BY r.o_orderpriority
+                              ORDER BY abs(r.o_totalprice - m.median_price), r.o_orderkey) AS drn
+    FROM ranked r JOIN med m ON r.o_orderpriority = m.o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       MAX(median_price) AS median_price,
+       MAX(CASE WHEN drn = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad_price
+FROM dev GROUP BY o_orderpriority
+"""
+
+
+@register("mad_robust_price", tags=("ext", "aggregate", "robust"), oracle=_MAD_ORACLE)
+def mad_robust_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per order priority — the robust
+    dispersion statistic (stddev is dragged by outliers; MAD is what a
+    data-quality monitor should alarm on). Median = exact rank-selected
+    order statistic (no interpolation, so Spark and DuckDB pick the
+    same value bit-for-bit); the second median runs over |x - median|.
+
+    Plan: everything is STACKED WINDOWS over the same o_orderpriority
+    partitioning — rank window, unbounded median-pick window, deviation
+    rank window, final aggregate. One exchange of the fact, three
+    in-partition sorts, zero joins (an earlier draft aggregated the
+    median into a dimension and broadcast it back; that formulation
+    re-shuffled the fact once per branch because the window subtree was
+    referenced twice — at 100 TB the fact must move once). Per-group
+    state is a row counter, so a skewed priority degrades to a bigger
+    sort, never to OOM."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    pick = F.expr("CAST(ceil(0.5 * n) AS BIGINT)")
+    med = ranked.withColumn(
+        "median_price", F.max(F.when(F.col("rn") == pick, F.col("o_totalprice"))).over(wc)
+    )
+    d = F.abs(F.col("o_totalprice") - F.col("median_price"))
+    wd = Window.partitionBy("o_orderpriority").orderBy(d, "o_orderkey")
+    devr = med.select(
+        "o_orderpriority",
+        "n",
+        "median_price",
+        d.alias("d"),
+        F.row_number().over(wd).alias("drn"),
+    )
+    return devr.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.max("median_price").alias("median_price"),
+        F.max(F.when(F.col("drn") == pick, F.col("d"))).alias("mad_price"),
+    )
+
+
+# z-score tail flagging with the comparison carried out ENTIRELY in
+# fixed-point integers: |x - mean| > 1.5·sigma is squared and cleared
+# of divisions into 4·(n-1)·(n·y - s1)² > 9·n·(n·s2 - s1²), where
+# y = floor(value·10⁶). Every operand is an exact integer (DECIMAL(38)
+# on Spark, HUGEINT in DuckDB), so the boolean is bit-identical — no
+# float mean, no float stddev, no borderline-row flips. Magnitudes:
+# y ≤ 5·10⁸, n ≤ 10⁶ ⇒ LHS ≤ ~10³⁵ < 10³⁸.
+_ZTAIL_ORACLE = """
+WITH y AS (
+    SELECT event_id, event_type, value,
+           CAST(floor(value * 1000000) AS HUGEINT) AS yf
+    FROM events
+), s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           SUM(yf) AS s1,
+           SUM(yf * yf) AS s2
+    FROM y GROUP BY event_type
+)
+SELECT event_id, y.event_type, value
+FROM y JOIN s ON y.event_type = s.event_type
+WHERE 4 * (n - 1) * (n * yf - s1) * (n * yf - s1) > 9 * n * (n * s2 - s1 * s1)
+"""
+
+
+@register("zscore_tail_events", tags=("ext", "aggregate", "robust"), oracle=_ZTAIL_ORACLE)
+def zscore_tail_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits beyond 1.5 standard deviations of their
+    event_type mean — the anomaly-gate shape (per-group moments, then
+    a per-row comparison). The mean/stddev comparison is algebraically
+    rearranged into pure integer arithmetic on fixed-point values, so
+    group moments stay exact and mergeable (partition-order-free) and
+    the flag cannot flip on a borderline row; the threshold 1.5 enters
+    as the exact rational 9/4. Plan: one hash aggregate for the 5
+    moment rows, broadcast back over the fact — one shuffle, no
+    window."""
+    events = load_table(spark, sf_dir, "events")
+    y = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.floor(F.col("value") * 1_000_000).cast("decimal(38,0)").alias("yf"),
+    )
+    s = y.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("yf").alias("s1"),
+        F.sum(F.col("yf") * F.col("yf")).alias("s2"),
+    )
+    j = y.join(F.broadcast(s), y.event_type == s.s_type)
+    n, s1, s2, yf = (F.col(c) for c in ("n", "s1", "s2", "yf"))
+    dev = n * yf - s1
+    cond = (F.lit(4).cast("decimal(38,0)") * (n - 1) * dev * dev) > (
+        F.lit(9).cast("decimal(38,0)") * n * (n * s2 - s1 * s1)
+    )
+    return j.filter(cond).select("event_id", "event_type", "value")

@@ -197,3 +197,37 @@ def test_ngram_jaccard_id_bucket_in_join_key(spark, sf_dir):
     # broadcast HashedRelation keys include it)
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "id_bucket" in ln]
     assert join_lines, plan
+
+
+def test_gopher_gate_single_exchange(spark, sf_dir):
+    """gopher_quality_gate: the (doc_id, tok) aggregate and the per-doc
+    aggregate must share ONE exchange (doc_id is a prefix of the first
+    grouping key, so Catalyst reuses the partitioning)."""
+    plan = _physical(spark, "gopher_quality_gate", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mad_single_fact_shuffle(spark, sf_dir):
+    """mad_robust_price: stacked windows + final aggregate all share
+    the o_orderpriority partitioning — the orders fact must shuffle
+    exactly once, with no join in the plan."""
+    plan = _physical(spark, "mad_robust_price", sf_dir)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(o_orderpriority", plan)) == 1, plan
+
+
+def test_zscore_tail_broadcast_moments(spark, sf_dir):
+    """zscore_tail_events: the 5 moment rows broadcast back over the
+    events fact — the fact side itself must not shuffle."""
+    plan = _physical(spark, "zscore_tail_events", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_asof_tolerance_no_extra_exchange(spark, sf_dir):
+    """asof_tolerance_enrich: the staleness bound is a post-window
+    predicate — same exchange count as the plain as-of join."""
+    base = _physical(spark, "asof_latest_order", sf_dir)
+    tol = _physical(spark, "asof_tolerance_enrich", sf_dir)
+    n = lambda p: len(re.findall(r"Exchange", p))
+    assert n(tol) <= n(base) + 0, (n(base), n(tol))
