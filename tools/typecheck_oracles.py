@@ -12,8 +12,11 @@ Prints one line per mismatched column; exit code 1 if any.
 
 from __future__ import annotations
 
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
