@@ -57,6 +57,9 @@ _NEW_R4: list[str] = [
     "mad_robust_price",
     "zscore_tail_events",
     "asof_tolerance_enrich",
+    "semantic_dedup_pairs",
+    "cluster_canonical_docs",
+    "rfm_customer_segments",
 ]
 
 _REPINS_R4 = [

@@ -11,7 +11,7 @@ registered rows-only and cross-checked in tests instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators import dedup as D
@@ -909,3 +909,78 @@ def incremental_minhash_multibatch(spark: SparkSession, sf_dir: str) -> DataFram
     bands = bands.localCheckpoint()
     p2, _ = D.incremental_lsh_pairs(bands, b2, docs, max_bucket_size=None)
     return p0.unionByName(p1).unionByName(p2)
+
+
+# Integer-weight quality score (the quality_classifier_score expression)
+# as a reusable SQL fragment for cluster-representative selection.
+_QSCORE_SQL = f"""
+    SELECT doc_id,
+           3 * CAST(len({_TOKS}) BETWEEN 10 AND 10000 AS BIGINT)
+         + 2 * CAST(len(list_distinct({_TOKS})) * 10 > len({_TOKS}) AS BIGINT)
+         + 2 * CAST({X.sql_marker_hits(_TOKS, X.EN_STOPWORDS)} * 20 >= len({_TOKS}) AS BIGINT)
+         + 1 * CAST(length(text) BETWEEN len({_TOKS}) * 3 AND len({_TOKS}) * 13 AS BIGINT)
+         + 1 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) * 10 <= length(text) AS BIGINT)
+           AS score
+    FROM documents
+"""
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+{_MINHASH_ORACLE}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+), m AS (
+    SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+), q AS ({_QSCORE_SQL}
+)
+SELECT doc_id, cluster_id, score,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) = 1 AS is_canonical,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+FROM m JOIN q ON q.doc_id = m.node
+"""
+
+
+@register("cluster_canonical_docs", tags=("llm", "dedup", "quality", "iterative"), oracle=_CANONICAL_ORACLE)
+def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last stage of the dedup pipeline: near-dup pairs -> connected
+    components -> pick ONE canonical document per cluster by QUALITY
+    (highest integer-weight classifier score, ties to the lowest id)
+    instead of the arbitrary lowest-id keeper of
+    ``neardup_cluster_assign``. This is how production corpus dedup
+    decides which duplicate survives — keep the best-written copy, drop
+    the rest.
+
+    Plan: the pair/component machinery is shared (operators/dedup.py);
+    the selection adds one window over cluster_id (rank by score) on
+    the component labels joined to the map-side score projection — one
+    extra shuffle on cluster_id, state bounded per cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    labels = D.neardup_clusters(pairs)
+    toks = X.tokens("text")
+    score = (
+        3 * F.size(toks).between(10, 10000).cast("long")
+        + 2 * (F.size(F.array_distinct(toks)) * 10 > F.size(toks)).cast("long")
+        + 2 * (X.marker_hits(toks, X.EN_STOPWORDS) * 20 >= F.size(toks)).cast("long")
+        + 1 * F.length("text").between(F.size(toks) * 3, F.size(toks) * 13).cast("long")
+        + 1 * (X.punct_count("text") * 10 <= F.length("text")).cast("long")
+    )
+    scored = docs.select("doc_id", score.alias("score"))
+    assigned = scored.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"), "score"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("score").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return assigned.select(
+        "doc_id",
+        "cluster_id",
+        "score",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_members"),
+    )

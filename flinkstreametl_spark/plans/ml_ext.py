@@ -14,10 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flinkstreametl_spark.operators import similarity as S
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.llm import _KNN_ORACLE
 from flinkstreametl_spark.plans.registry import register
-from flinkstreametl_spark.sources.parquet import load_table
+from flinkstreametl_spark.sources.parquet import ensure_parallelism, load_table
 
 _TOKS = X.sql_tokens("text")
 
@@ -176,13 +177,14 @@ def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
     return cents, assign_df
 
 
-def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
-    """Chained-CTE Lloyd mirror: c0 = k lowest-id embeddings; per
-    iteration, fixed-point distances -> argmin assignment (tie-break by
-    cluster id) -> fixed-point centroid means with the empty-cluster
-    carry-forward; final assignment against c{iters} feeds the counts.
-    Every accumulation is int64, so the trajectory is bit-identical to
-    the Spark/pandas implementation."""
+def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """Chained-CTE Lloyd mirror (the WITH prefix shared by every
+    kmeans-derived oracle): c0 = k lowest-id embeddings; per iteration,
+    fixed-point distances -> argmin assignment (tie-break by cluster
+    id) -> fixed-point centroid means with the empty-cluster
+    carry-forward. The final assignment lives in a{iters+1}; exploded
+    vector elements in e. Every accumulation is int64, so the
+    trajectory is bit-identical to the Spark/pandas implementation."""
     fp = "1099511627776.0"
     ctes = [
         "e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
@@ -213,8 +215,12 @@ def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
                 f"c{i} AS (SELECT p.cluster, p.pos, coalesce(m.cval, p.cval) AS cval"
                 f" FROM {prev} p LEFT JOIN cm{i} m ON m.cluster = p.cluster AND m.pos = p.pos)"
             )
+    return "WITH " + ",\n".join(ctes)
+
+
+def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members"
+        _kmeans_ctes(k, iters) + f"\nSELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members"
         f" FROM a{iters + 1} GROUP BY cluster ORDER BY cluster"
     )
 
@@ -318,3 +324,71 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= 6).alias("keep"),
     )
+
+
+def _semantic_dedup_oracle(k: int = _KM_K, iters: int = _KM_ITERS, threshold: float = 0.3) -> str:
+    """SemDeDup oracle: the shared Lloyd CTE chain, then fixed-point
+    cosine over pairs CO-ASSIGNED by the final a{iters+1} labels."""
+    fin = f"a{iters + 1}"
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+p AS (
+    SELECT aa.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           SUM(CAST(floor(a.val * b.val * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(a.val * a.val * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(b.val * b.val * 1099511627776.0) AS BIGINT)) AS cc
+    FROM e a
+    JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    JOIN {fin} aa ON aa.vec_id = a.vec_id
+    JOIN {fin} bb ON bb.vec_id = b.vec_id AND bb.cluster = aa.cluster
+    GROUP BY aa.cluster, a.vec_id, b.vec_id
+)
+SELECT cluster, vec_a, vec_b, cosine FROM (
+    SELECT cluster, vec_a, vec_b,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine
+    FROM p
+) v
+WHERE cosine >= {threshold}
+"""
+    )
+
+
+@register(
+    "semantic_dedup_pairs",
+    tags=("ext", "llm", "dedup", "similarity", "iterative", "pandas"),
+    oracle=_semantic_dedup_oracle(),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding
+    space with the deterministic K-Means (k=8, 5 Lloyd iterations),
+    then score cosine similarity ONLY within clusters and emit pairs
+    above the threshold — the published recipe for semantic dedup at
+    corpus scale (Abbas et al. 2023): the learned partition replaces
+    the O(n²) all-pairs scan, and the per-cluster pair count is
+    output-sized.
+
+    Contrast with the two sibling blockings: embedding_neardup_pairs
+    blocks on a GIVEN label, embedding_srp_pairs on an LSH sketch;
+    here the blocks are LEARNED from the data itself. All three share
+    the fixed-point in-row cosine (operators/similarity.py), so the
+    threshold cut is engine-exact. Plan: the kmeans fit collects only
+    k centroids per iteration; the pair join is one equi-join on the
+    cluster id over array rows (|pairs| through the shuffle, never
+    |pairs|×dim)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    _cents, assign_df = kmeans_fit(emb)
+    assigned = assign_df(emb).select("vec_id", "embedding", "cluster")
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")))
+    scored = pairs.select(
+        "cluster", "vec_a", "vec_b", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= 0.3)

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flinkstreametl_spark.functions.exact import dbl, dec, sql_dbl
+from flinkstreametl_spark.functions.exact import dbl, dec, dsum, sql_dbl
 from flinkstreametl_spark.operators.windows import epoch_micros
 from flinkstreametl_spark.plans.analytics import _REV_SQL
 from flinkstreametl_spark.plans.registry import register
@@ -405,3 +405,64 @@ def zscore_tail_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(9).cast("decimal(38,0)") * n * (n * s2 - s1 * s1)
     )
     return j.filter(cond).select("event_id", "event_type", "value")
+
+
+# RFM anchor: one day after the fixture's last order date, so recency
+# is a positive day count for every customer.
+_RFM_ANCHOR = "2001-08-02 00:00:00"
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           date_diff('day', MAX(o_orderdate), TIMESTAMP '{_RFM_ANCHOR}') AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           {sql_dbl("SUM(CAST(o_totalprice AS DECIMAL(14,2)))", 2)} AS monetary
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS BIGINT) AS r_quartile,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_quartile,
+       CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS m_quartile,
+       CAST(NTILE(4) OVER (ORDER BY recency_days, o_custkey) * 100
+          + NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) * 10
+          + NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT) AS rfm_segment
+FROM per_cust
+"""
+
+
+@register("rfm_customer_segments", tags=("ext", "aggregate", "window", "warehouse"), oracle=_RFM_ORACLE)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    canonical warehouse scoring query: per customer, days since last
+    order at a fixed anchor, order count, exact total spend, then
+    quartile codes via NTILE(4) composed into the 3-digit RFM segment.
+    NTILE is deterministic only under a TOTAL order, so every quartile
+    window tie-breaks on the customer key (the engines would otherwise
+    disagree on bucket boundaries for tied values). Plan: one hash
+    aggregate (map-side partial) on o_custkey, then three single-pass
+    windows over the CUSTOMER-level frame — the windows sort customers,
+    not orders, so the global sorts are over the already-reduced
+    aggregate (a deliberate, bounded single-partition stage, same
+    reasoning as the vocabulary coverage curve)."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = F.lit(_RFM_ANCHOR).cast(orders.schema["o_orderdate"].dataType)
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(anchor, F.max("o_orderdate")).cast("long").alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("o_totalprice", 14, 2).alias("monetary"),
+    )
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    r, f_, m = (F.ntile(4).over(w).cast("long") for w in (wr, wf, wm))
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r.alias("r_quartile"),
+        f_.alias("f_quartile"),
+        m.alias("m_quartile"),
+        (r * 100 + f_ * 10 + m).alias("rfm_segment"),
+    )
