@@ -60,6 +60,8 @@ _NEW_R4: list[str] = [
     "semantic_dedup_pairs",
     "cluster_canonical_docs",
     "rfm_customer_segments",
+    "daily_moving_avg_7d",
+    "image_phash_neardup",
 ]
 
 _REPINS_R4 = [

@@ -984,3 +984,107 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).alias("is_canonical"),
         F.count(F.lit(1)).over(wc).cast("long").alias("n_members"),
     )
+
+
+# 60 pixel samples per synthetic image -> a 60-bit aHash (shifts stay
+# clear of the signed-64 boundary, same budget rule as simhash). Base
+# pattern from doc_id % 16 (16 image families), one deterministic
+# pixel inverted per doc -> plentiful near-identical hashes.
+_PH_N = 60
+_PH_BANDS, _PH_WIDTH = 4, 15
+
+
+_PHASH_ORACLE = f"""
+WITH px AS (
+    SELECT doc_id, i,
+           CASE WHEN i = (doc_id // 16) % {_PH_N}
+                THEN 255 - ((doc_id % 16) * 17 + i * 13) % 256
+                ELSE ((doc_id % 16) * 17 + i * 13) % 256 END AS v
+    FROM documents, (SELECT unnest(range({_PH_N})) AS i) r
+), s AS (
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM px GROUP BY doc_id
+), h AS (
+    SELECT px.doc_id,
+           SUM(CASE WHEN px.v * {_PH_N} > s.total THEN (CAST(1 AS BIGINT) << px.i) ELSE 0 END) AS ahash
+    FROM px JOIN s ON px.doc_id = s.doc_id
+    GROUP BY px.doc_id
+), banded AS (
+    SELECT doc_id, ahash, band, (ahash >> (band * {_PH_WIDTH})) & {(1 << _PH_WIDTH) - 1} AS band_bits
+    FROM h, (SELECT unnest(range({_PH_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+"""
+
+
+@register("image_phash_neardup", tags=("llm", "multimodal", "dedup"), oracle=_PHASH_ORACLE)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection through the REAL decode path: each doc
+    synthesizes a deterministic 10x2 P6 PPM (16 base patterns + one
+    inverted pixel per doc), the pure-Python PPM codec decodes the
+    bytes back executor-side, an average-hash (aHash: bit i set iff
+    sample i is strictly above the image mean, integer
+    cross-multiplied) folds each image to 60 bits, and candidate pairs
+    come from the pigeonhole banded equi-join with the exact hamming
+    filter on candidates — the simhash machinery applied to pixels.
+
+    The oracle states the closed form of the whole chain (synth
+    arithmetic -> mean -> bits -> bands -> pairs), so a decode bug, a
+    raster-order bug, or a banding bug all break parity. Both
+    mapInPandas stages are Arrow-batched; payloads never leave
+    executors — at 100 TB swap the synth stage for the object-store
+    read and the codec seam for a real JPEG decoder; every downstream
+    operator is unchanged."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from flinkstreametl_spark.operators.multimodal import decode_image, encode_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = [((did % 16) * 17 + i * 13) % 256 for i in range(_PH_N)]
+                flip = (did // 16) % _PH_N
+                vals[flip] = 255 - vals[flip]
+                payloads.append(encode_ppm(10, 2, [float(v) for v in vals]))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id LONG, payload BINARY")
+
+    def ahash(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _w, _h, samples = decode_image(bytes(payload))
+                iv = [int(v) for v in samples[:_PH_N]]
+                total = sum(iv)
+                h = 0
+                for i, v in enumerate(iv):
+                    if v * _PH_N > total:
+                        h |= 1 << i
+                out.append({"media_id": int(mid), "ahash": h})
+            yield _pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    hashes = media.mapInPandas(ahash, schema="media_id LONG, ahash LONG")
+    band_idx = F.explode(F.array([F.lit(i) for i in range(_PH_BANDS)])).alias("band")
+    banded = hashes.select("media_id", "ahash", band_idx).withColumn(
+        "band_bits", F.expr(f"(ahash >> (band * {_PH_WIDTH})) & {(1 << _PH_WIDTH) - 1}")
+    )
+    a = banded.select(F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"), "band", "band_bits")
+    b = banded.select(F.col("media_id").alias("media_b"), F.col("ahash").alias("hb"), "band", "band_bits")
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

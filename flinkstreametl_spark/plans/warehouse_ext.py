@@ -466,3 +466,62 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.alias("m_quartile"),
         (r * 100 + f_ * 10 + m).alias("rfm_segment"),
     )
+
+
+# Day index and value sums are exact integers; the RANGE frame runs
+# over the integer day, so "7 days" means calendar days, not 7 rows —
+# gaps in the series are handled by the frame, not by densification.
+_MAVG_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fp
+    FROM events
+    GROUP BY event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT)
+)
+SELECT event_type, day, n_events,
+       CAST(SUM(s_fp) OVER w AS DOUBLE) / 1000000.0
+           / CAST(SUM(n_events) OVER w AS DOUBLE) AS avg_value_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("daily_moving_avg_7d", tags=("ext", "window", "timeseries"), oracle=_MAVG_ORACLE)
+def daily_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of event value per event type — the
+    time-series dashboard staple, built gap-correct: the window is a
+    RANGE frame over the INTEGER day index, so missing days shrink the
+    divisor instead of silently stretching the window (the ROWS-frame
+    bug). Two-level exactness: daily sums are fixed-point integers
+    (partial-aggregated map-side), the moving sum adds integers, and
+    ONE double division happens per output row in the same operand
+    order as the oracle. Plan: one shuffle to (event_type, day)
+    granularity, then the window over the tiny daily frame reuses the
+    event_type partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select(
+            "event_type",
+            day.alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_fp").alias("s_fp"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (
+            F.sum("s_fp").over(w).cast("double")
+            / F.lit(1_000_000.0)
+            / F.sum("n_events").over(w).cast("double")
+        ).alias("avg_value_7d"),
+    )
