@@ -62,6 +62,7 @@ _NEW_R4: list[str] = [
     "rfm_customer_segments",
     "daily_moving_avg_7d",
     "image_phash_neardup",
+    "median_cont_quantity",
 ]
 
 _REPINS_R4 = [

@@ -553,6 +553,50 @@ def median_disc_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "median_cont_quantity",
+    tags=("ext", "aggregate", "stats", "window"),
+    oracle="""
+WITH ranked AS (
+    SELECT l_returnflag, l_quantity,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+           COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+    FROM lineitem
+)
+SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       SUM(l_quantity) / COUNT(*) AS median_cont
+FROM ranked
+WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+GROUP BY l_returnflag
+""",
+)
+def median_cont_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (percentile_cont) median per group, the portable
+    way: pick the one (n odd) or two (n even) middle ORDER STATISTICS
+    by rank and average them. With at most two operands the double
+    arithmetic is commutative-only (no associativity exposure), so the
+    result is bit-identical across engines — unlike the built-in
+    percentile_cont whose interpolation expression differs per engine.
+    Same one-sort-per-group plan as the discrete twin; the disc/cont
+    pair plus approx_percentile (audit tier) completes the quantile
+    family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter((F.col("rn") == F.expr("(n + 1) div 2")) | (F.col("rn") == F.expr("n div 2 + 1")))
+    return mid.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("median_cont"),
+    )
+
+
+@register(
     "rollup_with_grouping_id",
     tags=("ext", "aggregate", "grouping"),
     oracle=f"""
