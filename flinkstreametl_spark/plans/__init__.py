@@ -63,6 +63,7 @@ _NEW_R4: list[str] = [
     "daily_moving_avg_7d",
     "image_phash_neardup",
     "median_cont_quantity",
+    "session_transition_counts",
 ]
 
 _REPINS_R4 = [

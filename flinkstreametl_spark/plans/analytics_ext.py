@@ -962,3 +962,72 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_date", "day_offset")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "session_transition_counts",
+    tags=("ext", "window", "sessionize", "funnel"),
+    oracle="""
+WITH s AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM (SELECT user_id, ts, event_id, event_type,
+                 LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+          FROM events) t
+), tr AS (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LAG(session_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_session,
+           session_id
+    FROM s
+), counts AS (
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM tr
+    WHERE prev_type IS NOT NULL AND prev_session = session_id
+    GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+           / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_next
+FROM counts
+""",
+)
+def session_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over in-session event sequences: for
+    every consecutive (prev -> next) event pair WITHIN a session, the
+    count and the conditional probability P(next | prev) — the model
+    behind next-action prediction and funnel-drop analysis.
+
+    Plan discipline: the transition lag windows partition by user_id
+    (not (user_id, session_id)) and carry the session id alongside,
+    nulling cross-session pairs with a predicate — this keeps ALL
+    windows (gap detection, session numbering, transition lag) on ONE
+    user_id exchange instead of adding a second shuffle on the finer
+    key. The probability denominator is a window over the tiny
+    transition matrix. Probabilities are bigint/bigint double
+    divisions — engine-exact."""
+    events = load_table(spark, sf_dir, "events")
+    s = sessionize(events, "user_id", "ts", gap_seconds=1800)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = s.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("session_id").over(w).alias("prev_session"),
+        "session_id",
+    )
+    counts = (
+        tr.filter(F.col("prev_type").isNotNull() & (F.col("prev_session") == F.col("session_id")))
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp).cast("double")
+        ).alias("p_next"),
+    )
