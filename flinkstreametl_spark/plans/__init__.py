@@ -36,6 +36,17 @@ from flinkstreametl_spark.plans import quality_ext as _quality_ext  # noqa: E402
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) moved to
 # AUDIT_REGISTRY this round — queries() is now 100% oracle-backed.
+#
+# ROUND-5 ROTATION PLAN: if CORRECTNESS_r04 comes back 50/50 green,
+# EVERY registered query has a green driver verdict on record
+# (126 cumulative through r3 + the 11 priority + every _NEW_R4 name
+# = all registered). Round 5 then starts from a clean slate: window = _NEW_R5
+# (additions as they land, same discipline) + re-pins — keep the
+# frozen bench set + CDC core pinned so perf and §2 evidence stay on
+# the same names, and rotate the remaining slots across the oldest
+# verdicts (r1-era names first) so evidence stays fresh against
+# regenerated fixtures. If any r4 window name fails, it leads the
+# round-5 window after repair.
 _PRIORITY_R4 = [
     "incremental_minhash_replay",
     "scd2_order_status_history",
@@ -64,6 +75,8 @@ _NEW_R4: list[str] = [
     "image_phash_neardup",
     "median_cont_quantity",
     "session_transition_counts",
+    "nation_revenue_contribution",
+    "order_gap_stats",
 ]
 
 _REPINS_R4 = [

@@ -1031,3 +1031,107 @@ def session_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wp).cast("double")
         ).alias("p_next"),
     )
+
+
+@register(
+    "nation_revenue_contribution",
+    tags=("ext", "aggregate", "window"),
+    oracle=f"""
+WITH rev AS (
+    SELECT n_name, SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev_dec
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, {sql_dbl('rev_dec', 2)} AS revenue,
+       {sql_dbl('rev_dec', 2)} / {sql_dbl('SUM(rev_dec) OVER ()', 2)} * 100.0 AS pct_of_total,
+       CAST(RANK() OVER (ORDER BY rev_dec DESC, n_name) AS BIGINT) AS rev_rank
+FROM rev
+""",
+)
+def nation_revenue_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (ratio_to_report): each nation's revenue as
+    a percentage of the grand total, plus a revenue rank — the share-of-
+    whole window shape every BI layer generates. The empty-frame window
+    (SUM OVER ()) runs over the 25-row nation aggregate, not the fact:
+    one fact shuffle for the aggregate (dims broadcast), then a single-
+    partition pass over rows-per-group = |nations|.
+
+    Exactness detail: the grand total is summed IN DECIMAL through the
+    window (a double window-sum adds in partition order and drifted a
+    ulp between engines); both the per-nation revenue and the total
+    convert to double once, through the unscaled-BIGINT scheme, and the
+    share division runs on bit-identical operands."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec("o_totalprice", 14, 2)).alias("rev_dec"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("rev_dec").desc(), "n_name")
+    revenue = dbl(F.col("rev_dec"), 2)
+    total = dbl(F.sum("rev_dec").over(w_all), 2)
+    return rev.select(
+        "n_name",
+        revenue.alias("revenue"),
+        (revenue / total * F.lit(100.0)).alias("pct_of_total"),
+        F.rank().over(w_rank).cast("long").alias("rev_rank"),
+    )
+
+
+@register(
+    "order_gap_stats",
+    tags=("ext", "window", "stats", "timeseries"),
+    oracle="""
+WITH gaps AS (
+    SELECT o_custkey,
+           date_diff('day', LAG(o_orderdate) OVER w, o_orderdate) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), g AS (
+    SELECT o_custkey, gap_days,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY gap_days) AS rn,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n
+    FROM gaps WHERE gap_days IS NOT NULL
+)
+SELECT o_custkey,
+       CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_days END) AS BIGINT) AS median_gap_days
+FROM g GROUP BY o_custkey
+""",
+)
+def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis: per customer, the min / max / exact
+    discrete-median days between CONSECUTIVE orders — the purchase-
+    cadence profile behind churn prediction and replenishment models.
+    The gap lag and both rank windows partition by o_custkey, so the
+    orders fact shuffles once and every pass reuses the exchange;
+    gaps are integer days, so the median is an integer order statistic
+    with zero float exposure."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    wg = Window.partitionBy("o_custkey").orderBy("gap_days")
+    wn = Window.partitionBy("o_custkey")
+    g = gaps.select(
+        "o_custkey",
+        "gap_days",
+        F.row_number().over(wg).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return g.groupBy("o_custkey").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))).cast("long").alias("median_gap_days"),
+    )
