@@ -17,6 +17,8 @@ from flinkstreametl_spark.plans import ml_ext as _ml_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ingest_ext as _ingest_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import quality_ext as _quality_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import timeseries_ext as _timeseries_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -77,6 +79,11 @@ _NEW_R4: list[str] = [
     "session_transition_counts",
     "nation_revenue_contribution",
     "order_gap_stats",
+    "ewma_daily_value",
+    "cusum_changepoint_daily",
+    "dow_seasonality_profile",
+    "copurchase_triangle_stats",
+    "udtf_sentence_spans",
 ]
 
 _REPINS_R4 = [

@@ -748,3 +748,59 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_syms").cast("long").alias("bpe_tokens"),
         )
     )
+
+
+_SENT_ORACLE = """
+WITH parts AS (
+    SELECT doc_id, string_split(text, '. ') AS sents
+    FROM documents
+    WHERE doc_id < 200 AND text IS NOT NULL
+),
+placed AS (
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS pos,
+           sents[i] AS sentence,
+           SUM(len(sents[i]) + 2) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+    FROM parts, UNNEST(range(1, len(sents) + 1)) AS r(i)
+)
+SELECT doc_id, pos, sentence, CAST(COALESCE(prior, 0) AS INT) AS start_char
+FROM placed
+"""
+
+
+@register("udtf_sentence_spans", tags=("ext", "udtf", "llm", "generator"), oracle=_SENT_ORACLE)
+def udtf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation with character offsets through Spark 4's
+    Python UDTF API (``@udtf`` + ``DataFrame.lateralJoin``) — the
+    table-function extension seam for row -> many-rows logic that a
+    generator expression can't express (stateful span accounting here;
+    in production: model-based sentence splitters, parser chunkers).
+
+    The UDTF is Arrow-batched (``useArrow=True``) but still the Python
+    slow path — posexplode/HOF queries stay the fast path for anything
+    expressible declaratively (see posexplode_tokens); this query is
+    deliberately bounded (doc_id < 200) and excluded from the bench
+    set. Ordinals and offsets are assigned inside one row's eval, so
+    they are partition-invariant by construction. The oracle rebuilds
+    the same spans declaratively: split + UNNEST-with-ordinality + a
+    1-PRECEDING running sum over the consumed separator widths."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, sentence: string, start_char: int", useArrow=True)
+    class SentenceSpans:
+        def eval(self, text: str):  # noqa: ANN001 - UDTF contract
+            start = 0
+            for i, s in enumerate(text.split(". ")):
+                yield i, s, start
+                start += len(s) + 2
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    return docs.lateralJoin(SentenceSpans(F.col("text").outer())).select(
+        "doc_id", "pos", "sentence", "start_char"
+    )

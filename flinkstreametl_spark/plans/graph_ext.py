@@ -1,0 +1,166 @@
+"""[EXT] Graph analytics over the co-purchase graph: degree-oriented
+triangle counting and global transitivity.
+
+The near-dup stack already does one graph computation — connected
+components over the duplicate-pair edge list (operators/dedup.py) — and
+TextRank runs PageRank over the token graph (plans/corpus_ext.py).
+This module adds the third classic distributed-graph kernel, triangle
+counting, on a graph the warehouse actually has: parts are nodes,
+"appeared in the same order" is an edge (the market-basket projection
+of the orders/lineitem star).
+
+Why degree orientation matters at 100 TB: the naive wedge enumeration
+(join edges on the shared endpoint) is sum(deg^2) — a single celebrity
+node with degree 10^6 generates 10^12 wedges. Directing every edge
+from its lower-(degree, id) endpoint to the higher one and enumerating
+wedges only from OUT-neighbors bounds the work by O(E^1.5) total
+(every node's out-degree is at most sqrt(2E)), which is the standard
+MapReduce/GraphX triangle algorithm. Each undirected triangle then
+appears exactly once: its three nodes have a unique (degree, id)
+ordering a < b < c, and the enumeration finds it only as the wedge
+(a->b, a->c) closed by the edge b->c.
+
+Exactness: node ids, degrees, and counts are all integers; the single
+double division (transitivity = 3*triangles / wedge_total) happens
+once, on exact operands, in the same order as the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+# Linearizes the (degree, node) total order into one BIGINT so the
+# orientation and the wedge ordering compare a single column. Valid
+# while node ids < 10^7 (TPC-H partkeys at any test SF; at larger
+# scales widen the multiplier or compare a (deg, node) struct — both
+# engines order structs lexicographically).
+_ORD = 10_000_000
+
+_TRI_ORACLE = f"""
+WITH pairs AS (
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                    greatest(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+oriented AS (
+    SELECT CASE WHEN du.deg*{_ORD} + u < dv.deg*{_ORD} + v THEN u ELSE v END AS src,
+           CASE WHEN du.deg*{_ORD} + u < dv.deg*{_ORD} + v THEN v ELSE u END AS dst,
+           CASE WHEN du.deg*{_ORD} + u < dv.deg*{_ORD} + v
+                THEN dv.deg*{_ORD} + v ELSE du.deg*{_ORD} + u END AS ord_dst
+    FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+),
+tri AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM oriented o1
+    JOIN oriented o2 ON o1.src = o2.src AND o1.ord_dst < o2.ord_dst
+    WHERE EXISTS (SELECT 1 FROM oriented o
+                  WHERE o.src = o1.dst AND o.dst = o2.dst)
+),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges_total
+    FROM deg
+),
+estats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM oriented
+)
+SELECT n_nodes, n_edges, n_wedges_total, n_triangles,
+       CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges_total AS DOUBLE) AS transitivity
+FROM gstats, estats, tri
+"""
+
+
+@register("copurchase_triangle_stats", tags=("ext", "graph"), oracle=_TRI_ORACLE)
+def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: node/edge counts,
+    total wedges (sum C(deg,2)), exact triangle count, and the global
+    clustering coefficient (transitivity = 3*triangles / wedges).
+
+    Plan shape (the 100 TB story is in the module docstring):
+    1. Edge list: lineitem self-join on l_orderkey — per-order pair
+       enumeration, quadratic only in ORDER SIZE (bounded, ~4 items),
+       then one distinct.
+    2. Degrees: one hash aggregate over edge endpoints; the degree
+       table is |V|-sized (parts, not lineitems) and is BROADCAST onto
+       the edge list to orient it — the edge stream never shuffles for
+       the orientation step.
+    3. Wedges: oriented self-join on src. Out-degrees are capped at
+       sqrt(2E) by the orientation, so the join output is O(E^1.5)
+       worst-case, not deg^2-skewed.
+    4. Closure: LEFT SEMI join of wedges against the oriented edge
+       list — the edge list is the SMALL side and broadcasts, so the
+       wedge stream (the big intermediate) is never exchanged.
+    ``localCheckpoint`` pins the oriented edge list so the three
+    consumers (edge count, wedge enumeration, closure probe) reuse one
+    materialization instead of replaying the self-join (same pattern
+    as the connected-components loop, operators/dedup.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    ).localCheckpoint()
+
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ord_u = F.col("du.deg") * _ORD + F.col("u")
+    ord_v = F.col("dv.deg") * _ORD + F.col("v")
+    u_first = ord_u < ord_v
+    oriented = (
+        pairs.join(F.broadcast(du), F.col("du.node") == F.col("u"))
+        .join(F.broadcast(dv), F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, ord_v).otherwise(ord_u).alias("ord_dst"),
+        )
+    ).localCheckpoint()
+
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.ord_dst") < F.col("o2.ord_dst")),
+    ).select(F.col("o1.dst").alias("wa"), F.col("o2.dst").alias("wb"))
+    closer = oriented.select(F.col("src").alias("wa"), F.col("dst").alias("wb"))
+    tri = wedges.join(F.broadcast(closer), ["wa", "wb"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+    gstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges_total"),
+    )
+    estats = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        gstats.crossJoin(estats)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges_total",
+            "n_triangles",
+            (F.lit(3) * F.col("n_triangles").cast("double") / F.col("n_wedges_total").cast("double")).alias(
+                "transitivity"
+            ),
+        )
+    )

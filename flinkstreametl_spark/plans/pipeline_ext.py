@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.plans.registry import register
@@ -227,8 +227,9 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's own operators: quality gate (token count + type-token
     ratio) -> exact dedup keeping the lowest doc_id per content
     fingerprint -> deterministic md5-bucket train/val/test assignment.
-    One scan of documents; the only shuffle is the dedup groupBy on the
-    fingerprint; the split is a pure map. This is the composite a real
+    One scan of documents; the only shuffle is the keep-first dedup
+    window on the fingerprint (a min-over-partition then filter — one
+    exchange, no self-join back); the split is a pure map. This is the composite a real
     100 TB pretraining pipeline runs nightly — every stage is
     individually oracle-checked elsewhere, and the composition is
     checked here."""
@@ -246,10 +247,11 @@ def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n_tokens >= 10) & (n_tokens <= 10000) & (ttr > 0.1)).alias("is_quality"),
     )
     quality = scored.filter("is_quality")
-    keepers = quality.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    keeper = F.min("doc_id").over(Window.partitionBy("fp"))
     b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
     return (
-        quality.join(keepers, (quality.fp == keepers.fp) & (quality.doc_id == keepers.keeper))
+        quality.withColumn("keeper", keeper)
+        .filter(F.col("doc_id") == F.col("keeper"))
         .select(
             "doc_id",
             "lang",

@@ -1,0 +1,255 @@
+"""[EXT] Time-series analytics: EWMA smoothing, CUSUM change-point
+detection, day-of-week seasonality.
+
+The reference's pipeline terminates at enrich-and-upsert
+(``src/main/java/com/Main.java``); any production deployment of the
+same CDC feed grows monitoring on top of it — "did the level of this
+metric shift?", "what does a normal Tuesday look like?". These are
+those operators, built on the repo's exactness discipline:
+
+- EWMA is a sequential recurrence (y_n = a*x_n + (1-a)*y_{n-1}), which
+  looks hostile to both distributed execution and cross-engine
+  determinism. The resolution: aggregate the fact table to the DAILY
+  grain first (one shuffle, map-side partial, exact fixed-point sums),
+  then fold the recurrence over the tiny per-key day series with a
+  deterministic LEFT FOLD — Spark ``aggregate(array_sort(...))`` vs
+  DuckDB ``list_reduce(list(... ORDER BY day))``. Both engines execute
+  the same IEEE double ops in the same order on the same operands, so
+  the result is bit-identical with no rounding tricks. The smoothing
+  factor is a DYADIC rational (0.25) on purpose: 0.25 and 0.75 are
+  exact doubles under every literal-conversion path (DuckDB converts
+  decimal literals via unscaled*10^-scale, which differs from parse-
+  to-double in the last ulp for non-dyadic constants like 0.3).
+- CUSUM never leaves integer arithmetic: the classic statistic
+  C_k = sum_{i<=k}(x_i - S/n) is rational, so it is scaled by n:
+  n*C_k = n*P_k - k*S with P_k the prefix sum — exact BIGINTs end to
+  end, argmax is total-order tie-broken. (At 100 TB the products need
+  DECIMAL(38,0) headroom; the shape is unchanged.)
+- Day-of-week comes from the integer day index ((day+4) % 7,
+  1970-01-01 being a Thursday) instead of the engines' dayofweek()
+  built-ins, which disagree on numbering (Spark: Sunday=1; DuckDB:
+  Sunday=0).
+
+Scale shape for all three: one shuffle from the raw fact to the
+(event_type, day) grain — partial aggregation map-side means the
+exchange carries days, not events — then every window/fold runs over
+the per-key daily series, whose length is bounded by the calendar, not
+the data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators.windows import epoch_micros
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+_US_PER_DAY = 86_400_000_000
+_FP = 1_000_000  # fixed-point scale for event values
+
+_DAILY_SQL = f"""
+    SELECT event_type,
+           CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * {_FP}) AS BIGINT)) AS BIGINT) AS s_fp
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, day) grain with exact fixed-point value sums —
+    shared first stage of every query in this module. Same contract as
+    warehouse_ext's moving average: ONE exchange, integer outputs."""
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(_US_PER_DAY)).cast("long")
+    return (
+        events.select(
+            "event_type",
+            day.alias("day"),
+            F.floor(F.col("value") * _FP).cast("long").alias("v_fp"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_fp").alias("s_fp"),
+        )
+    )
+
+
+# The fold in both engines: seed with the FIRST day's value, then
+# acc -> 0.25*x + 0.75*acc over the remaining days in day order.
+_EWMA_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+series AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(day) AS last_day,
+           list(CAST(s_fp AS DOUBLE) / {_FP}.0 ORDER BY day) AS xs
+    FROM daily
+    GROUP BY event_type
+)
+SELECT event_type, n_days, last_day,
+       list_reduce(xs, (acc, x) -> CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * acc)
+           AS ewma_value
+FROM series
+"""
+
+
+@register("ewma_daily_value", tags=("ext", "timeseries"), oracle=_EWMA_ORACLE)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of the daily value level
+    per event type (alpha = 0.25, seeded with the first day).
+
+    Determinism without rounding: the recurrence is evaluated as a
+    sequential left fold over the day-sorted series in BOTH engines
+    (Spark ``aggregate`` over ``array_sort(collect_list(struct))`` —
+    collect_list order is partition-dependent, the sort restores a
+    total order on the unique day key; DuckDB ``list_reduce`` over
+    ``list(... ORDER BY day)``), so every intermediate double is
+    bit-identical and the raw result hashes equal. Alpha is dyadic —
+    see the module docstring for why 0.3 would NOT be safe.
+
+    Scale: the fold is per-key sequential by nature, but it runs over
+    the daily grain (calendar-bounded, ~365 elements/year/key), not
+    events; the heavy reduction to that grain is the one shuffled,
+    map-side-combined aggregate."""
+    daily = _daily(spark, sf_dir)
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.array_sort(F.collect_list(F.struct("day", "s_fp"))).alias("arr"),
+    )
+    xs = F.transform(F.col("arr"), lambda s: s["s_fp"].cast("double") / F.lit(float(_FP)))
+    series = series.withColumn("xs", xs)
+    ewma = F.aggregate(
+        F.slice(F.col("xs"), F.lit(2), F.size("xs") - F.lit(1)),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    )
+    return series.select("event_type", "n_days", "last_day", ewma.alias("ewma_value"))
+
+
+_CUSUM_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+cusum AS (
+    SELECT event_type, day,
+           CAST(COUNT(*) OVER byk AS BIGINT) AS n_days,
+           CAST(COUNT(*) OVER upto AS BIGINT) AS k,
+           SUM(s_fp) OVER upto AS p_k,
+           SUM(s_fp) OVER byk AS s_total
+    FROM daily
+    WINDOW upto AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           byk AS (PARTITION BY event_type)
+)
+SELECT event_type, day AS changepoint_day, n_days,
+       CAST(abs(n_days * p_k - k * s_total) AS BIGINT) AS cusum_scaled
+FROM cusum
+QUALIFY row_number() OVER (
+    PARTITION BY event_type
+    ORDER BY abs(n_days * p_k - k * s_total) DESC, day
+) = 1
+"""
+
+
+@register("cusum_changepoint_daily", tags=("ext", "timeseries"), oracle=_CUSUM_ORACLE)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point: the day where the cumulative deviation of
+    the daily value level from the series mean peaks — the standard
+    single-change-point estimator (argmax_k |sum_{i<=k}(x_i - mean)|).
+
+    Exactness: the statistic is rational (mean = S/n), so it is scaled
+    by n to stay in BIGINT: n*C_k = n*P_k - k*S. Prefix sums, totals,
+    products, abs, and the argmax tie-break (peak value DESC, then
+    day) are all integer — no float enters the query at all, so Spark
+    and DuckDB agree bit for bit under any partitioning.
+
+    Plan: the daily reduction is the only fact shuffle; the three
+    windows (prefix, per-key total, argmax rank) all share the single
+    event_type exchange of the tiny daily frame."""
+    daily = _daily(spark, sf_dir)
+    byk = Window.partitionBy("event_type")
+    upto = byk.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(byk).alias("n_days"),
+        F.count(F.lit(1)).over(upto).alias("k"),
+        F.sum("s_fp").over(upto).alias("p_k"),
+        F.sum("s_fp").over(byk).alias("s_total"),
+    ).withColumn(
+        "cusum_scaled",
+        F.abs(F.col("n_days") * F.col("p_k") - F.col("k") * F.col("s_total")),
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.col("cusum_scaled").desc(), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "n_days",
+            "cusum_scaled",
+        )
+    )
+
+
+_DOW_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+by_dow AS (
+    SELECT event_type,
+           CAST((day + 4) % 7 AS BIGINT) AS dow,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(SUM(s_fp) AS BIGINT) AS s_fp
+    FROM daily
+    GROUP BY 1, 2
+)
+SELECT event_type, dow, n_events,
+       CAST(s_fp AS DOUBLE) / {_FP}.0 / CAST(n_events AS DOUBLE) AS avg_value,
+       CAST(n_events AS DOUBLE)
+           / CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+FROM by_dow
+"""
+
+
+@register("dow_seasonality_profile", tags=("ext", "timeseries"), oracle=_DOW_ORACLE)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: event count, mean value,
+    and the share of the type's traffic landing on each weekday — the
+    profile a monitor compares "today" against.
+
+    Weekday = (epoch_day + 4) % 7 (Monday=0): computed from the integer
+    day index because Spark and DuckDB number dayofweek() differently.
+    Sums are integers; each output row does exactly two double
+    divisions (value mean) and one (share) in the same operand order as
+    the oracle, so no rounding is needed.
+
+    Plan: daily grain (one fact shuffle) -> 7-row-per-key hash
+    aggregate -> share window over the same event_type partitioning;
+    partial aggregation does the heavy lifting map-side."""
+    daily = _daily(spark, sf_dir)
+    by_dow = (
+        daily.select(
+            "event_type",
+            ((F.col("day") + 4) % 7).alias("dow"),
+            "n_events",
+            "s_fp",
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("s_fp").alias("s_fp"))
+    )
+    byk = Window.partitionBy("event_type")
+    return by_dow.select(
+        "event_type",
+        "dow",
+        "n_events",
+        (F.col("s_fp").cast("double") / F.lit(float(_FP)) / F.col("n_events").cast("double")).alias(
+            "avg_value"
+        ),
+        (F.col("n_events").cast("double") / F.sum("n_events").over(byk).cast("double")).alias(
+            "share"
+        ),
+    )

@@ -1,0 +1,130 @@
+"""Semantic checks for plans/timeseries_ext.py and plans/graph_ext.py:
+the oracle-parity harness proves Spark == DuckDB; these tests prove
+both equal an independently-written Python reference (guards against a
+shared misreading of the semantics), plus the plan-shape claims."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators.windows import epoch_micros
+from flinkstreametl_spark.sources.parquet import load_table
+
+US_PER_DAY = 86_400_000_000
+FP = 1_000_000
+
+
+def _daily_series(spark, sf_dir):
+    """(event_type -> [(day, s_fp)] sorted by day) computed row-at-a-time."""
+    events = load_table(spark, sf_dir, "events")
+    rows = events.select(
+        "event_type",
+        (epoch_micros(events, "ts") / F.lit(US_PER_DAY)).cast("long").alias("day"),
+        F.floor(F.col("value") * FP).cast("long").alias("v_fp"),
+    ).collect()
+    acc: dict[tuple[str, int], int] = defaultdict(int)
+    for r in rows:
+        acc[(r.event_type, r.day)] += r.v_fp
+    series: dict[str, list[tuple[int, int]]] = defaultdict(list)
+    for (et, day), s in acc.items():
+        series[et].append((day, s))
+    for et in series:
+        series[et].sort()
+    return series
+
+
+def test_ewma_matches_iterative_python(spark, sf_dir):
+    """The sequential-fold EWMA must equal the textbook loop exactly
+    (same IEEE ops in the same order -> bit-identical doubles)."""
+    from flinkstreametl_spark.plans.timeseries_ext import ewma_daily_value
+
+    got = {r.event_type: r for r in ewma_daily_value(spark, sf_dir).collect()}
+    series = _daily_series(spark, sf_dir)
+    assert set(got) == set(series)
+    for et, days in series.items():
+        y = days[0][1] / float(FP)
+        for _, s_fp in days[1:]:
+            y = 0.25 * (s_fp / float(FP)) + 0.75 * y
+        assert got[et].ewma_value == y  # exact, not approx
+        assert got[et].n_days == len(days)
+        assert got[et].last_day == days[-1][0]
+
+
+def test_cusum_matches_python_argmax(spark, sf_dir):
+    from flinkstreametl_spark.plans.timeseries_ext import cusum_changepoint_daily
+
+    got = {r.event_type: r for r in cusum_changepoint_daily(spark, sf_dir).collect()}
+    series = _daily_series(spark, sf_dir)
+    for et, days in series.items():
+        n = len(days)
+        total = sum(s for _, s in days)
+        best = None
+        prefix = 0
+        for k, (day, s) in enumerate(days, start=1):
+            prefix += s
+            c = abs(n * prefix - k * total)
+            if best is None or c > best[0] or (c == best[0] and day < best[1]):
+                best = (c, day)
+        assert got[et].cusum_scaled == best[0]
+        assert got[et].changepoint_day == best[1]
+        assert got[et].n_days == n
+
+
+def test_dow_shares_sum_to_one(spark, sf_dir):
+    from flinkstreametl_spark.plans.timeseries_ext import dow_seasonality_profile
+
+    rows = dow_seasonality_profile(spark, sf_dir).collect()
+    assert all(0 <= r.dow <= 6 for r in rows)
+    by_type: dict[str, float] = defaultdict(float)
+    for r in rows:
+        by_type[r.event_type] += r.share
+    for et, s in by_type.items():
+        assert math.isclose(s, 1.0, rel_tol=1e-9), (et, s)
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Degree-oriented count vs a brute-force adjacency-set scan of
+    the same co-purchase edge list."""
+    from flinkstreametl_spark.plans.graph_ext import copurchase_triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order: dict[int, set[int]] = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    edges: set[tuple[int, int]] = set()
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1 :]:
+                edges.add((u, v))
+    adj: dict[int, set[int]] = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    # each triangle u < v < w is found exactly once: at edge (u, v)
+    # with the third node w > v
+    tri = 0
+    for u, v in edges:
+        for w in adj[u] & adj[v]:
+            if w > v:
+                tri += 1
+
+    row = copurchase_triangle_stats(spark, sf_dir).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len(adj)
+    assert row.n_triangles == tri
+    assert row.n_wedges_total == sum(
+        len(ns) * (len(ns) - 1) // 2 for ns in adj.values()
+    )
+
+
+def test_triangle_plan_broadcasts_closure_probe(spark, sf_dir):
+    """The wedge stream (the big intermediate) must NOT be exchanged
+    for the closure check: the oriented edge list broadcasts."""
+    from flinkstreametl_spark.plans.graph_ext import copurchase_triangle_stats
+
+    plan = copurchase_triangle_stats(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
