@@ -131,3 +131,65 @@ def asof_join(
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c if c != key else f"asof_{c}") for c in right_cols],
     )
     return carried.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_break: str,
+    *,
+    allow_exact_matches: bool = False,
+) -> DataFrame:
+    """Forward as-of join (pandas ``merge_asof(direction='forward')``):
+    for each left row, the EARLIEST right row with right_ts > left_ts
+    (>= when ``allow_exact_matches``) on the same key — the attribution
+    primitive ("first conversion after this touchpoint").
+
+    Same union-window machinery as :func:`asof_join`, scanned in
+    DESCENDING time order so the carried value is the nearest FOLLOWING
+    right row. At equal timestamps the tag ordering decides visibility:
+    right rows sort before left rows (visible) when exact matches are
+    allowed, after them (invisible) when the match must be strict.
+    Ties on right_ts are broken toward the LOWEST ``tie_break`` so both
+    engines pick the same row. One shuffle (the key window); no range
+    cross join, so a hot key costs O(its rows), not O(rows^2)."""
+    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
+    rt = right.select(
+        F.col(right_key).alias(key),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.col(tie_break).cast("long").alias("_tb"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    lcols = [f for f in left.columns]
+    lt2 = lt.select(
+        *lcols, "_t", "_tag", "_tb", *[F.lit(None).cast(rt.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols]
+    )
+    rt2 = rt.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != key else F.col(key) for c in lcols],
+        "_t",
+        "_tag",
+        "_tb",
+        *[F.col(f"_r_{c}") for c in right_cols],
+    )
+    unioned = lt2.unionByName(rt2)
+    # DESC scan; _tag ASC puts right rows first at equal t (visible to
+    # the left row), _tag DESC hides them; _tb DESC makes the lowest
+    # tie-break the last (winning) carry.
+    tag_order = F.col("_tag").asc() if allow_exact_matches else F.col("_tag").desc()
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t").desc(), tag_order, F.col("_tb").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "_tag",
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c if c != key else f"asof_{c}") for c in right_cols],
+    )
+    return carried.filter(F.col("_tag") == 1).drop("_tag")

@@ -84,6 +84,9 @@ _NEW_R4: list[str] = [
     "dow_seasonality_profile",
     "copurchase_triangle_stats",
     "udtf_sentence_spans",
+    "salted_hot_key_agg",
+    "click_purchase_attribution",
+    "basket_lift_top_pairs",
 ]
 
 _REPINS_R4 = [

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.functions.exact import dbl, dec, dsum, sql_dbl, sql_dsum
 from flinkstreametl_spark.operators.text import tokens
-from flinkstreametl_spark.operators.windows import asof_join, sessionize
+from flinkstreametl_spark.operators.windows import asof_join, asof_join_forward, epoch_micros, sessionize
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 
@@ -1134,4 +1134,100 @@ def order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
         F.max(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_days"))).cast("long").alias("median_gap_days"),
+    )
+
+
+_ATTR_TOL_US = 1800 * 1_000_000  # 30-minute attribution window
+
+_ATTR_ORACLE = f"""
+WITH u AS (
+    SELECT event_id, user_id, ts, ts AS _t, 1 AS _tag, CAST(NULL AS BIGINT) AS _tb,
+           CAST(NULL AS TIMESTAMP) AS p_ts
+    FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), user_id, CAST(NULL AS TIMESTAMP), ts, 0, event_id, ts
+    FROM events WHERE event_type = 'purchase'
+), c AS (
+    SELECT event_id, user_id, ts, _tag,
+           last_value(p_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY _t DESC, _tag DESC, _tb DESC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_ts
+    FROM u
+), att AS (
+    SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           date_diff('microseconds', ts, p_ts) AS delay_us
+    FROM c WHERE _tag = 1
+), daily AS (
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(COUNT(CASE WHEN delay_us <= {_ATTR_TOL_US} THEN 1 END) AS BIGINT) AS n_attributed,
+           CAST(SUM(CASE WHEN delay_us <= {_ATTR_TOL_US} THEN delay_us END) AS BIGINT) AS s_delay
+    FROM att GROUP BY day
+)
+SELECT day, n_clicks, n_attributed,
+       CAST(n_attributed AS DOUBLE) / CAST(n_clicks AS DOUBLE) AS conversion_rate,
+       CASE WHEN n_attributed > 0
+            THEN CAST(s_delay AS DOUBLE) / 1000000.0 / CAST(n_attributed AS DOUBLE)
+       END AS avg_delay_seconds
+FROM daily
+"""
+
+
+@register("click_purchase_attribution", tags=("ext", "join", "asof", "funnel"), oracle=_ATTR_ORACLE)
+def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touchpoint attribution: each click is credited with the user's
+    FIRST purchase strictly after it; a click converts if that purchase
+    lands within 30 minutes. Daily rollup: clicks, conversions,
+    conversion rate, mean delay-to-purchase.
+
+    The forward as-of join (operators/windows.py asof_join_forward —
+    pandas merge_asof(direction='forward') semantics, strict
+    inequality) runs as the union-window carry in DESCENDING time
+    order: ONE user_id shuffle, no time-range cross join, hot users
+    cost O(their rows). The 30-min window is a free post-carry
+    predicate, exactly like the backward tolerance enrich. Delays are
+    integer microseconds; the two double divisions per day run on
+    exact merged operands in oracle-identical order; zero-conversion
+    days yield NULL (not 0/0) in both engines."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_eid")
+    )
+    att = asof_join_forward(
+        clicks,
+        purch,
+        key="user_id",
+        right_key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_cols=["p_ts"],
+        tie_break="p_eid",
+        allow_exact_matches=False,
+    )
+    delay = F.expr("timestampdiff(MICROSECOND, ts, p_ts)")
+    attributed = F.col("delay_us").isNotNull() & (F.col("delay_us") <= _ATTR_TOL_US)
+    daily = (
+        att.select(
+            (epoch_micros(att, "ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+            delay.alias("delay_us"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(attributed.cast("long")).alias("n_attributed"),
+            F.sum(F.when(attributed, F.col("delay_us"))).alias("s_delay"),
+        )
+    )
+    return daily.select(
+        "day",
+        "n_clicks",
+        "n_attributed",
+        (F.col("n_attributed").cast("double") / F.col("n_clicks").cast("double")).alias(
+            "conversion_rate"
+        ),
+        F.when(
+            F.col("n_attributed") > 0,
+            F.col("s_delay").cast("double") / F.lit(1_000_000.0) / F.col("n_attributed").cast("double"),
+        ).alias("avg_delay_seconds"),
     )

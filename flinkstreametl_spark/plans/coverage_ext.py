@@ -797,3 +797,68 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_clipped.cast("int")).cast("long").alias("n_clipped"),
         dbl(F.sum(dec(clipped, 12, 2)) / F.count(F.lit(1)), 4).alias("winsor_mean"),
     )
+
+
+_SALTED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fp,
+       CAST(MIN(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS min_value,
+       CAST(MAX(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS max_value,
+       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+           / CAST(COUNT(*) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("salted_hot_key_agg", tags=("ext", "skew", "aggregate"), oracle=_SALTED_ORACLE)
+def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through the EXPLICIT two-stage salt rewrite
+    (operators/skew.py salted_agg): events has only 5 event_type keys,
+    so a plain groupBy funnels every row through 5 reducers — the exact
+    shape that bottlenecks a 1000-executor cluster no matter how many
+    cores it has. Stage 1 groups on (event_type, salt16) spreading each
+    hot key over 16 reducers; stage 2 merges the 16 algebraic partials
+    per key.
+
+    The ORACLE IS THE PLAIN GROUP BY: the driver's exact-hash verdict
+    is the proof that the salted rewrite preserves semantics bit for
+    bit — which holds only because every aggregate here decomposes
+    algebraically (count/sum/min/max over exact fixed-point integers;
+    the avg's single double division runs on merged exact operands).
+    The salt is xxhash64 over the full row — deterministic, so task
+    retries and reruns salt identically (rand() would break
+    exactly-once re-execution)."""
+    from flinkstreametl_spark.operators.skew import salted_agg
+
+    events = load_table(spark, sf_dir, "events")
+    v_fp = F.floor(F.col("value") * 1_000_000).cast("long")
+    rows = events.select("event_type", v_fp.alias("v_fp"))
+    out = salted_agg(
+        rows,
+        ["event_type"],
+        aggs={
+            "n_p": F.count(F.lit(1)),
+            "s_p": F.sum("v_fp"),
+            "mn_p": F.min("v_fp"),
+            "mx_p": F.max("v_fp"),
+        },
+        merges={
+            "n_events": F.sum("n_p"),
+            "s_fp": F.sum("s_p"),
+            "mn": F.min("mn_p"),
+            "mx": F.max("mx_p"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        "s_fp",
+        (F.col("mn").cast("double") / F.lit(1_000_000.0)).alias("min_value"),
+        (F.col("mx").cast("double") / F.lit(1_000_000.0)).alias("max_value"),
+        (F.col("s_fp").cast("double") / F.lit(1_000_000.0) / F.col("n_events").cast("double")).alias(
+            "avg_value"
+        ),
+    )

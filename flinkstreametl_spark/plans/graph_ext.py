@@ -1,5 +1,6 @@
 """[EXT] Graph analytics over the co-purchase graph: degree-oriented
-triangle counting and global transitivity.
+triangle counting with global transitivity, plus market-basket
+association rules (support / confidence / lift) at the pair grain.
 
 The near-dup stack already does one graph computation — connected
 components over the duplicate-pair edge list (operators/dedup.py) — and
@@ -163,4 +164,93 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transitivity"
             ),
         )
+    )
+
+
+_LIFT_ORACLE = """
+WITH baskets AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM baskets
+),
+item_n AS (
+    SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS n_item FROM baskets GROUP BY 1
+),
+pair_n AS (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+)
+SELECT u, v, n_pair, ia.n_item AS n_u, ib.n_item AS n_v, n_total,
+       CAST(n_pair * n_total AS DOUBLE) / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift,
+       CAST(n_pair AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS confidence_u_to_v
+FROM pair_n
+JOIN item_n ia ON ia.item = u
+JOIN item_n ib ON ib.item = v
+CROSS JOIN n_orders
+ORDER BY n_pair DESC, u, v
+LIMIT 20
+"""
+
+
+@register("basket_lift_top_pairs", tags=("ext", "graph", "basket"), oracle=_LIFT_ORACLE)
+def basket_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over the same co-purchase
+    structure the triangle census uses, kept at the PAIR grain: for the
+    20 most co-purchased part pairs, support counts, confidence
+    P(v | u), and lift (observed co-rate vs independence).
+
+    Exactness: lift = (n_pair * n_total) / (n_u * n_v) — both products
+    are computed in BIGINT (exact) and cast to double for ONE division,
+    so the doubles are bit-identical across engines and even the
+    ORDER BY needs no float: top-20 ranks by (n_pair DESC, u, v), a
+    total integer order.
+
+    Plan: per-order pair enumeration (quadratic in basket size only),
+    one hash aggregate per grain (pair / item / total), item counts
+    broadcast onto the pair table, top-20 via TakeOrdered — no global
+    sort materialization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_total_df = baskets.agg(F.count_distinct("l_orderkey").cast("long").alias("n_total"))
+    item_n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    ia = item_n.select(F.col("item").alias("u"), F.col("n_item").alias("n_u"))
+    ib = item_n.select(F.col("item").alias("v"), F.col("n_item").alias("n_v"))
+    joined = (
+        pair_n.join(F.broadcast(ia), "u")
+        .join(F.broadcast(ib), "v")
+        .crossJoin(F.broadcast(n_total_df))
+    )
+    return (
+        joined.select(
+            "u",
+            "v",
+            "n_pair",
+            "n_u",
+            "n_v",
+            "n_total",
+            (
+                (F.col("n_pair") * F.col("n_total")).cast("double")
+                / (F.col("n_u") * F.col("n_v")).cast("double")
+            ).alias("lift"),
+            (F.col("n_pair").cast("double") / F.col("n_u").cast("double")).alias(
+                "confidence_u_to_v"
+            ),
+        )
+        .orderBy(F.col("n_pair").desc(), "u", "v")
+        .limit(20)
     )
