@@ -30,9 +30,13 @@ from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F40
 #      repaired this round (collect_set_sorted / inverted_index_terms
 #      now emit string-joined collections — the driver canonicalizer
 #      cannot hash array columns, see plans/registry.py).
-#   2. _NEW_R4 — queries added during round 4; each new registration
-#      is appended here so it gets a verdict THIS round instead of
-#      waiting a full rotation (the round-3 mistake).
+#   2. _NEW_R4 — queries added during round 4 (both waves); each new
+#      registration is appended here so it gets a verdict THIS round
+#      instead of waiting a full rotation (the round-3 mistake). As
+#      this tier grew to 24, the surviving repin tail shrank to the
+#      16 highest-traffic bench names — the displaced repins all hold
+#      green verdicts from earlier rounds, so cumulative coverage is
+#      unaffected.
 #   3. _REPINS_R4 — high-traffic re-pins (whole bench set + the §2
 #      CDC/streaming core), displaced from the tail as _NEW_R4 grows.
 # Verified queries move behind the window (their recorded evidence

@@ -92,3 +92,68 @@ def streaming_user_running_totals(df: DataFrame, *, ttl_ms: int | None = None) -
         outputMode="Update",
         timeMode="ProcessingTime" if ttl_ms is not None else "None",
     )
+
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_value", T.DoubleType()),
+    ]
+)
+
+
+class EwmaProcessor(StatefulProcessor):
+    """Per-key streaming EWMA — the stateful-stream twin of the batch
+    ``ewma_daily_value`` fold (plans/timeseries_ext.py): the recurrence
+    y_n = a*x_n + (1-a)*y_{n-1} carried across micro-batches in one
+    typed value state (n, ewma), seeded with the key's first value.
+
+    Determinism contract (same as the batch fold): rows inside a batch
+    are folded in (ts, event_id) order — pandas sort, total because
+    event_id is unique — so for in-order delivery the stream equals the
+    one-shot batch fold BIT FOR BIT (identical IEEE op sequence; alpha
+    defaults to the same dyadic 0.25). State is two scalars per key:
+    at 100 TB keys, RocksDB holds 16 bytes each — this is the shape
+    where transformWithState beats recomputing a growing window."""
+
+    def __init__(self, alpha: float = 0.25, ttl_ms: int | None = None) -> None:
+        if not 0.0 < alpha <= 1.0:
+            raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+        self._alpha = alpha
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        schema = T.StructType(
+            [T.StructField("n", T.LongType()), T.StructField("ewma", T.DoubleType())]
+        )
+        self._st = handle.getValueState("ewma", schema, ttlDurationMs=self._ttl_ms)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, ewma = self._st.get() if self._st.exists() else (0, None)
+        batch = pd.concat(list(rows), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
+        a = self._alpha
+        for v in batch["value"]:
+            x = float(v)
+            ewma = x if n == 0 else a * x + (1.0 - a) * ewma
+            n += 1
+        self._st.update((n, ewma))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma_value": [ewma]})
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_user_value_ewma(
+    df: DataFrame, *, alpha: float = 0.25, ttl_ms: int | None = None
+) -> DataFrame:
+    """(user_id, event_id, ts, value) stream -> per-user running EWMA,
+    one refreshed row per key per batch (update mode). Same TTL/time-
+    mode coupling as the running totals (TTL forces ProcessingTime)."""
+    return df.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(alpha, ttl_ms),
+        outputStructType=_EWMA_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime" if ttl_ms is not None else "None",
+    )

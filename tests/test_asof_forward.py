@@ -74,3 +74,60 @@ def test_keys_do_not_cross(spark):
     )
     assert got[1] == (_ts(110), 1)
     assert got[2] == (_ts(120), 2)
+
+
+def test_forward_asof_matches_pandas_merge_asof(spark):
+    """Property: asof_join_forward == pandas merge_asof(
+    direction='forward') on random frames. pandas breaks right-ts ties
+    by taking the first row of the sorted right frame, so pre-sorting
+    the right side by (rts, rid) aligns its tie-break with the
+    operator's lowest-rid contract."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        st.lists(  # left: (key, ts-seconds)
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),
+            min_size=1,
+            max_size=12,
+        ),
+        st.lists(  # right: (key, ts-seconds)
+            st.tuples(st.integers(0, 2), st.integers(0, 50)),
+            min_size=0,
+            max_size=12,
+        ),
+        st.booleans(),
+    )
+    def run(lrows, rrows, exact_ok):
+        left = [(i, k, _ts(s)) for i, (k, s) in enumerate(lrows)]
+        right = [(k, _ts(s), 100 + i) for i, (k, s) in enumerate(rrows)]
+        got = _run(spark, left, right, allow_exact_matches=exact_ok)
+
+        lpdf = pd.DataFrame(left, columns=["lid", "k", "lts"]).sort_values("lts", kind="mergesort")
+        rpdf = pd.DataFrame(right, columns=["k", "rts", "rid"]).sort_values(
+            ["rts", "rid"], kind="mergesort"
+        )
+        if rpdf.empty:
+            expected = {lid: (None, None) for lid, _, _ in left}
+        else:
+            m = pd.merge_asof(
+                lpdf,
+                rpdf,
+                left_on="lts",
+                right_on="rts",
+                by="k",
+                direction="forward",
+                allow_exact_matches=exact_ok,
+            )
+            expected = {
+                int(r.lid): (
+                    None if pd.isna(r.rts) else r.rts.to_pydatetime(),
+                    None if pd.isna(r.rid) else int(r.rid),
+                )
+                for r in m.itertuples()
+            }
+        assert got == expected
+
+    run()

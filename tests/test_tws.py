@@ -183,3 +183,87 @@ def test_tws_running_totals_end_to_end(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_ewma_processor_stream_equals_batch_fold():
+    """The cross-batch EWMA equals the one-shot fold over the full
+    ordered sequence EXACTLY (same IEEE op order), however the rows are
+    split into micro-batches — including out-of-order rows WITHIN a
+    batch (the in-batch sort restores (ts, event_id) order)."""
+    from flinkstreametl_spark.streaming.tws import EwmaProcessor
+
+    rows = [  # (event_id, ts-second, value)
+        (1, 10, 4.0),
+        (2, 20, 8.0),
+        (3, 20, 1.5),
+        (4, 35, 2.0),
+        (5, 40, 16.0),
+        (6, 55, 0.25),
+    ]
+
+    def fold(seq):
+        y, n = None, 0
+        for _, _, v in sorted(seq, key=lambda r: (r[1], r[0])):
+            y = v if n == 0 else 0.25 * v + 0.75 * y
+            n += 1
+        return n, y
+
+    def run(batches):
+        p = EwmaProcessor()
+        h = _FakeHandle()
+        p.init(h)
+        last = None
+        for b in batches:
+            pdf = pd.DataFrame(
+                {"event_id": [r[0] for r in b], "ts": [r[1] for r in b], "value": [r[2] for r in b]}
+            )
+            last = pd.concat(p.handleInputRows((7,), iter([pdf]), None))
+        return last.to_dict("records")[0]
+
+    expected_n, expected_y = fold(rows)
+    for split in ([rows], [rows[:2], rows[2:5], rows[5:]], [[r] for r in rows]):
+        # shuffle inside each batch: the processor must re-sort
+        got = run([list(reversed(b)) for b in split])
+        assert got["n_events"] == expected_n
+        assert got["ewma_value"] == expected_y  # exact, not approx
+        assert got["user_id"] == 7
+
+
+def test_ewma_processor_rejects_bad_alpha():
+    from flinkstreametl_spark.streaming.tws import EwmaProcessor
+
+    with pytest.raises(ValueError):
+        EwmaProcessor(alpha=0.0)
+    with pytest.raises(ValueError):
+        EwmaProcessor(alpha=1.5)
+
+
+@pytest.mark.skipif(not _HAS_PROTOBUF, reason="transformWithState needs protobuf")
+def test_streaming_ewma_end_to_end(spark, tmp_path):
+    """Gated like the running-totals e2e: real micro-batch execution
+    when the protobuf wire protocol is available."""
+    import flinkstreametl_spark.streaming.tws as tws
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "in"
+    src.mkdir()
+    df0 = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 2.0)], "event_id LONG, user_id LONG, value DOUBLE"
+    ).withColumn("ts", F.lit(0).cast("timestamp"))
+    df0.write.json(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("event_id LONG, user_id LONG, value DOUBLE, ts TIMESTAMP")
+        .json(str(src / "*"))
+    )
+    out = tws.streaming_user_value_ewma(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_e2e")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.ewma_value for r in spark.sql("SELECT * FROM ewma_e2e").collect()}
+    assert got[1] == 0.25 * 2.0 + 0.75 * 10.0
