@@ -91,6 +91,7 @@ _NEW_R4: list[str] = [
     "salted_hot_key_agg",
     "click_purchase_attribution",
     "basket_lift_top_pairs",
+    "span_dedup_keep_first",
 ]
 
 _REPINS_R4 = [

@@ -804,3 +804,74 @@ def udtf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.lateralJoin(SentenceSpans(F.col("text").outer())).select(
         "doc_id", "pos", "sentence", "start_char"
     )
+
+
+_SPAN_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (SELECT doc_id, toks,
+             unnest(range(0, CAST(floor((len(toks) + {_WIN - 1}) / {_WIN}.0) AS BIGINT))) AS wid
+      FROM t),
+h AS (SELECT doc_id, wid,
+             md5(array_to_string(list_slice(toks, wid * {_WIN} + 1, wid * {_WIN} + {_WIN}), ' ')) AS wh,
+             CAST(least({_WIN}, len(toks) - wid * {_WIN}) AS BIGINT) AS wlen
+      FROM w),
+k AS (SELECT doc_id, wid, wh, wlen,
+             (doc_id * 1000000 + wid) = MIN(doc_id * 1000000 + wid) OVER (PARTITION BY wh) AS keep
+      FROM h)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (NOT keep) AS BIGINT) AS n_removed_windows,
+       CAST(SUM(wlen) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(SUM(wlen) FILTER (keep), 0) AS BIGINT) AS cleaned_tokens
+FROM k
+GROUP BY doc_id
+"""
+
+
+@register("span_dedup_keep_first", tags=("ext", "llm", "dedup", "passage"), oracle=_SPAN_ORACLE)
+def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN removal, keep-first (the Lee et al. 2022
+    "Deduplicating Training Data" output shape): every 16-token window
+    keeps its FIRST occurrence corpus-wide — first by (doc_id, window
+    position), a total order — and every later occurrence is removed.
+    Per document: window/token counts before and after cleaning.
+    Complements passage_dedup_stats (which FLAGS documents; this
+    produces the per-doc cleaned length a removal pass would write).
+
+    Keep-first is decided by a single MIN window over the window-hash
+    key (the occurrence key linearizes (doc_id, wid) into one BIGINT —
+    wid < 10^6 for any real document), so the big occurrence stream is
+    shuffled ONCE on wh; the per-doc rollup then reduces map-side.
+    Hash keys are uniform — no hot reducers; this is the passage-grain
+    exact-dedup sweep with the decision fused into the same exchange
+    (the stats query needs a groupBy + join-back instead)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_win = F.floor((F.size(toks) + (_WIN - 1)) / _WIN).cast("long")
+    w = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("wid"),
+    )
+    wtext = F.array_join(F.slice(F.col("toks"), F.col("wid") * _WIN + 1, _WIN), " ")
+    wlen = F.least(F.lit(_WIN), F.size("toks") - F.col("wid") * _WIN).cast("long")
+    h = w.select(
+        "doc_id",
+        "wid",
+        F.md5(wtext.cast("binary")).alias("wh"),
+        wlen.alias("wlen"),
+    )
+    okey = F.col("doc_id") * 1_000_000 + F.col("wid")
+    keep = okey == F.min(okey).over(Window.partitionBy("wh"))
+    return (
+        h.withColumn("keep", keep)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_removed_windows"),
+            F.sum("wlen").alias("n_tokens"),
+            F.coalesce(F.sum(F.when(F.col("keep"), F.col("wlen"))), F.lit(0)).alias(
+                "cleaned_tokens"
+            ),
+        )
+    )
