@@ -92,6 +92,7 @@ _NEW_R4: list[str] = [
     "click_purchase_attribution",
     "basket_lift_top_pairs",
     "span_dedup_keep_first",
+    "int8_knn_recall",
 ]
 
 _REPINS_R4 = [

@@ -392,3 +392,159 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster", "vec_a", "vec_b", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
     )
     return scored.filter(F.col("cosine") >= 0.3)
+
+
+_QK = 10  # recall depth
+
+_EMB_EXPLODE_SQL = "SELECT vec_id, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val FROM embeddings"
+
+_INT8_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+scales AS (
+    SELECT vec_id, MAX(abs(CAST(val AS DOUBLE))) AS s FROM ex GROUP BY vec_id
+),
+qz AS (
+    SELECT ex.vec_id, ex.pos,
+           CASE WHEN s = 0 THEN 0
+                ELSE CAST(floor((CAST(val AS DOUBLE) / s) * 127.0) AS BIGINT) END AS qv
+    FROM ex JOIN scales USING (vec_id)
+),
+qp AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM(q.qv * c.qv) AS dot_q,
+           SUM(q.qv * q.qv) AS qq_q,
+           SUM(c.qv * c.qv) AS cc_q
+    FROM (SELECT * FROM qz WHERE vec_id < 5) q
+    JOIN qz c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+    GROUP BY q.vec_id, c.vec_id
+),
+qtop AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(dot_q AS DOUBLE) / sqrt(CAST(qq_q AS DOUBLE) * CAST(cc_q AS DOUBLE)) DESC,
+                            neighbor_id
+               ) AS rk
+        FROM qp
+    ) WHERE rk <= {_QK}
+),
+ep AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+    FROM (SELECT * FROM ex WHERE vec_id < 5) q
+    JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+    GROUP BY q.vec_id, c.vec_id
+),
+etop AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                            neighbor_id
+               ) AS rk
+        FROM ep
+    ) WHERE rk <= {_QK}
+)
+SELECT e.query_id,
+       CAST(COUNT(q.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(q.neighbor_id) AS DOUBLE) / {_QK}.0 AS recall_at_{_QK}
+FROM etop e
+LEFT JOIN qtop q ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register("int8_knn_recall", tags=("ext", "llm", "similarity", "quantization"), oracle=_INT8_ORACLE)
+def int8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization for vector search, with its cost
+    measured in-query: each vector is quantized to 8 bits per dim
+    (scale = max-abs, the faiss/ScaNN SQ8 scheme), top-10 neighbors are
+    ranked by the all-integer quantized dot products, and the result is
+    compared against the exact fixed-point cosine top-10 — emitting
+    recall@10 per query vector. The quantized score needs NO
+    dequantization: the per-vector scales cancel in the cosine ratio,
+    so ranking uses only exact BIGINTs (the int8 index never touches a
+    float until the final division).
+
+    At 100 TB this is the memory story for ANN: an int8 index is 4x
+    smaller than float32, dot products run on integers, and THIS query
+    is the audit that tells you what that compression costs in recall —
+    run it on a sample before committing the index format. Exactness:
+    quantization (floor after one double multiply chain, identical
+    operand order), integer dots, and the tie-broken rankings are all
+    engine-identical, so even the recall numbers hash-match.
+
+    Plan: one exploded pass computes scales (per-vector max — a tiny
+    aggregate), quantized and exact pair scores share the position
+    join with the broadcast 5-vector query side; the two top-10
+    rankings and their overlap join are window + hash joins over
+    25-row frames."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    scales = ex.groupBy("vec_id").agg(F.max(F.abs(F.col("val").cast("double"))).alias("s"))
+    qz = (
+        ex.join(scales, "vec_id")
+        .select(
+            "vec_id",
+            "pos",
+            F.when(F.col("s") == 0, F.lit(0).cast("long"))
+            .otherwise(F.floor((F.col("val").cast("double") / F.col("s")) * F.lit(127.0)).cast("long"))
+            .alias("qv"),
+        )
+        .localCheckpoint()
+    )
+
+    def topk(pairs, score, k):
+        w = Window.partitionBy("query_id").orderBy(score.desc(), "neighbor_id")
+        return pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+    q8, c8 = qz.filter(F.col("vec_id") < 5).alias("q"), qz.alias("c")
+    qp = (
+        F.broadcast(q8)
+        .join(c8, (F.col("q.pos") == F.col("c.pos")) & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(F.col("q.qv") * F.col("c.qv")).alias("dot_q"),
+            F.sum(F.col("q.qv") * F.col("q.qv")).alias("qq_q"),
+            F.sum(F.col("c.qv") * F.col("c.qv")).alias("cc_q"),
+        )
+    )
+    q_score = F.col("dot_q").cast("double") / F.sqrt(
+        F.col("qq_q").cast("double") * F.col("cc_q").cast("double")
+    )
+    qtop = topk(qp, q_score, _QK).select("query_id", "neighbor_id")
+
+    fp = S.fp
+    qe, ce = ex.filter(F.col("vec_id") < 5).alias("q"), ex.alias("c")
+    ep = (
+        F.broadcast(qe)
+        .join(ce, (F.col("q.pos") == F.col("c.pos")) & (F.col("q.vec_id") != F.col("c.vec_id")))
+        .groupBy(F.col("q.vec_id").alias("query_id"), F.col("c.vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(fp(F.col("q.val").cast("double") * F.col("c.val").cast("double"))).alias("dot"),
+            F.sum(fp(F.col("q.val").cast("double") * F.col("q.val").cast("double"))).alias("qq"),
+            F.sum(fp(F.col("c.val").cast("double") * F.col("c.val").cast("double"))).alias("cc"),
+        )
+    )
+    e_score = F.col("dot").cast("double") / F.sqrt(
+        F.col("qq").cast("double") * F.col("cc").cast("double")
+    )
+    etop = topk(ep, e_score, _QK).select("query_id", "neighbor_id")
+
+    hit = qtop.withColumnRenamed("neighbor_id", "q_neighbor")
+    return (
+        etop.join(
+            hit,
+            (etop.query_id == hit.query_id) & (etop.neighbor_id == hit.q_neighbor),
+            "left",
+        )
+        .groupBy(etop.query_id.alias("query_id"))
+        .agg(
+            F.count("q_neighbor").alias("n_overlap"),
+            (F.count("q_neighbor").cast("double") / F.lit(float(_QK))).alias(f"recall_at_{_QK}"),
+        )
+    )
