@@ -1,0 +1,93 @@
+"""[EXT] Reusable graph kernels: degree orientation and triangle
+counting over an arbitrary undirected edge list.
+
+plans/graph_ext.py applies these to the part co-purchase graph; the
+operators themselves take any ``(u, v)`` DataFrame (near-dup pair
+streams, session transition graphs, citation edges). Scale rationale —
+why orientation bounds wedge work at O(E^1.5) — is documented there
+and in docs/SCALE.md.
+
+Contract: the input edge list is UNDIRECTED and canonical — one row
+per edge with ``u < v``, no self-loops, no duplicates (callers with
+raw pairs: ``select(least, greatest).distinct()``). Node ids must fit
+below ``ord_base`` so the (degree, id) total order linearizes into one
+BIGINT; pass a larger base (or pre-map ids) for wider id spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ORD_BASE = 10_000_000
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, deg) from a canonical undirected edge list."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def degree_orient(edges: DataFrame, deg: DataFrame, *, ord_base: int = DEFAULT_ORD_BASE) -> DataFrame:
+    """Direct each edge from its lower-(degree, id) endpoint to the
+    higher one: (src, dst, ord_dst). The degree table broadcasts — the
+    edge stream is never shuffled for orientation."""
+    du, dv = deg.alias("du"), deg.alias("dv")
+    ord_u = F.col("du.deg") * ord_base + F.col("u")
+    ord_v = F.col("dv.deg") * ord_base + F.col("v")
+    u_first = ord_u < ord_v
+    return (
+        edges.join(F.broadcast(du), F.col("du.node") == F.col("u"))
+        .join(F.broadcast(dv), F.col("dv.node") == F.col("v"))
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, ord_v).otherwise(ord_u).alias("ord_dst"),
+        )
+    )
+
+
+def triangle_stats(edges: DataFrame, *, ord_base: int = DEFAULT_ORD_BASE) -> DataFrame:
+    """One-row census of a canonical undirected edge list: n_nodes,
+    n_edges, n_wedges_total (sum C(deg,2)), exact n_triangles, and
+    transitivity = 3*triangles / wedges.
+
+    Wedges enumerate only out-neighbor pairs of the degree-oriented
+    list (out-degree <= sqrt(2E)); the closure probe broadcasts the
+    edge list so the wedge stream is never exchanged. The oriented
+    list is localCheckpoint-pinned for its three consumers."""
+    deg = degrees(edges).localCheckpoint()
+    oriented = degree_orient(edges, deg, ord_base=ord_base).localCheckpoint()
+
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.ord_dst") < F.col("o2.ord_dst")),
+    ).select(F.col("o1.dst").alias("wa"), F.col("o2.dst").alias("wb"))
+    closer = oriented.select(F.col("src").alias("wa"), F.col("dst").alias("wb"))
+    tri = wedges.join(F.broadcast(closer), ["wa", "wb"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+    gstats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges_total"),
+    )
+    estats = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        gstats.crossJoin(estats)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges_total",
+            "n_triangles",
+            (
+                F.lit(3) * F.col("n_triangles").cast("double") / F.col("n_wedges_total").cast("double")
+            ).alias("transitivity"),
+        )
+    )

@@ -193,3 +193,43 @@ def asof_join_forward(
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c if c != key else f"asof_{c}") for c in right_cols],
     )
     return carried.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def ewma_fold(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    *,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Per-key EWMA (y_n = alpha*x_n + (1-alpha)*y_{n-1}, seeded with
+    the first value) as a deterministic sequential left fold:
+    ``aggregate`` over ``array_sort(collect_list(struct(order, x)))``.
+    collect_list order is partition-dependent; the sort restores a
+    total order, so the fold — and every intermediate double — is
+    identical under any partitioning. Returns one row per key:
+    (*keys, n_points, last_order, ewma).
+
+    ``order_col`` must be unique per key (it is the sort's total-order
+    key). For CROSS-ENGINE bit-equality pick a dyadic alpha (0.25,
+    0.5, 0.375...): non-dyadic literals like 0.3 convert to double
+    differently through DuckDB's decimal path (see
+    plans/timeseries_ext.py). Fold length is the per-key series —
+    aggregate to a bounded grain (daily, hourly) first; the streaming
+    twin for unbounded per-event series is streaming/tws.py
+    EwmaProcessor."""
+    arr = F.array_sort(F.collect_list(F.struct(order_col, value_col)))
+    grouped = df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.max(order_col).alias("last_order"),
+        arr.alias("_arr"),
+    )
+    xs = F.transform(F.col("_arr"), lambda s: s[value_col].cast("double"))
+    grouped = grouped.withColumn("_xs", xs)
+    ewma = F.aggregate(
+        F.slice(F.col("_xs"), F.lit(2), F.size("_xs") - F.lit(1)),
+        F.element_at(F.col("_xs"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return grouped.select(*key_cols, "n_points", "last_order", ewma.alias("ewma"))

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flinkstreametl_spark.operators import graph as G
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 
@@ -86,6 +87,9 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the part co-purchase graph: node/edge counts,
     total wedges (sum C(deg,2)), exact triangle count, and the global
     clustering coefficient (transitivity = 3*triangles / wedges).
+    Kernel: operators/graph.py ``triangle_stats`` — reusable over ANY
+    canonical undirected edge list (near-dup pairs, transition graphs);
+    this query supplies the co-purchase edges.
 
     Plan shape (the 100 TB story is in the module docstring):
     1. Edge list: lineitem self-join on l_orderkey — per-order pair
@@ -116,55 +120,7 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    deg = (
-        pairs.select(F.col("u").alias("node"))
-        .unionAll(pairs.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    ).localCheckpoint()
-
-    du, dv = deg.alias("du"), deg.alias("dv")
-    ord_u = F.col("du.deg") * _ORD + F.col("u")
-    ord_v = F.col("dv.deg") * _ORD + F.col("v")
-    u_first = ord_u < ord_v
-    oriented = (
-        pairs.join(F.broadcast(du), F.col("du.node") == F.col("u"))
-        .join(F.broadcast(dv), F.col("dv.node") == F.col("v"))
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-            F.when(u_first, ord_v).otherwise(ord_u).alias("ord_dst"),
-        )
-    ).localCheckpoint()
-
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src")) & (F.col("o1.ord_dst") < F.col("o2.ord_dst")),
-    ).select(F.col("o1.dst").alias("wa"), F.col("o2.dst").alias("wb"))
-    closer = oriented.select(F.col("src").alias("wa"), F.col("dst").alias("wb"))
-    tri = wedges.join(F.broadcast(closer), ["wa", "wb"], "left_semi").agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-
-    gstats = deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges_total"),
-    )
-    estats = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
-        gstats.crossJoin(estats)
-        .crossJoin(tri)
-        .select(
-            "n_nodes",
-            "n_edges",
-            "n_wedges_total",
-            "n_triangles",
-            (F.lit(3) * F.col("n_triangles").cast("double") / F.col("n_wedges_total").cast("double")).alias(
-                "transitivity"
-            ),
-        )
-    )
+    return G.triangle_stats(pairs, ord_base=_ORD)
 
 
 _LIFT_ORACLE = """

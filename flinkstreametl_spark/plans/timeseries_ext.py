@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flinkstreametl_spark.operators.windows import epoch_micros
+from flinkstreametl_spark.operators.windows import epoch_micros, ewma_fold
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 
@@ -105,7 +105,8 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism without rounding: the recurrence is evaluated as a
     sequential left fold over the day-sorted series in BOTH engines
-    (Spark ``aggregate`` over ``array_sort(collect_list(struct))`` —
+    (Spark: the reusable ``operators/windows.py ewma_fold`` —
+    ``aggregate`` over ``array_sort(collect_list(struct))``;
     collect_list order is partition-dependent, the sort restores a
     total order on the unique day key; DuckDB ``list_reduce`` over
     ``list(... ORDER BY day)``), so every intermediate double is
@@ -116,20 +117,18 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     the daily grain (calendar-bounded, ~365 elements/year/key), not
     events; the heavy reduction to that grain is the one shuffled,
     map-side-combined aggregate."""
-    daily = _daily(spark, sf_dir)
-    series = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.max("day").alias("last_day"),
-        F.array_sort(F.collect_list(F.struct("day", "s_fp"))).alias("arr"),
+    daily = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        (F.col("s_fp").cast("double") / F.lit(float(_FP))).alias("x"),
     )
-    xs = F.transform(F.col("arr"), lambda s: s["s_fp"].cast("double") / F.lit(float(_FP)))
-    series = series.withColumn("xs", xs)
-    ewma = F.aggregate(
-        F.slice(F.col("xs"), F.lit(2), F.size("xs") - F.lit(1)),
-        F.element_at(F.col("xs"), 1),
-        lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+    out = ewma_fold(daily, ["event_type"], "day", "x", alpha=0.25)
+    return out.select(
+        "event_type",
+        F.col("n_points").alias("n_days"),
+        F.col("last_order").alias("last_day"),
+        F.col("ewma").alias("ewma_value"),
     )
-    return series.select("event_type", "n_days", "last_day", ewma.alias("ewma_value"))
 
 
 _CUSUM_ORACLE = f"""

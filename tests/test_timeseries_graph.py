@@ -128,3 +128,55 @@ def test_triangle_plan_broadcasts_closure_probe(spark, sf_dir):
 
     plan = copurchase_triangle_stats(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_triangle_kernel_on_known_graphs(spark):
+    """operators/graph.py triangle_stats on graphs with closed-form
+    answers: K4 (4 triangles, transitivity 1), a 4-star (0 triangles),
+    C5 (0 triangles), K4 plus a pendant edge."""
+    from flinkstreametl_spark.operators.graph import triangle_stats
+
+    def stats(edges, parts=1):
+        df = spark.createDataFrame(edges, "u: long, v: long").repartition(parts)
+        return triangle_stats(df).collect()[0]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = stats(k4)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    assert r.transitivity == 1.0
+
+    star = [(1, 2), (1, 3), (1, 4), (1, 5)]
+    r = stats(star)
+    assert (r.n_triangles, r.n_wedges_total) == (0, 6)
+
+    c5 = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    assert stats(c5).n_triangles == 0
+
+    k4_pendant = k4 + [(4, 9)]
+    r7 = stats(k4_pendant, parts=7)
+    r1 = stats(k4_pendant, parts=1)
+    assert r7.n_triangles == r1.n_triangles == 4  # partition-invariant
+    assert (r7.n_nodes, r7.n_edges) == (5, 7)
+
+
+def test_ewma_fold_operator_partition_invariant(spark):
+    """operators/windows.py ewma_fold on hand data: equals the Python
+    loop exactly and is independent of input partitioning (the in-group
+    sort is what buys this)."""
+    from flinkstreametl_spark.operators.windows import ewma_fold
+
+    rows = [("a", 3, 8.0), ("a", 1, 4.0), ("a", 2, 1.5), ("b", 1, 2.0), ("b", 2, 16.0)]
+
+    def loop(vals, alpha):
+        y = vals[0]
+        for x in vals[1:]:
+            y = alpha * x + (1.0 - alpha) * y
+        return y
+
+    expect = {"a": loop([4.0, 1.5, 8.0], 0.25), "b": loop([2.0, 16.0], 0.25)}
+    for parts in (1, 5):
+        df = spark.createDataFrame(rows, "k: string, t: long, x: double").repartition(parts)
+        got = {r.k: r for r in ewma_fold(df, ["k"], "t", "x").collect()}
+        assert {k: v.ewma for k, v in got.items()} == expect
+        assert got["a"].n_points == 3 and got["a"].last_order == 3
+        assert got["b"].n_points == 2 and got["b"].last_order == 2
