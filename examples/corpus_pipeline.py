@@ -1,0 +1,44 @@
+"""Quickstart: a pretraining-corpus preparation pass over the
+``documents`` table — quality gate, exact + span-level dedup, near-dup
+detection, then the train/val/test split — each stage one registered,
+oracle-verified query (run any of them standalone via
+``python -m flinkstreametl_spark run <name>``).
+
+Run: python examples/corpus_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.plans import REGISTRY
+    from flinkstreametl_spark.session import get_spark
+
+    spark = get_spark("corpus-quickstart")
+
+    gate = REGISTRY["gopher_quality_gate"].fn(spark, sf_dir)
+    kept = gate.filter("keep").count()
+    total = gate.count()
+    print(f"quality gate: keep {kept}/{total} docs")
+
+    spans = REGISTRY["span_dedup_keep_first"].fn(spark, sf_dir)
+    agg = spans.agg(
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("cleaned_tokens").alias("cleaned"),
+    ).collect()[0]
+    print(f"span dedup: {agg.tokens} tokens -> {agg.cleaned} after keep-first span removal")
+
+    pairs = REGISTRY["minhash_lsh_neardup"].fn(spark, sf_dir)
+    print(f"MinHash+LSH near-dup candidate pairs >= 0.6 jaccard: {pairs.count()}")
+
+    split = REGISTRY["training_data_pipeline"].fn(spark, sf_dir)
+    split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("split").show()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"))
