@@ -111,3 +111,30 @@ def test_range_join_matches_bruteforce_hypothesis(spark):
         assert got == expected
 
     run()
+
+
+def test_shuffle_partition_sweep_float_queries(spark, sf_dir):
+    """Chaos knob: rerun the most float-sensitive registry queries with
+    spark.sql.shuffle.partitions=7 vs the session default and require
+    bit-identical results — the reduction orders change, the exact
+    accumulation discipline must not care."""
+    from flinkstreametl_spark.plans import REGISTRY
+
+    names = [
+        "ewma_daily_value",
+        "mad_robust_price",
+        "nation_revenue_contribution",
+        "trend_fit_by_event_type",
+        "q1_pricing_summary",
+        "knn_cosine_fast",
+    ]
+    default = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in names:
+            outs = []
+            for n in (default, "7"):
+                spark.conf.set("spark.sql.shuffle.partitions", n)
+                outs.append(sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect()))
+            assert outs[0] == outs[1], name
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default)
