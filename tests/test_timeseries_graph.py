@@ -180,3 +180,25 @@ def test_ewma_fold_operator_partition_invariant(spark):
         assert {k: v.ewma for k, v in got.items()} == expect
         assert got["a"].n_points == 3 and got["a"].last_order == 3
         assert got["b"].n_points == 2 and got["b"].last_order == 2
+
+
+def test_triangle_kernel_reused_on_neardup_graph(spark, sf_dir):
+    """Kernel reuse on a second real edge list: the MinHash near-dup
+    pair graph (how clustered is the duplicate structure?). Checked
+    against a Python brute force over the same pairs."""
+    from flinkstreametl_spark.operators.graph import triangle_stats
+    from flinkstreametl_spark.plans import REGISTRY
+
+    pairs = REGISTRY["minhash_lsh_neardup"].fn(spark, sf_dir).select("doc_a", "doc_b").collect()
+    edges = sorted({(r.doc_a, r.doc_b) for r in pairs})
+    if not edges:  # fixture regeneration could empty the pair set
+        return
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(1 for u, v in edges for w in adj[u] & adj[v] if w > v)
+
+    df = spark.createDataFrame(edges, "u: long, v: long")
+    row = triangle_stats(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (len(adj), len(edges), tri)
