@@ -93,6 +93,7 @@ _NEW_R4: list[str] = [
     "basket_lift_top_pairs",
     "span_dedup_keep_first",
     "int8_knn_recall",
+    "groupwise_minmax_norm",
 ]
 
 _REPINS_R4 = [

@@ -548,3 +548,74 @@ def int8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("q_neighbor").cast("double") / F.lit(float(_QK))).alias(f"recall_at_{_QK}"),
         )
     )
+
+
+_NORM_ORACLE = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fp
+    FROM events
+    GROUP BY 1, 2
+),
+b AS (
+    SELECT event_type, day, s_fp,
+           MIN(s_fp) OVER (PARTITION BY event_type) AS mn,
+           MAX(s_fp) OVER (PARTITION BY event_type) AS mx
+    FROM daily
+)
+SELECT event_type, day,
+       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+            ELSE CAST((10000 * (s_fp - mn)) // (mx - mn) AS BIGINT) END AS norm_bp
+FROM b
+"""
+
+
+@register("groupwise_minmax_norm", tags=("ext", "pandas", "timeseries"), oracle=_NORM_ORACLE)
+def groupwise_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max normalization of the daily value series, via
+    the GROUPED-MAP Pandas API (``groupBy(...).applyInPandas``) — the
+    one Python-boundary family the repo had not yet exercised
+    (scalar pandas_udf, grouped-agg, mapInPandas, and both stateful
+    streaming forms are demonstrated elsewhere). Grouped-map is the
+    seam for per-key kernels that need the WHOLE group in memory as one
+    frame (sklearn transforms, per-entity model scoring); here the
+    kernel is deliberately exact — basis points by integer floor
+    division on int64 — so even this Python path hash-matches the
+    declarative oracle (flat groups emit 0 by convention, not 0/0).
+
+    Scale: one shuffle to co-locate each event_type's daily frame
+    (calendar-bounded, not data-bounded); the window twin without
+    Python is the `b` CTE of the oracle — prefer it when the kernel IS
+    expressible; this query exists to pin the API's exactness
+    contract."""
+    import pandas as pd
+
+    from flinkstreametl_spark.operators.windows import epoch_micros
+
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(86_400_000_000)).cast("long")
+    daily = (
+        events.select(
+            "event_type",
+            day.alias("day"),
+            F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v_fp").alias("s_fp"))
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["s_fp"]
+        mn, mx = int(s.min()), int(s.max())
+        if mx == mn:
+            bp = pd.Series(0, index=pdf.index, dtype="int64")
+        else:
+            bp = (10000 * (s - mn)) // (mx - mn)
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "day": pdf["day"], "norm_bp": bp.astype("int64")}
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        norm, schema="event_type string, day long, norm_bp long"
+    )
