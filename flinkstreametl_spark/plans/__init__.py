@@ -94,6 +94,7 @@ _NEW_R4: list[str] = [
     "span_dedup_keep_first",
     "int8_knn_recall",
     "groupwise_minmax_norm",
+    "peak_concurrent_sessions",
 ]
 
 _REPINS_R4 = [

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flinkstreametl_spark.operators.windows import epoch_micros, ewma_fold
+from flinkstreametl_spark.operators.windows import epoch_micros, ewma_fold, sessionize
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 
@@ -251,4 +251,84 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_events").cast("double") / F.sum("n_events").over(byk).cast("double")).alias(
             "share"
         ),
+    )
+
+
+_SWEEP_ORACLE = f"""
+WITH sess AS (
+    SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+    FROM (
+        SELECT user_id, ts,
+               CAST(SUM(CASE WHEN prev IS NULL OR date_diff('second', prev, ts) > 1800 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) t
+    ) g
+    GROUP BY user_id, session_id
+),
+sweep AS (
+    SELECT s AS t, 1 AS delta, user_id, session_id FROM sess
+    UNION ALL
+    SELECT e, -1, user_id, session_id FROM sess
+),
+run AS (
+    SELECT t, delta,
+           CAST(SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
+    FROM sweep
+)
+SELECT CAST(epoch_us(t) // {_US_PER_DAY} AS BIGINT) AS day,
+       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_session_starts
+FROM run
+GROUP BY 1
+"""
+
+
+@register("peak_concurrent_sessions", tags=("ext", "timeseries", "interval"), oracle=_SWEEP_ORACLE)
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics: the peak number of SIMULTANEOUSLY
+    active user sessions per day — the line-sweep (+1 at start, -1 at
+    end, running sum) over the gap-sessionized intervals. This is the
+    occupancy-over-time question the reference's meeting-room domain
+    ultimately asks ("how many rooms are in use at once?"), distinct
+    from both sessionization (islands per key) and the occupancy RATE
+    aggregate.
+
+    Conventions, pinned identically in both engines: intervals are
+    CLOSED (at equal timestamps starts sort before ends, so touching
+    sessions overlap and single-event sessions still register), and the
+    sweep order is total — (t, delta DESC, user_id, session_id) — so
+    the running sum is deterministic even with timestamp ties.
+    Concurrency only changes at session endpoints, so the per-day MAX
+    over sweep rows is the true daily peak (all integers end to end).
+
+    Plan: sessionize (one user_id exchange) -> 2 rows per session ->
+    ONE global sort for the sweep. The global window is a deliberate
+    single-partition stage over the SESSION-level stream (2 rows per
+    session, not per event — the same bounded-reduction argument as
+    the vocabulary curve); at 100 TB, shard the sweep by day and carry
+    each shard's closing concurrency into the next as an offset."""
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(events, "user_id", "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    sweep = sess.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        sess.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id")
+    )
+    w = Window.orderBy(
+        F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run = sweep.select(
+        "t",
+        "delta",
+        F.sum("delta").over(w).alias("concurrent"),
+    )
+    day = (epoch_micros(run, "t") / F.lit(_US_PER_DAY)).cast("long")
+    return run.groupBy(day.alias("day")).agg(
+        F.max("concurrent").alias("peak_concurrent"),
+        F.count(F.when(F.col("delta") == 1, 1)).alias("n_session_starts"),
     )

@@ -202,3 +202,36 @@ def test_triangle_kernel_reused_on_neardup_graph(spark, sf_dir):
     df = spark.createDataFrame(edges, "u: long, v: long")
     row = triangle_stats(df).collect()[0]
     assert (row.n_nodes, row.n_edges, row.n_triangles) == (len(adj), len(edges), tri)
+
+
+def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
+    from flinkstreametl_spark.operators.windows import sessionize
+    from flinkstreametl_spark.plans.timeseries_ext import peak_concurrent_sessions
+
+    events = load_table(spark, sf_dir, "events")
+    sess = (
+        sessionize(events, "user_id", "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .collect()
+    )
+    sweep = []
+    for r in sess:
+        sweep.append((r.s, 1, r.user_id, r.session_id))
+        sweep.append((r.e, -1, r.user_id, r.session_id))
+    # closed intervals: starts (+1) sort before ends (-1) at equal t
+    sweep.sort(key=lambda x: (x[0], -x[1], x[2], x[3]))
+    run = 0
+    peaks: dict[int, int] = {}
+    starts: dict[int, int] = {}
+    for t, delta, _, _ in sweep:
+        run += delta
+        day = int(t.timestamp() * 1_000_000) // US_PER_DAY
+        peaks[day] = max(peaks.get(day, 0), run)
+        if delta == 1:
+            starts[day] = starts.get(day, 0) + 1
+    got = {r.day: r for r in peak_concurrent_sessions(spark, sf_dir).collect()}
+    assert set(got) == set(peaks)
+    for day, r in got.items():
+        assert r.peak_concurrent == peaks[day], day
+        assert r.n_session_starts == starts.get(day, 0), day
