@@ -33,7 +33,11 @@ def main(workdir: str | None = None) -> int:
     query = run_cdc_stream(spark, str(src), sink, str(root / "ckpt"))
     query.awaitTermination(120)
 
-    final = sink.read(spark).orderBy("meeting_id")
+    table = sink.read(spark)
+    if table is None:  # stream produced no committed batch
+        print("no output table was written")
+        return 1
+    final = table.orderBy("meeting_id")
     print(f"upserted table at {root / 'meetings'}:")
     final.show(truncate=False)
     n = final.count()

@@ -78,7 +78,7 @@ def sessionize(
     )
 
 
-def asof_join(
+def _asof_union_window(
     left: DataFrame,
     right: DataFrame,
     key: str,
@@ -87,17 +87,21 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     tie_break: str,
+    *,
+    descending: bool,
+    right_first_on_tie: bool,
+    lowest_tb_wins: bool,
 ) -> DataFrame:
-    """As-of join: for each left row, the most recent right row with
-    right_ts <= left_ts on the same key (ties on right_ts broken by the
-    highest `tie_break`). Union-window implementation:
+    """Shared union-window as-of core (both directions):
 
       1. tag both inputs and union on (key, t);
-      2. sort each key's timeline by (t, tag, tie_break) — right rows
-         (tag 0) sort before left rows (tag 1) at equal t, so an exact
-         timestamp match IS visible to the left row;
+      2. sort each key's timeline by (t [asc|desc], tag, tie_break) —
+         the tag order decides whether right rows at the SAME t are
+         visible to the left row (right-first) or hidden (left-first),
+         and the tie_break polarity decides which of several right rows
+         sharing one t wins the carry (the LAST in frame order wins);
       3. last(right_col, ignorenulls=True) over the growing frame
-         carries the latest right values forward;
+         carries the nearest qualifying right values;
       4. keep left rows.
     """
     lt = left.withColumn("_t", F.col(left_ts)).withColumn("_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
@@ -120,9 +124,12 @@ def asof_join(
         *[F.col(f"_r_{c}") for c in right_cols],
     )
     unioned = lt2.unionByName(rt2)
+    t_order = F.col("_t").desc() if descending else F.col("_t").asc()
+    tag_order = F.col("_tag").asc() if right_first_on_tie else F.col("_tag").desc()
+    tb_order = F.col("_tb").desc_nulls_last() if lowest_tb_wins else F.col("_tb").asc_nulls_last()
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_t"), F.col("_tag"), F.col("_tb").asc_nulls_last())
+        .orderBy(t_order, tag_order, tb_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -131,6 +138,26 @@ def asof_join(
         *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c if c != key else f"asof_{c}") for c in right_cols],
     )
     return carried.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    tie_break: str,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right_ts <= left_ts on the same key (ties on right_ts broken by the
+    highest `tie_break`); exact timestamp matches are visible. See
+    :func:`_asof_union_window` for the machinery."""
+    return _asof_union_window(
+        left, right, key, right_key, left_ts, right_ts, right_cols, tie_break,
+        descending=False, right_first_on_tie=True, lowest_tb_wins=False,
+    )
 
 
 def asof_join_forward(
@@ -150,49 +177,19 @@ def asof_join_forward(
     (>= when ``allow_exact_matches``) on the same key — the attribution
     primitive ("first conversion after this touchpoint").
 
-    Same union-window machinery as :func:`asof_join`, scanned in
-    DESCENDING time order so the carried value is the nearest FOLLOWING
-    right row. At equal timestamps the tag ordering decides visibility:
-    right rows sort before left rows (visible) when exact matches are
-    allowed, after them (invisible) when the match must be strict.
-    Ties on right_ts are broken toward the LOWEST ``tie_break`` so both
-    engines pick the same row. One shuffle (the key window); no range
-    cross join, so a hot key costs O(its rows), not O(rows^2)."""
-    lt = left.withColumn("_t", F.col(left_ts)).withColumn("_tag", F.lit(1)).withColumn("_tb", F.lit(None).cast("long"))
-    rt = right.select(
-        F.col(right_key).alias(key),
-        F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_tag"),
-        F.col(tie_break).cast("long").alias("_tb"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    Same union-window machinery as :func:`asof_join`
+    (:func:`_asof_union_window`), scanned in DESCENDING time order so
+    the carried value is the nearest FOLLOWING right row. At equal
+    timestamps the tag ordering decides visibility: right rows sort
+    before left rows (visible) when exact matches are allowed, after
+    them (invisible) when the match must be strict. Ties on right_ts
+    are broken toward the LOWEST ``tie_break`` so both engines pick the
+    same row. One shuffle (the key window); no range cross join, so a
+    hot key costs O(its rows), not O(rows^2)."""
+    return _asof_union_window(
+        left, right, key, right_key, left_ts, right_ts, right_cols, tie_break,
+        descending=True, right_first_on_tie=allow_exact_matches, lowest_tb_wins=True,
     )
-    lcols = [f for f in left.columns]
-    lt2 = lt.select(
-        *lcols, "_t", "_tag", "_tb", *[F.lit(None).cast(rt.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols]
-    )
-    rt2 = rt.select(
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c != key else F.col(key) for c in lcols],
-        "_t",
-        "_tag",
-        "_tb",
-        *[F.col(f"_r_{c}") for c in right_cols],
-    )
-    unioned = lt2.unionByName(rt2)
-    # DESC scan; _tag ASC puts right rows first at equal t (visible to
-    # the left row), _tag DESC hides them; _tb DESC makes the lowest
-    # tie-break the last (winning) carry.
-    tag_order = F.col("_tag").asc() if allow_exact_matches else F.col("_tag").desc()
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col("_t").desc(), tag_order, F.col("_tb").desc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.select(
-        *lcols,
-        "_tag",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(c if c != key else f"asof_{c}") for c in right_cols],
-    )
-    return carried.filter(F.col("_tag") == 1).drop("_tag")
 
 
 def ewma_fold(

@@ -550,6 +550,10 @@ def int8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the daily CTE must keep the same day bucketing and fixed-point scale
+# as timeseries_ext._DAILY_SQL (the Spark side shares
+# timeseries_ext._daily; a module-level import of the SQL constant
+# would reorder registration)
 _NORM_ORACLE = """
 WITH daily AS (
     SELECT event_type,
@@ -591,19 +595,12 @@ def groupwise_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract."""
     import pandas as pd
 
-    from flinkstreametl_spark.operators.windows import epoch_micros
+    # deferred import: ml_ext registers before timeseries_ext in
+    # plans/__init__, and a module-level import would reorder
+    # registration
+    from flinkstreametl_spark.plans.timeseries_ext import _daily
 
-    events = load_table(spark, sf_dir, "events")
-    day = (epoch_micros(events, "ts") / F.lit(86_400_000_000)).cast("long")
-    daily = (
-        events.select(
-            "event_type",
-            day.alias("day"),
-            F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.sum("v_fp").alias("s_fp"))
-    )
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
 
     def norm(pdf: pd.DataFrame) -> pd.DataFrame:
         s = pdf["s_fp"]

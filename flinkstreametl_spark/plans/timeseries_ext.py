@@ -271,16 +271,24 @@ sweep AS (
     SELECT e, -1, user_id, session_id FROM sess
 ),
 run AS (
-    SELECT t, delta,
+    SELECT t, delta, user_id, session_id,
            CAST(SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS concurrent
     FROM sweep
+),
+dayed AS (
+    SELECT CAST(epoch_us(t) // {_US_PER_DAY} AS BIGINT) AS day, delta, concurrent,
+           first_value(concurrent) OVER wd - first_value(delta) OVER wd AS carry_in
+    FROM run
+    WINDOW wd AS (PARTITION BY CAST(epoch_us(t) // {_US_PER_DAY} AS BIGINT)
+                  ORDER BY t, delta DESC, user_id, session_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
-SELECT CAST(epoch_us(t) // {_US_PER_DAY} AS BIGINT) AS day,
-       CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+SELECT day,
+       CAST(greatest(MAX(concurrent), MAX(carry_in)) AS BIGINT) AS peak_concurrent,
        CAST(COUNT(CASE WHEN delta = 1 THEN 1 END) AS BIGINT) AS n_session_starts
-FROM run
-GROUP BY 1
+FROM dayed
+GROUP BY day
 """
 
 
@@ -299,8 +307,14 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions overlap and single-event sessions still register), and the
     sweep order is total — (t, delta DESC, user_id, session_id) — so
     the running sum is deterministic even with timestamp ties.
-    Concurrency only changes at session endpoints, so the per-day MAX
-    over sweep rows is the true daily peak (all integers end to end).
+    Sessions that CROSS midnight are handled: each day's peak is
+    greatest(max running at its sweep rows, the carry-in concurrency at
+    its first row — first_concurrent - first_delta), so overlap that
+    peaks before the day's first endpoint still counts. Remaining
+    boundary case, by design: a day with NO session endpoints at all
+    (wholly inside one long session) emits no row — a production run
+    joins a calendar spine and forward-fills the carry (all integers
+    end to end either way).
 
     Plan: sessionize (one user_id exchange) -> 2 rows per session ->
     ONE global sort for the sweep. The global window is a deliberate
@@ -319,16 +333,26 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         sess.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id")
     )
-    w = Window.orderBy(
-        F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    order_cols = [F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")]
+    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     run = sweep.select(
         "t",
         "delta",
+        "user_id",
+        "session_id",
         F.sum("delta").over(w).alias("concurrent"),
     )
     day = (epoch_micros(run, "t") / F.lit(_US_PER_DAY)).cast("long")
-    return run.groupBy(day.alias("day")).agg(
-        F.max("concurrent").alias("peak_concurrent"),
+    wd = (
+        Window.partitionBy("day")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry_in = F.first("concurrent").over(wd) - F.first("delta").over(wd)
+    dayed = run.withColumn("day", day).select(
+        "day", "delta", "concurrent", carry_in.alias("carry_in")
+    )
+    return dayed.groupBy("day").agg(
+        F.greatest(F.max("concurrent"), F.max("carry_in")).alias("peak_concurrent"),
         F.count(F.when(F.col("delta") == 1, 1)).alias("n_session_starts"),
     )

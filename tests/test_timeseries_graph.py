@@ -127,7 +127,11 @@ def test_triangle_plan_broadcasts_closure_probe(spark, sf_dir):
     from flinkstreametl_spark.plans.graph_ext import copurchase_triangle_stats
 
     plan = copurchase_triangle_stats(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # the degree-orientation joins broadcast too, so assert the SEMI
+    # join specifically runs as a broadcast (not a shuffled fallback)
+    semi_lines = [ln for ln in plan.splitlines() if "LeftSemi" in ln]
+    assert semi_lines, "closure semi join missing from plan"
+    assert all("BroadcastHashJoin" in ln for ln in semi_lines), semi_lines
 
 
 def test_triangle_kernel_on_known_graphs(spark):
@@ -225,9 +229,11 @@ def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
     peaks: dict[int, int] = {}
     starts: dict[int, int] = {}
     for t, delta, _, _ in sweep:
-        run += delta
         day = int(t.timestamp() * 1_000_000) // US_PER_DAY
-        peaks[day] = max(peaks.get(day, 0), run)
+        if day not in peaks:
+            peaks[day] = run  # carry-in: concurrency at the day's first endpoint
+        run += delta
+        peaks[day] = max(peaks[day], run)
         if delta == 1:
             starts[day] = starts.get(day, 0) + 1
     got = {r.day: r for r in peak_concurrent_sessions(spark, sf_dir).collect()}
@@ -235,3 +241,35 @@ def test_peak_concurrency_matches_python_sweep(spark, sf_dir):
     for day, r in got.items():
         assert r.peak_concurrent == peaks[day], day
         assert r.n_session_starts == starts.get(day, 0), day
+
+
+def test_peak_concurrency_counts_midnight_carryover(spark, tmp_path):
+    """The review scenario: two sessions overlap ONLY in the first
+    half-hour after midnight; day 2 has only session-end rows, so its
+    peak must come from the carry-in, not the running values at its own
+    rows."""
+    import datetime as dt
+
+    from flinkstreametl_spark.plans.timeseries_ext import peak_concurrent_sessions
+
+    base = dt.datetime(2024, 1, 1, 23, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, base + dt.timedelta(minutes=minutes), uid, "click", 1.0, "{}")
+
+    rows = [
+        # user 1: 23:00 -> 01:00 (events every ~25 min keep one session)
+        ev(1, 1, 0), ev(2, 1, 25), ev(3, 1, 50), ev(4, 1, 75), ev(5, 1, 100), ev(6, 1, 120),
+        # user 2: 23:30 -> 00:30
+        ev(7, 2, 30), ev(8, 2, 55), ev(9, 2, 80), ev(10, 2, 90),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    out = {r.day: r for r in peak_concurrent_sessions(spark, str(tmp_path)).collect()}
+    day1 = int(base.timestamp() * 1_000_000) // US_PER_DAY
+    assert out[day1].peak_concurrent == 2  # both active 23:30-24:00
+    assert out[day1 + 1].peak_concurrent == 2  # carry-in: both still active until 00:30
+    assert out[day1].n_session_starts == 2
+    assert out[day1 + 1].n_session_starts == 0
