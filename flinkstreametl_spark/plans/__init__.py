@@ -33,10 +33,10 @@ from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F40
 #   2. _NEW_R4 — queries added during round 4 (both waves); each new
 #      registration is appended here so it gets a verdict THIS round
 #      instead of waiting a full rotation (the round-3 mistake). As
-#      this tier grew to 27, the surviving repin tail shrank to the
-#      12 highest-traffic bench names (through fuzzy_dup_parts) — the
-#      displaced repins all hold green verdicts from earlier rounds,
-#      so cumulative coverage is unaffected.
+#      this tier grew to 28, the surviving repin tail shrank to the
+#      11 highest-traffic bench names (through decontaminate_ngram_hits)
+#      — the displaced repins all hold green verdicts from earlier
+#      rounds, so cumulative coverage is unaffected.
 #   3. _REPINS_R4 — high-traffic re-pins (whole bench set + the §2
 #      CDC/streaming core), displaced from the tail as _NEW_R4 grows.
 # Verified queries move behind the window (their recorded evidence
@@ -95,6 +95,7 @@ _NEW_R4: list[str] = [
     "int8_knn_recall",
     "groupwise_minmax_norm",
     "peak_concurrent_sessions",
+    "series_correlation_pairs",
 ]
 
 _REPINS_R4 = [

@@ -356,3 +356,96 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.max("concurrent"), F.max("carry_in")).alias("peak_concurrent"),
         F.count(F.when(F.col("delta") == 1, 1)).alias("n_session_starts"),
     )
+
+
+# Products of daily fixed-point sums overflow BIGINT (~1e20), so the
+# moments accumulate in DuckDB HUGEINT / Spark DECIMAL(37,0) — both
+# exact — and each moment takes ONE correctly-rounded integer->double
+# conversion (no scale, so the sql_dbl double-rounding pitfall does
+# not apply) before the identical corr combination chain.
+_XCORR_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+paired AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.s_fp AS xa, b.s_fp AS xb
+    FROM daily a JOIN daily b
+      ON a.day = b.day AND a.event_type < b.event_type
+),
+m AS (
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           SUM(xa) AS sx, SUM(xb) AS sy,
+           SUM(CAST(xa AS HUGEINT) * CAST(xa AS HUGEINT)) AS sxx,
+           SUM(CAST(xb AS HUGEINT) * CAST(xb AS HUGEINT)) AS syy,
+           SUM(CAST(xa AS HUGEINT) * CAST(xb AS HUGEINT)) AS sxy
+    FROM paired
+    GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n_days,
+       CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr_value
+FROM m
+"""
+
+
+@register("series_correlation_pairs", tags=("ext", "timeseries", "stats"), oracle=_XCORR_ORACLE)
+def series_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series similarity: Pearson correlation between every pair
+    of event types' daily value series over their COMMON days — "which
+    metrics move together", the all-pairs base case of time-series
+    similarity search (the retrieved EDBT'19 streaming-similarity line
+    of work; at thousands of series you'd prune candidates with an SRP
+    sketch exactly like the embedding near-dup path).
+
+    Exactness: daily values are fixed-point BIGINTs; their products
+    overflow int64, so the six moments accumulate in DECIMAL(37,0)
+    (Spark) / HUGEINT (DuckDB) — exact and mergeable either way — and
+    each moment crosses to double through ONE correctly-rounded
+    integer conversion (scale-0, so the decimal double-rounding trap
+    does not apply) before an oracle-identical combination chain.
+    Degenerate (zero-variance) series yield NULL by explicit CASE, not
+    an engine-specific 0/0.
+
+    Plan: daily grain (one fact shuffle), day-keyed self-join of the
+    tiny daily frame, one hash aggregate per type pair; the series
+    count bounds the pair fan-out, not the data volume."""
+    daily = _daily(spark, sf_dir).select(
+        "event_type", "day", F.col("s_fp").cast("decimal(18,0)").alias("x")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day")) & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.x").alias("xa"),
+        F.col("b.x").alias("xb"),
+    )
+    m = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+        F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    vx = nd * sxx - sx * sx
+    vy = nd * syy - sy * sy
+    return m.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.when((vx > 0) & (vy > 0), (nd * sxy - sx * sy) / F.sqrt(vx * vy)).alias("corr_value"),
+    )
