@@ -22,90 +22,74 @@ from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F40
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
-# driver verdict each round. Cumulative green verdicts: 44 (r1) + 49
-# (r2) + 48 (r3) = 126 distinct of 137 registered. Round 4 window =
-# three tiers, truncated to 50:
-#   1. _PRIORITY_R4 — the 9 round-3 additions that registered after
-#      the round-3 window froze (no verdict yet) plus the 2 r3 failures
-#      repaired this round (collect_set_sorted / inverted_index_terms
-#      now emit string-joined collections — the driver canonicalizer
-#      cannot hash array columns, see plans/registry.py).
-#   2. _NEW_R4 — queries added during round 4 (both waves); each new
-#      registration is appended here so it gets a verdict THIS round
-#      instead of waiting a full rotation (the round-3 mistake). As
-#      this tier grew to 28, the surviving repin tail shrank to the
-#      11 highest-traffic bench names (through decontaminate_ngram_hits)
-#      — the displaced repins all hold green verdicts from earlier
-#      rounds, so cumulative coverage is unaffected.
-#   3. _REPINS_R4 — high-traffic re-pins (whole bench set + the §2
-#      CDC/streaming core), displaced from the tail as _NEW_R4 grows.
+# driver verdict each round. CORRECTNESS_r04 came back 50/50 green, so
+# entering round 5 EVERY registered query (165) holds a green driver
+# verdict on record (cumulative r1-r4). Round 5 executes the planned
+# rotation: refresh the evidence that is oldest first.
+#   1. _PRIORITY_R5 — the 29 queries whose ONLY driver verdict is
+#      r1-era (it predates the driver's fixture regeneration — the
+#      round-2 NTZ episode). Local parity covers them against current
+#      fixtures, but the official evidence is stale; after this round
+#      no registered query's newest verdict is older than r2.
+#   2. _NEW_R5 — queries added during round 5; every new registration
+#      is appended here THE DAY IT LANDS so it gets a verdict this
+#      round instead of waiting a full rotation (the round-3 mistake,
+#      fixed in round 4 — keep the discipline).
+#   3. _REPINS_R5 — high-traffic re-pins (frozen bench set + the §2
+#      CDC/streaming core), displaced from the tail as _NEW_R5 grows.
+#      Every repin already holds a fresh r4 verdict, so displacement
+#      never loses evidence.
 # Verified queries move behind the window (their recorded evidence
-# stands). The 3 sketch queries (HLL/KLL/moments) moved to
-# AUDIT_REGISTRY this round — queries() is now 100% oracle-backed.
-#
-# ROUND-5 ROTATION PLAN: if CORRECTNESS_r04 comes back 50/50 green,
-# EVERY registered query has a green driver verdict on record
-# (126 cumulative through r3 + the 11 priority + every _NEW_R4 name
-# = all registered). Round 5 then starts from a clean slate: window = _NEW_R5
-# (additions as they land, same discipline) + re-pins — keep the
-# frozen bench set + CDC core pinned so perf and §2 evidence stay on
-# the same names, and rotate the remaining slots across the oldest
-# verdicts (r1-era names first) so evidence stays fresh against
-# regenerated fixtures. If any r4 window name fails, it leads the
-# round-5 window after repair.
-_PRIORITY_R4 = [
-    "incremental_minhash_replay",
-    "scd2_order_status_history",
-    "coherent_sample_orders",
-    "trend_fit_by_event_type",
-    "null_safe_join_segments",
-    "winsorized_price_stats",
-    "zorder_key_orders",
-    "dq_violation_counts",
-    "bpe_encode_token_counts",
-    "collect_set_sorted",
-    "inverted_index_terms",
+# stands). The 3 sketch queries (HLL/KLL/moments) live in
+# AUDIT_REGISTRY — queries() stays 100% oracle-backed.
+_PRIORITY_R5 = [
+    # §2 CDC/streaming core with r1-only verdicts — lead the window
+    "dim_3way_join",
+    "replace_upsert_latest",
+    "changelog_op_column",
+    "json_payload_roundtrip",
+    "flagship_enrich_sql",
+    "string_funcs_parts",
+    # analytics / window / set-op names with r1-only verdicts
+    "anti_join_no_orders",
+    "cube_agg",
+    "full_outer_nation_counts",
+    "group_distinct_agg",
+    "grouping_sets_agg",
+    "null_handling_buckets",
+    "pivot_status_qty",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q4_order_priority",
+    "rollup_agg",
+    "scalar_subquery_above_avg",
+    "semi_join_with_orders",
+    "setop_except_all_keys",
+    "setop_except_nations",
+    "setop_intersect_all_keys",
+    "setop_intersect_nations",
+    "setop_union_all_keys",
+    "setop_union_nations",
+    "sort_events_top50",
+    "topk_orders",
+    "window_rank_top3",
+    "window_running_total",
 ]
 
-_NEW_R4: list[str] = [
-    "incremental_minhash_multibatch",
-    "gopher_quality_gate",
-    "vocab_coverage_curve",
-    "mad_robust_price",
-    "zscore_tail_events",
-    "asof_tolerance_enrich",
-    "semantic_dedup_pairs",
-    "cluster_canonical_docs",
-    "rfm_customer_segments",
-    "daily_moving_avg_7d",
-    "image_phash_neardup",
-    "median_cont_quantity",
-    "session_transition_counts",
-    "nation_revenue_contribution",
-    "order_gap_stats",
-    "ewma_daily_value",
-    "cusum_changepoint_daily",
-    "dow_seasonality_profile",
-    "copurchase_triangle_stats",
-    "udtf_sentence_spans",
-    "salted_hot_key_agg",
-    "click_purchase_attribution",
-    "basket_lift_top_pairs",
-    "span_dedup_keep_first",
-    "int8_knn_recall",
-    "groupwise_minmax_norm",
-    "peak_concurrent_sessions",
-    "series_correlation_pairs",
+_NEW_R5: list[str] = [
+    "ivf_recall_curve",
 ]
 
-_REPINS_R4 = [
-    # whole frozen bench set (31) — keeps perf + correctness evidence
-    # on the same names every round
+_REPINS_R5 = [
+    # frozen bench set, highest-traffic first (q18_large_orders sits
+    # in _PRIORITY_R5 this round; incremental_minhash_multibatch is
+    # the round-4 bench addition)
     "flagship_enrich",
     "q1_pricing_summary",
     "sessionize_events",
     "minhash_lsh_neardup",
     "simhash_near_pairs",
+    "incremental_minhash_multibatch",
     "knn_cosine_fast",
     "knn_pandas_topk",
     "knn_brute_topk",
@@ -126,38 +110,34 @@ _REPINS_R4 = [
     "q9_profit_by_nation_year",
     "q12_priority_shipping_counts",
     "q13_order_count_distribution",
-    "q18_large_orders",
     "token_frequency_top100",
     "occupancy_rate_by_region",
     "text_quality_stats",
     "chunk_documents",
     "training_data_pipeline",
-    # §2 CDC/streaming core re-pins
+    # §2 CDC/streaming core re-pins (the rest lead the window this
+    # round as _PRIORITY_R5 members)
     "cdc_filter_project",
     "temporal_active_filter",
-    "dim_3way_join",
-    "replace_upsert_latest",
-    "changelog_op_column",
-    "json_payload_roundtrip",
     "session_window_agg",
     "timestamp_parse_roundtrip",
 ]
 
-_WINDOW_R4 = (*_PRIORITY_R4, *_NEW_R4, *_REPINS_R4)[:50]
+_WINDOW_R5 = (*_PRIORITY_R5, *_NEW_R5, *_REPINS_R5)[:50]
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R4 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R5 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R4) != len(set(_WINDOW_R4)):
+    if len(_WINDOW_R5) != len(set(_WINDOW_R5)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R4 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R5 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R4 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R4 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R4, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R5 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R5 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R5, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
