@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.functions.exact import dbl, dec, sql_dbl
 from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.plans.shared import EVENT_FP as _EVENT_FP
+from flinkstreametl_spark.plans.shared import EVENT_VALUE_FP_SQL as _EVENT_FP_SQL
 from flinkstreametl_spark.sources.parquet import load_table
 
 
@@ -799,13 +801,15 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SALTED_ORACLE = """
+# value scale built from the shared constant (plans/shared.py) so it
+# can never drift from the Spark side's fixed-point conversion
+_SALTED_ORACLE = f"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fp,
-       CAST(MIN(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS min_value,
-       CAST(MAX(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0 AS max_value,
-       CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+       CAST(SUM({_EVENT_FP_SQL}) AS BIGINT) AS s_fp,
+       CAST(MIN({_EVENT_FP_SQL}) AS DOUBLE) / {_EVENT_FP}.0 AS min_value,
+       CAST(MAX({_EVENT_FP_SQL}) AS DOUBLE) / {_EVENT_FP}.0 AS max_value,
+       CAST(SUM({_EVENT_FP_SQL}) AS DOUBLE) / {_EVENT_FP}.0
            / CAST(COUNT(*) AS DOUBLE) AS avg_value
 FROM events
 GROUP BY event_type
@@ -833,7 +837,7 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flinkstreametl_spark.operators.skew import salted_agg
 
     events = load_table(spark, sf_dir, "events")
-    v_fp = F.floor(F.col("value") * 1_000_000).cast("long")
+    v_fp = F.floor(F.col("value") * _EVENT_FP).cast("long")
     rows = events.select("event_type", v_fp.alias("v_fp"))
     out = salted_agg(
         rows,

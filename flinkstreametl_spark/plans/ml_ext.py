@@ -18,6 +18,7 @@ from flinkstreametl_spark.operators import similarity as S
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.llm import _KNN_ORACLE
 from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.plans.shared import DAILY_SQL as _SHARED_DAILY_SQL
 from flinkstreametl_spark.sources.parquet import ensure_parallelism, load_table
 
 _TOKS = X.sql_tokens("text")
@@ -551,17 +552,11 @@ def int8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the daily CTE must keep the same day bucketing and fixed-point scale
-# as timeseries_ext._DAILY_SQL (the Spark side shares
-# timeseries_ext._daily; a module-level import of the SQL constant
-# would reorder registration)
-_NORM_ORACLE = """
-WITH daily AS (
-    SELECT event_type,
-           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
-           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS s_fp
-    FROM events
-    GROUP BY 1, 2
-),
+# as the Spark side (timeseries_ext._daily) — built from the shared
+# constant so the two can never desynchronize (plans/shared.py carries
+# no registrations, so the module-level import is order-safe)
+_NORM_ORACLE = f"""
+WITH daily AS ({_SHARED_DAILY_SQL}),
 b AS (
     SELECT event_type, day, s_fp,
            MIN(s_fp) OVER (PARTITION BY event_type) AS mn,
@@ -615,4 +610,161 @@ def groupwise_minmax_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return daily.groupBy("event_type").applyInPandas(
         norm, schema="event_type string, day long, norm_bp long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF recall-vs-probe curve (round-5 verdict item 6)
+
+_NPROBES = [1, 2, 3, 5, 10]  # 10 labels in the fixture -> nprobe=10 is the full scan
+
+_CURVE_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+cents AS (
+    SELECT t.label, pos,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+               / 1099511627776.0 / COUNT(*) AS cval
+    FROM (SELECT e.label, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS val
+          FROM embeddings e) t
+    GROUP BY t.label, pos
+),
+q AS (SELECT * FROM ex WHERE vec_id < 5),
+ps AS (
+    SELECT q.vec_id AS query_id, c.label,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * c.cval * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(c.cval * c.cval * 1099511627776.0) AS BIGINT)) AS cc
+    FROM q JOIN cents c ON q.pos = c.pos
+    GROUP BY 1, 2
+),
+prb AS (
+    SELECT query_id, label,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                        label) AS prb
+    FROM ps
+),
+el AS (
+    SELECT e.vec_id, e.label, generate_subscripts(e.embedding, 1) AS pos, unnest(e.embedding) AS val
+    FROM embeddings e
+),
+cscore AS (
+    SELECT p.query_id, el.vec_id AS neighbor_id, p.prb,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(el.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(el.val AS DOUBLE) * CAST(el.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+    FROM prb p
+    JOIN el ON el.label = p.label AND el.vec_id <> p.query_id
+    JOIN q ON q.vec_id = p.query_id AND q.pos = el.pos
+    GROUP BY 1, 2, 3
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY CAST(SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                            / sqrt(CAST(SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                                   * CAST(SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)) DESC,
+                            c.vec_id
+               ) AS rk
+        FROM q JOIN ex c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ) WHERE rk <= {_QK}
+),
+np AS (SELECT CAST(unnest([{", ".join(str(n) for n in _NPROBES)}]) AS INTEGER) AS nprobe),
+cand_np AS (
+    SELECT np.nprobe, c.query_id, c.neighbor_id, c.dot, c.qq, c.cc
+    FROM cscore c JOIN np ON c.prb <= np.nprobe
+),
+ivf_top AS (
+    SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                            neighbor_id) AS rk
+        FROM cand_np
+    ) WHERE rk <= {_QK}
+),
+hits AS (
+    SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM ivf_top t
+    WHERE EXISTS (SELECT 1 FROM exact x
+                  WHERE x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)
+    GROUP BY t.nprobe
+),
+cands AS (
+    SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand_np GROUP BY nprobe
+)
+SELECT c.nprobe, c.n_candidates,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / (5.0 * {_QK}.0) AS recall_at_{_QK}
+FROM cands c LEFT JOIN hits h ON h.nprobe = c.nprobe
+"""
+
+
+@register("ivf_recall_curve", tags=("ext", "llm", "similarity", "quality-curve"), oracle=_CURVE_ORACLE)
+def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF quality/cost tradeoff measured IN-QUERY: for each nprobe
+    in {1, 2, 3, 5, 10}, how many candidate vectors the probe-pruned
+    scan touches (the cost) and what fraction of the exact cosine
+    top-10 it recovers (recall@10, averaged over the 5 query vectors).
+    nprobe = 10 scans every cluster, so its recall row must read 1.0 —
+    a built-in sanity anchor. Companion to ``int8_knn_recall`` (the
+    quantization half of the ANN quality story; this is the pruning
+    half) — measured numbers at sf0.1 live in docs/ANN.md.
+
+    Exactness: candidate and exact rankings both use the 2^-40
+    fixed-point cosine fold (operators/similarity.py), overlap and
+    candidate counts are integers, and recall is ONE double division
+    of exact operands — hash-identical to the oracle.
+
+    Plan shape (the part that survives 100 TB): candidates are scored
+    ONCE with their cluster's probe rank attached; each nprobe slice is
+    then a filter + re-rank over the already-scored rows, so widening
+    the curve adds window work only, not another scan. The probe side
+    (queries x centroids) stays broadcast; the one heavy join is
+    probes->vectors on label, identical to ``ann_ivf_topk``. At
+    nprobe = n_clusters this is brute force BY DESIGN — the curve is
+    the audit that justifies a production nprobe choice, not the
+    serving path."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ranks = S.ivf_probe_ranks(emb, n_queries=5)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "label"
+    )
+    cscore = (
+        ranks.join(c, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "prb",
+            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+        .localCheckpoint()  # scored once; every nprobe slice reuses it
+    )
+    exact = S.knn_fast(emb, n_queries=5, k=_QK).select("query_id", "neighbor_id")
+    np_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _NPROBES])).alias("nprobe")
+    )
+    cand_np = cscore.join(F.broadcast(np_df), F.col("prb") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    ivf_top = cand_np.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _QK)
+    hits = (
+        ivf_top.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    cands = cand_np.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        cands.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(5.0 * _QK)).alias(
+                f"recall_at_{_QK}"
+            ),
+        )
     )

@@ -44,19 +44,10 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators.windows import epoch_micros, ewma_fold, sessionize
 from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.plans.shared import DAILY_SQL as _DAILY_SQL
+from flinkstreametl_spark.plans.shared import EVENT_FP as _FP
+from flinkstreametl_spark.plans.shared import US_PER_DAY as _US_PER_DAY
 from flinkstreametl_spark.sources.parquet import load_table
-
-_US_PER_DAY = 86_400_000_000
-_FP = 1_000_000  # fixed-point scale for event values
-
-_DAILY_SQL = f"""
-    SELECT event_type,
-           CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(floor(value * {_FP}) AS BIGINT)) AS BIGINT) AS s_fp
-    FROM events
-    GROUP BY 1, 2
-"""
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,6 +145,55 @@ QUALIFY row_number() OVER (
 """
 
 
+# The BIGINT products n*P_k and k*S overflow once |P_k| or |S| nears
+# 2^63 / n_days — reachable at 100 TB event volumes. The narrow path
+# ENFORCES the headroom per row (loud assert_true, integer-div bound so
+# the check itself cannot overflow); callers at scale switch to
+# wide=True, which runs the identical shape in DECIMAL(38,0).
+_CUSUM_I64_GUARD = 1 << 61  # both products under 2^61 => |a-b| < 2^63
+
+
+def cusum_scored(daily: DataFrame, *, wide: bool = False) -> DataFrame:
+    """(event_type, day, n_days, k, p_k, s_total, cusum_scaled) — the
+    scaled CUSUM statistic n*C_k = n*P_k - k*S per prefix, over any
+    (event_type, day, s_fp) daily frame. ``wide=False`` stays in exact
+    BIGINT with a runtime overflow guard; ``wide=True`` widens the two
+    products to DECIMAL(38,0) (exact to 38 digits — 17 orders of
+    magnitude past int64) for corpora where the guard would trip."""
+    byk = Window.partitionBy("event_type")
+    upto = byk.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(byk).alias("n_days"),
+        F.count(F.lit(1)).over(upto).alias("k"),
+        F.sum("s_fp").over(upto).alias("p_k"),
+        F.sum("s_fp").over(byk).alias("s_total"),
+    )
+    if wide:
+        d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+        stat = F.abs(d("n_days") * d("p_k") - d("k") * d("s_total"))
+        return base.withColumn("cusum_scaled", stat)
+    fits = F.expr(
+        f"abs(p_k) <= {_CUSUM_I64_GUARD} div n_days"
+        f" and abs(s_total) <= {_CUSUM_I64_GUARD} div k"
+    )
+    guarded = base.where(
+        F.assert_true(
+            fits,
+            F.concat(
+                F.lit("cusum_scored: BIGINT product headroom exhausted for event_type="),
+                F.col("event_type"),
+                F.lit("; rerun with wide=True (DECIMAL(38,0) products)"),
+            ),
+        ).isNull()
+    )
+    return guarded.withColumn(
+        "cusum_scaled",
+        F.abs(F.col("n_days") * F.col("p_k") - F.col("k") * F.col("s_total")),
+    )
+
+
 @register("cusum_changepoint_daily", tags=("ext", "timeseries"), oracle=_CUSUM_ORACLE)
 def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM change-point: the day where the cumulative deviation of
@@ -164,25 +204,15 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     by n to stay in BIGINT: n*C_k = n*P_k - k*S. Prefix sums, totals,
     products, abs, and the argmax tie-break (peak value DESC, then
     day) are all integer — no float enters the query at all, so Spark
-    and DuckDB agree bit for bit under any partitioning.
+    and DuckDB agree bit for bit under any partitioning. The BIGINT
+    headroom is enforced per row by ``cusum_scored``'s runtime guard
+    (loud failure, never silent wraparound); the DECIMAL(38,0)
+    ``wide=True`` twin covers corpora beyond the guard.
 
     Plan: the daily reduction is the only fact shuffle; the three
     windows (prefix, per-key total, argmax rank) all share the single
     event_type exchange of the tiny daily frame."""
-    daily = _daily(spark, sf_dir)
-    byk = Window.partitionBy("event_type")
-    upto = byk.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored = daily.select(
-        "event_type",
-        "day",
-        F.count(F.lit(1)).over(byk).alias("n_days"),
-        F.count(F.lit(1)).over(upto).alias("k"),
-        F.sum("s_fp").over(upto).alias("p_k"),
-        F.sum("s_fp").over(byk).alias("s_total"),
-    ).withColumn(
-        "cusum_scaled",
-        F.abs(F.col("n_days") * F.col("p_k") - F.col("k") * F.col("s_total")),
-    )
+    scored = cusum_scored(_daily(spark, sf_dir))
     pick = Window.partitionBy("event_type").orderBy(F.col("cusum_scaled").desc(), "day")
     return (
         scored.withColumn("rn", F.row_number().over(pick))

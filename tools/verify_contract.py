@@ -70,13 +70,23 @@ def main() -> int:
             if name not in oracles:
                 continue
             res = con.sql(oracles[name])
-            if _norm(srows, sdf.columns) != _norm(res.fetchall(), res.columns):
+            # Column NAMES must match (the driver's schema check); _norm
+            # only uses names to reorder values, so without this a
+            # renamed output column would pass silently.
+            if sorted(sdf.columns) != sorted(res.columns):
+                print(
+                    f"# {name}: column names differ: spark={sorted(sdf.columns)} "
+                    f"duckdb={sorted(res.columns)}",
+                    file=sys.stderr,
+                )
+                fails.append(name)
+            elif _norm(srows, sdf.columns) != _norm(res.fetchall(), res.columns):
                 fails.append(name)
         except Exception as exc:  # a crash is a failure, keep going
             print(f"# {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
             fails.append(name)
     print(f"total: {len(qs)} FAILURES: {fails}")
-    return 0 if (n_entry >= 0 and not fails) else 1
+    return 0 if not fails else 1
 
 
 if __name__ == "__main__":
