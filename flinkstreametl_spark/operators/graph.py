@@ -10,8 +10,10 @@ and in docs/SCALE.md.
 Contract: the input edge list is UNDIRECTED and canonical — one row
 per edge with ``u < v``, no self-loops, no duplicates (callers with
 raw pairs: ``select(least, greatest).distinct()``). Node ids must fit
-below ``ord_base`` so the (degree, id) total order linearizes into one
-BIGINT; pass a larger base (or pre-map ids) for wider id spaces.
+in ``[0, ord_base)`` so the (degree, id) total order linearizes into
+one BIGINT; pass a larger base (or pre-map ids) for wider id spaces.
+``degree_orient`` enforces the id range at runtime (loud
+``assert_true`` failure instead of silent corruption).
 """
 
 from __future__ import annotations
@@ -35,7 +37,27 @@ def degrees(edges: DataFrame) -> DataFrame:
 def degree_orient(edges: DataFrame, deg: DataFrame, *, ord_base: int = DEFAULT_ORD_BASE) -> DataFrame:
     """Direct each edge from its lower-(degree, id) endpoint to the
     higher one: (src, dst, ord_dst). The degree table broadcasts — the
-    edge stream is never shuffled for orientation."""
+    edge stream is never shuffled for orientation.
+
+    The ``node id in [0, ord_base)`` contract is ENFORCED, not just
+    documented: an out-of-range id (e.g. hash-derived) would silently
+    corrupt the (deg, id) linearization and thus every downstream
+    triangle count, so each edge row passes through a JVM-side
+    ``assert_true`` that raises loudly instead. The guard is a per-row
+    comparison inside the scan filter — no extra exchange, no action."""
+    in_range = (
+        (F.col("u") >= 0) & (F.col("u") < ord_base) & (F.col("v") >= 0) & (F.col("v") < ord_base)
+    )
+    edges = edges.where(
+        F.assert_true(
+            in_range,
+            F.concat(
+                F.lit(f"degree_orient: node id outside [0, {ord_base}); "
+                      "pass a larger ord_base or pre-map ids. edge=("),
+                F.col("u").cast("string"), F.lit(","), F.col("v").cast("string"), F.lit(")"),
+            ),
+        ).isNull()
+    )
     du, dv = deg.alias("du"), deg.alias("dv")
     ord_u = F.col("du.deg") * ord_base + F.col("u")
     ord_v = F.col("dv.deg") * ord_base + F.col("v")
