@@ -130,15 +130,12 @@ def label_centroids(emb: DataFrame) -> DataFrame:
     )
 
 
-def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) -> DataFrame:
-    """IVF-style ANN: score each query against the (broadcast) centroid
-    table, keep the nprobe nearest clusters, then run exact cosine only
-    against candidates in those clusters. Output schema matches
-    knn_exact; recall < 1 by construction (tests measure it). Both the
-    probe ranking and the candidate scores use the fixed-point fold
-    (cosine_col_fp), so the whole ANN decision path — which clusters
-    are probed AND how candidates rank — is bit-exact and
-    oracle-checkable (round 2)."""
+def ivf_probe_ranks(emb: DataFrame, n_queries: int = 5) -> DataFrame:
+    """(query_id, q_emb, label, prb): every cluster ranked per query by
+    centroid cosine (prb = 1 is the nearest). The shared front half of
+    the IVF path — ``ivf_topk`` keeps ``prb <= nprobe``; the recall
+    curve keeps all ranks and slices them per nprobe value. Both the
+    centroid table and the query side broadcast (parameter-sized)."""
     cents = (
         label_centroids(emb)
         .groupBy("label")
@@ -149,11 +146,26 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) ->
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     probe_w = Window.partitionBy("query_id").orderBy(F.col("c_score").desc(), "label")
-    probes = (
+    return (
         F.broadcast(q)
         .crossJoin(F.broadcast(cents))
         .select("query_id", "q_emb", "label", cosine_col_fp(F.col("q_emb"), F.col("centroid")).alias("c_score"))
         .withColumn("prb", F.row_number().over(probe_w))
+        .select("query_id", "q_emb", "label", "prb")
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: score each query against the (broadcast) centroid
+    table, keep the nprobe nearest clusters, then run exact cosine only
+    against candidates in those clusters. Output schema matches
+    knn_exact; recall < 1 by construction (tests measure it). Both the
+    probe ranking and the candidate scores use the fixed-point fold
+    (cosine_col_fp), so the whole ANN decision path — which clusters
+    are probed AND how candidates rank — is bit-exact and
+    oracle-checkable (round 2)."""
+    probes = (
+        ivf_probe_ranks(emb, n_queries)
         .filter(F.col("prb") <= nprobe)
         .select("query_id", "q_emb", "label")
     )
