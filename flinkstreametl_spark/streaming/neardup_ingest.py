@@ -29,6 +29,7 @@ that read is pruned to the candidate doc_ids by the join itself.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,6 +38,63 @@ from flinkstreametl_spark.operators.dedup import incremental_lsh_pairs, lsh_band
 PAIRS_SUBDIR = "pairs"
 INDEX_SUBDIR = "band_index"
 DOCS_SUBDIR = "docs"
+
+#: Compact the on-disk state every N micro-batches. Append-only state
+#: gains ~one file set per batch, so at a deep horizon the per-batch
+#: cost is dominated by FILE COUNT (open/footers/listing), not rows —
+#: measured in docs/INCREMENTAL.md's 50-batch probe. 10 keeps the file
+#: population bounded at ~10 appends between rewrites.
+DEFAULT_COMPACT_EVERY = 10
+
+
+def _compact_parquet(
+    spark: SparkSession, path: str, schema, n_files: int, cluster_col: str | None = None
+) -> None:
+    """Rewrite an append-only parquet directory into ``n_files`` files
+    (hash-clustered on ``cluster_col`` when given, so the candidate
+    join's band pruning keeps working on the compacted layout).
+
+    Swap is rename-based: correct for the single-writer foreachBatch
+    loop this module runs (Structured Streaming serializes batches);
+    a multi-writer deployment at cluster scale would put the state in
+    a transactional table format instead and compact via its rewrite
+    API — the read/compute shape here is unchanged by that swap."""
+    if not os.path.isdir(path):
+        return
+    df = spark.read.schema(schema).parquet(path)
+    if cluster_col is not None:
+        df = df.repartition(n_files, cluster_col)
+    else:
+        df = df.repartition(n_files)
+    tmp, old = path + "._compact", path + "._old"
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    df.write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+
+
+def compact_state(spark: SparkSession, state_dir: str, *, n_files: int = 16) -> None:
+    """Compact the band index (clustered by band) and the document
+    store (clustered by doc_id). Pairs are a SINK, not probed state —
+    their file count never enters the per-batch critical path, so they
+    are left to the downstream consumer."""
+    _compact_parquet(
+        spark,
+        os.path.join(state_dir, INDEX_SUBDIR),
+        _empty_index(spark).schema,
+        n_files,
+        "band",
+    )
+    _compact_parquet(
+        spark,
+        os.path.join(state_dir, DOCS_SUBDIR),
+        "doc_id LONG, text STRING",
+        n_files,
+        "doc_id",
+    )
 
 
 def _empty_index(spark: SparkSession) -> DataFrame:
@@ -51,7 +109,15 @@ def _load_or_empty(spark: SparkSession, path: str, empty: DataFrame) -> DataFram
     return empty
 
 
-def process_batch(spark: SparkSession, batch_df: DataFrame, state_dir: str, threshold: float = 0.6) -> None:
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    threshold: float = 0.6,
+    *,
+    batch_id: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
+) -> None:
     """One micro-batch of near-dup maintenance against on-disk state.
     Called from ``foreachBatch`` (or directly, for batch replay tests).
 
@@ -61,6 +127,12 @@ def process_batch(spark: SparkSession, batch_df: DataFrame, state_dir: str, thre
     batch and the pairs sink receives the same rows again — dedupable
     downstream by (doc_a, doc_b), exactly the idempotent-upsert story
     of streaming/sinks.py.
+
+    Every ``compact_every`` batches (when ``batch_id`` is provided) the
+    probed state is rewritten into a bounded file count AFTER the
+    commit point — compaction changes layout, never content, so a
+    crash between commit and compaction costs nothing but deferred
+    housekeeping.
     """
     # In-batch self-dedup first: an at-least-once source can duplicate
     # a doc WITHIN one micro-batch (two files of the same retry drained
@@ -89,6 +161,9 @@ def process_batch(spark: SparkSession, batch_df: DataFrame, state_dir: str, thre
     fresh_docs.write.mode("append").parquet(docs_path)
     new_rows.write.mode("append").parquet(index_path)
 
+    if compact_every and batch_id is not None and (batch_id + 1) % compact_every == 0:
+        compact_state(spark, state_dir)
+
 
 def run_neardup_stream(
     spark: SparkSession,
@@ -108,7 +183,9 @@ def run_neardup_stream(
     )
     writer = (
         stream.writeStream.foreachBatch(
-            lambda df, _id: process_batch(df.sparkSession, df, state_dir, threshold)
+            lambda df, bid: process_batch(
+                df.sparkSession, df, state_dir, threshold, batch_id=bid
+            )
         )
         .option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
     )

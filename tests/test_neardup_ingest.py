@@ -85,3 +85,40 @@ def test_process_batch_direct_replay_idempotent(spark, sf_dir, tmp_path):
 
     assert idx2 == idx1
     assert p2 == p1 and p1
+
+
+def test_compaction_mid_stream_preserves_state_and_idempotency(spark, sf_dir, tmp_path):
+    """A compaction firing mid-stream (every 2 batches) must change
+    LAYOUT only: pairs/index content identical to the uncompacted run,
+    file population bounded, and a post-compaction replay of an old
+    batch still anti-joins away as redelivered."""
+    rows = _docs_rows(spark, sf_dir, n=90)
+    thirds = [rows[:30], rows[30:60], rows[60:]]
+
+    states = {}
+    for mode, every in (("off", None), ("on", 2)):
+        state = str(tmp_path / f"state_{mode}")
+        os.makedirs(state)
+        for i, chunk in enumerate(thirds):
+            process_batch(
+                spark, spark.createDataFrame(chunk), state,
+                batch_id=i, compact_every=every,
+            )
+        states[mode] = state
+
+    for sub in (PAIRS_SUBDIR, INDEX_SUBDIR):
+        a = spark.read.parquet(os.path.join(states["off"], sub))
+        b = spark.read.parquet(os.path.join(states["on"], sub))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect())), sub
+
+    idx_dir = os.path.join(states["on"], INDEX_SUBDIR)
+    n_files_on = sum(1 for f in os.listdir(idx_dir) if f.endswith(".parquet"))
+    assert n_files_on <= 16  # compact_state target bound
+
+    # replay batch 0 AFTER a compaction: still a no-op
+    before = spark.read.parquet(os.path.join(states["on"], PAIRS_SUBDIR)).count()
+    idx_before = spark.read.parquet(idx_dir).count()
+    process_batch(spark, spark.createDataFrame(thirds[0]), states["on"],
+                  batch_id=3, compact_every=None)
+    assert spark.read.parquet(os.path.join(states["on"], PAIRS_SUBDIR)).count() == before
+    assert spark.read.parquet(idx_dir).count() == idx_before
