@@ -19,6 +19,7 @@ from flinkstreametl_spark.plans import warehouse_ext as _warehouse_ext  # noqa: 
 from flinkstreametl_spark.plans import quality_ext as _quality_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import timeseries_ext as _timeseries_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -78,6 +79,12 @@ _PRIORITY_R5 = [
 
 _NEW_R5: list[str] = [
     "ivf_recall_curve",
+    "capped_balance_daily",
+    "user_activity_streaks",
+    "cumulative_unique_users",
+    "equidepth_totalprice_bounds",
+    "pareto_frontier_parts",
+    "mode_brand_per_type",
 ]
 
 _REPINS_R5 = [

@@ -479,3 +479,197 @@ def series_correlation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_days",
         F.when((vx > 0) & (vy > 0), (nd * sxy - sx * sy) / F.sqrt(vx * vy)).alias("corr_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5 wave: nonlinear fold + gaps-and-islands + cumulative distinct
+
+# The oracle does NOT mirror the Spark-side fold: the zero-floored
+# running sum admits a max-plus closed form, bal_k = P_k - least(0,
+# min_{j<=k} P_j) (P = prefix sum of the deviations), so DuckDB
+# verifies through an INDEPENDENTLY DERIVED window formulation — a
+# stronger check than re-running the same recurrence, and a necessary
+# one: DuckDB 1.0's list_reduce miscomputes struct-accumulator lambdas
+# (a three-field {d, bal, mx} fold returned a peak provably above the
+# running maximum; python-int replay sided with Spark).
+_CAPPED_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+base AS (
+    SELECT event_type, day,
+           CAST(COUNT(*) OVER byk AS BIGINT) AS n_days,
+           MAX(day) OVER byk AS last_day,
+           CAST(SUM(s_fp) OVER byk AS BIGINT) AS s_total,
+           s_fp
+    FROM daily
+    WINDOW byk AS (PARTITION BY event_type)
+),
+pre AS (
+    SELECT event_type, day, n_days, last_day,
+           CAST(SUM(n_days * s_fp - s_total) OVER upto AS BIGINT) AS p_k
+    FROM base
+    WINDOW upto AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+bal AS (
+    SELECT event_type, day, n_days, last_day,
+           p_k - least(CAST(0 AS BIGINT), MIN(p_k) OVER upto) AS bal
+    FROM pre
+    WINDOW upto AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, n_days, last_day,
+       CAST(MAX(CASE WHEN day = last_day THEN bal END) AS BIGINT) AS final_buffer_scaled,
+       CAST(MAX(bal) AS BIGINT) AS peak_buffer_scaled
+FROM bal
+GROUP BY event_type, n_days, last_day
+"""
+
+
+@register("capped_balance_daily", tags=("ext", "timeseries", "fold"), oracle=_CAPPED_ORACLE)
+def capped_balance_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floored cumulative surplus per event type — the
+    battery/inventory clamp: fold bal_k = max(0, bal_{k-1} + d_k) over
+    the day-sorted deviations d_k = n*x_k - S (daily value minus the
+    series mean, scaled by n to stay in exact BIGINT, the CUSUM
+    trick), reporting the final and the PEAK buffer level.
+
+    The Spark side evaluates the sequential recurrence directly as a
+    STRUCT-accumulator fold (``aggregate`` carrying (balance, peak)) —
+    the first struct fold in the repo, the seam for recurrences with
+    no known closed form. The ORACLE verifies through the max-plus
+    closed form instead (bal_k = P_k - least(0, running-min P)): two
+    genuinely independent formulations agreeing exactly is stronger
+    evidence than one recurrence run twice — and DuckDB 1.0's
+    list_reduce turned out to miscompute struct lambdas anyway (see
+    the oracle's comment; python-int replay arbitrated for Spark).
+    All-integer arithmetic -> bit-identical engines under any
+    partitioning. Peak uses ``greatest(acc.mx, acc.bal + d)`` —
+    equivalent to max-of-clamped since acc.mx >= 0 — avoiding a
+    duplicated nested-greatest subexpression.
+
+    Scale: identical to EWMA/CUSUM — one fact shuffle to the daily
+    grain, then a calendar-bounded per-key fold. The n*x products
+    carry the same BIGINT headroom contract as ``cusum_scored``
+    (DECIMAL(38,0) wide twin at 100 TB)."""
+    daily = _daily(spark, sf_dir)
+    grouped = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.sum("s_fp").alias("s_total"),
+        F.array_sort(F.collect_list(F.struct("day", "s_fp"))).alias("_arr"),
+    )
+    ds = F.transform(
+        F.col("_arr"), lambda s: F.col("n_days") * s["s_fp"] - F.col("s_total")
+    )
+    zero = F.lit(0).cast("long")
+    folded = F.aggregate(
+        ds,
+        F.struct(zero.alias("bal"), zero.alias("mx")),
+        lambda acc, d: F.struct(
+            F.greatest(zero, acc["bal"] + d).alias("bal"),
+            F.greatest(acc["mx"], acc["bal"] + d).alias("mx"),
+        ),
+    )
+    return grouped.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        folded["bal"].alias("final_buffer_scaled"),
+        folded["mx"].alias("peak_buffer_scaled"),
+    )
+
+
+_STREAK_ORACLE = f"""
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day
+    FROM events
+),
+runs AS (
+    SELECT user_id, day,
+           day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+    FROM ud
+),
+streaks AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+    FROM runs
+    GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks
+GROUP BY user_id
+"""
+
+
+@register("user_activity_streaks", tags=("ext", "timeseries", "sessionize"), oracle=_STREAK_ORACLE)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands rewrite: on the distinct (user, day) grain,
+    ``day - row_number()`` is constant within a consecutive run, so
+    one group-by on that constant measures every streak.
+
+    Exactness: integer day indexes end to end. Plan: the
+    distinct-day reduction is the one fact shuffle (map-side partial
+    on (user_id, day)); the row_number window and both rollups reuse
+    the same user_id co-location, and per-key work is bounded by the
+    calendar."""
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(_US_PER_DAY)).cast("long")
+    ud = events.select("user_id", day.alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = ud.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+    )
+
+
+_CUMUSERS_ORACLE = f"""
+WITH first_day AS (
+    SELECT user_id, MIN(CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT)) AS day
+    FROM events
+    GROUP BY user_id
+),
+per_day AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+    FROM first_day
+    GROUP BY day
+)
+SELECT day, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per_day
+"""
+
+
+@register("cumulative_unique_users", tags=("ext", "timeseries"), oracle=_CUMUSERS_ORACLE)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-to-date per day — the growth curve — WITHOUT a
+    cumulative-distinct scan: each user collapses to their first
+    active day (one user_id-keyed aggregate), daily first-timer counts
+    follow, and the running total is a window over the daily grain.
+
+    Exactness: integers only. Scale: the global running-sum window is
+    partitioned by nothing, but its input is the DAILY grain —
+    calendar-bounded (~365 rows/year), not data-bounded — the same
+    justification as the EWMA/CUSUM folds; the heavy lifting (events
+    -> first day per user) is a map-side-combined shuffle on
+    user_id."""
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(_US_PER_DAY)).cast("long")
+    first_day = (
+        events.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("fday"))
+    )
+    per_day = first_day.groupBy(F.col("fday").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day", "n_new_users", F.sum("n_new_users").over(w).alias("cum_users")
+    )
