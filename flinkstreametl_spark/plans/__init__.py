@@ -85,6 +85,8 @@ _NEW_R5: list[str] = [
     "equidepth_totalprice_bounds",
     "pareto_frontier_parts",
     "mode_brand_per_type",
+    "topk_with_ties_orders",
+    "weighted_median_quantity",
 ]
 
 _REPINS_R5 = [

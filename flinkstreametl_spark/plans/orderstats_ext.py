@@ -204,3 +204,91 @@ def mode_brand_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("p_type", "p_brand", "n_parts")
     )
+
+
+_TIES_ORACLE = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           rank() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC) AS rk
+    FROM orders
+) v
+WHERE rk <= 3
+"""
+
+
+@register("topk_with_ties_orders", tags=("ext", "orderstats", "topk"), oracle=_TIES_ORACLE)
+def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per priority class WITH TIES — ``rank()``
+    rather than ``row_number()``, so every order sharing a top-3 value
+    is returned (ANSI FETCH FIRST ... WITH TIES semantics). The
+    existing ``topk_orders`` is the row_number half; together they pin
+    both top-k contracts, whose difference is exactly the rows an
+    arbitrary tie-cut would silently drop.
+
+    Determinism: the output SET is tie-insensitive by construction
+    (every tied row is present), so no tie-break column is needed —
+    rank() over (value DESC) yields identical rows under any
+    partitioning. One exchange on the partition key; per-class window
+    depth is the class's orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return (
+        orders.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+_WMEDIAN_ORACLE = """
+WITH g AS (
+    SELECT l_returnflag, l_extendedprice AS v,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+    FROM lineitem
+    GROUP BY l_returnflag, l_extendedprice
+),
+c AS (
+    SELECT l_returnflag, v, wt,
+           CAST(SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+           CAST(SUM(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS total
+    FROM g
+)
+SELECT l_returnflag, CAST(MIN(total) AS BIGINT) AS total_weight,
+       MIN(v) AS weighted_median_price
+FROM c
+WHERE 2 * cum >= total
+GROUP BY l_returnflag
+"""
+
+
+@register("weighted_median_quantity", tags=("ext", "orderstats"), oracle=_WMEDIAN_ORACLE)
+def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price v whose cumulative quantity weight reaches half the
+    class total — the lower weighted median, selected with the
+    integer-only inequality 2*cum >= W (no W/2 division, no float).
+
+    Plan: one map-combined shuffle to the (flag, price) value grain,
+    then both windows (running weight, class total) share the flag
+    exchange; the selection is a filter + min, not a sort. Weights
+    stay BIGINT (quantities are integral in this schema — the cast is
+    exact); the median VALUE is carried verbatim, so results hash
+    identically cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(
+        "l_returnflag", F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    byf = Window.partitionBy("l_returnflag")
+    wcum = byf.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = g.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(byf).alias("total"),
+    )
+    return (
+        c.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("total").alias("total_weight"), F.min("v").alias("weighted_median_price"))
+    )

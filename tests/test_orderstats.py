@@ -141,3 +141,42 @@ def test_cumulative_users_monotone_and_total(spark, sf_dir):
     for r in rows:
         run += r.n_new_users
         assert r.cum_users == run
+
+
+def test_topk_with_ties_includes_all_tied_rows(spark, sf_dir):
+    from flinkstreametl_spark.plans.orderstats_ext import topk_with_ties_orders
+
+    rows = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_prio = defaultdict(list)
+    for r in rows:
+        by_prio[r.o_orderpriority].append((r.o_totalprice, r.o_orderkey))
+    got = defaultdict(set)
+    for r in topk_with_ties_orders(spark, sf_dir).collect():
+        got[r.o_orderpriority].add(r.o_orderkey)
+    for prio, vs in by_prio.items():
+        vals = sorted({v for v, _ in vs}, reverse=True)[:3]
+        expected = {k for v, k in vs if v in vals}
+        assert got[prio] == expected
+
+
+def test_weighted_median_matches_python(spark, sf_dir):
+    from flinkstreametl_spark.plans.orderstats_ext import weighted_median_quantity
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    ).collect()
+    acc = defaultdict(lambda: defaultdict(int))
+    for r in rows:
+        acc[r.l_returnflag][r.l_extendedprice] += int(r.l_quantity)
+    got = {r.l_returnflag: r for r in weighted_median_quantity(spark, sf_dir).collect()}
+    for flag, wmap in acc.items():
+        total = sum(wmap.values())
+        cum = 0
+        for v in sorted(wmap):
+            cum += wmap[v]
+            if 2 * cum >= total:
+                break
+        assert got[flag].weighted_median_price == v
+        assert got[flag].total_weight == total
