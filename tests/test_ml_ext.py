@@ -80,3 +80,16 @@ def test_kmeans_sizes_deterministic_and_complete(spark, sf_dir):
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     assert total == n_vecs
     assert all(0 <= c < _KM_K for c, _ in out1)
+
+
+def test_ivf_recall_curve_monotone_with_full_scan_anchor(spark, sf_dir):
+    """Recall and candidate count must be non-decreasing in nprobe, and
+    the all-clusters row must recover the exact top-10 (recall 1.0)."""
+    from flinkstreametl_spark.plans.ml_ext import ivf_recall_curve
+
+    rows = sorted(ivf_recall_curve(spark, sf_dir).collect(), key=lambda r: r.nprobe)
+    assert [r.nprobe for r in rows] == [1, 2, 3, 5, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_candidates > a.n_candidates
+        assert b.n_overlap >= a.n_overlap
+    assert rows[-1].recall_at_10 == 1.0
