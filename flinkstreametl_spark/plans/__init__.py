@@ -87,6 +87,8 @@ _NEW_R5: list[str] = [
     "mode_brand_per_type",
     "topk_with_ties_orders",
     "weighted_median_quantity",
+    "scd2_point_in_time_status",
+    "dau_mau_stickiness",
 ]
 
 _REPINS_R5 = [

@@ -673,3 +673,73 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "n_new_users", F.sum("n_new_users").over(w).alias("cum_users")
     )
+
+
+_DAU_MAU_ORACLE = f"""
+WITH active AS (
+    SELECT DISTINCT user_id, CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day
+    FROM events
+),
+bounds AS (SELECT MAX(day) AS max_day FROM active),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM active GROUP BY day
+),
+contrib AS (
+    SELECT DISTINCT a.user_id, w.w
+    FROM active a,
+         LATERAL (SELECT unnest(generate_series(a.day, a.day + 27)) AS w) w
+    WHERE w.w <= (SELECT max_day FROM bounds)
+),
+mau AS (
+    SELECT w AS day, CAST(COUNT(*) AS BIGINT) AS mau28 FROM contrib GROUP BY w
+)
+SELECT d.day, d.dau, m.mau28,
+       CAST(d.dau AS DOUBLE) / CAST(m.mau28 AS DOUBLE) AS stickiness
+FROM dau d JOIN mau m ON m.day = d.day
+"""
+
+
+@register("dau_mau_stickiness", tags=("ext", "timeseries"), oracle=_DAU_MAU_ORACLE)
+def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / MAU(28d) stickiness per active day — the engagement
+    ratio every growth dashboard carries, and the canonical ROLLING
+    COUNT DISTINCT problem: a window function cannot express distinct
+    users over a trailing 28 days.
+
+    The exact distributed rewrite: each (user, day) activity fact
+    contributes to the 28 window-END days [day, day+27] — explode
+    that bounded fan-out, dedup (user, window), count per window.
+    Exchanges carry at most 28x the DAILY-grain pairs, never raw
+    events; no window function touches data-sized input. Reported
+    only for days that exist in the activity range (windows past
+    max_day are clipped, matching the oracle's bound).
+
+    Exactness: distinct counts are integers; stickiness is one double
+    division of exact operands. Output rows are days with >= 1 active
+    user (dau join mau is total on those days since every active day
+    contributes to its own window)."""
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(_US_PER_DAY)).cast("long")
+    active = events.select("user_id", day.alias("day")).distinct().localCheckpoint()
+    max_day = active.agg(F.max("day").alias("max_day"))
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        active.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.col("day") + 27)).alias("w"),
+        )
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("w") <= F.col("max_day"))
+        .select("user_id", "w")
+        .distinct()
+    )
+    mau = contrib.groupBy(F.col("w").alias("day")).agg(F.count(F.lit(1)).alias("mau28"))
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            "dau",
+            "mau28",
+            (F.col("dau").cast("double") / F.col("mau28").cast("double")).alias("stickiness"),
+        )
+    )

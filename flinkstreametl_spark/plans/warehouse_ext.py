@@ -525,3 +525,90 @@ def daily_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_events").over(w).cast("double")
         ).alias("avg_value_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: SCD2 point-in-time lookup
+
+_PIT_ORACLE = """
+WITH f AS (
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+-- the as-of answer depends only on (custkey, shipdate): pick per
+-- lookup grain, then stamp every fact row (this fixture's
+-- (l_orderkey, l_linenumber) is NOT unique — duplicates must each
+-- keep their stamped row)
+g AS (SELECT DISTINCT o_custkey, l_shipdate FROM f),
+pick AS (
+    SELECT o_custkey, l_shipdate, status_at_ship, status_since FROM (
+        SELECT g.o_custkey, g.l_shipdate,
+               o2.o_orderstatus AS status_at_ship,
+               o2.o_orderdate AS status_since,
+               row_number() OVER (
+                   PARTITION BY g.o_custkey, g.l_shipdate
+                   ORDER BY o2.o_orderdate DESC NULLS LAST, o2.o_orderkey DESC NULLS LAST
+               ) AS rk
+        FROM g LEFT JOIN orders o2
+          ON o2.o_custkey = g.o_custkey AND o2.o_orderdate <= g.l_shipdate
+    ) v WHERE rk = 1
+)
+SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
+       p.status_at_ship, p.status_since
+FROM f JOIN pick p
+  ON p.o_custkey = f.o_custkey AND p.l_shipdate = f.l_shipdate
+"""
+
+
+@register("scd2_point_in_time_status", tags=("ext", "warehouse", "asof"), oracle=_PIT_ORACLE)
+def scd2_point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query every SCD2 history
+    exists to serve: each shipped line item is stamped with the status
+    its CUSTOMER had when the item shipped (the newest order status
+    with o_orderdate <= l_shipdate; ties on the date broken by highest
+    o_orderkey, matching ``scd2_order_status_history``'s version
+    order).
+
+    Implementation is the reusable backward as-of core
+    (operators/windows.py asof_join — union the fact and dimension
+    streams, one window over the shared (custkey, date) order), so the
+    lookup costs ONE co-partitioned exchange of fact+dim, not a range
+    join; the oracle instead brute-forces LEFT-join-all-versions +
+    QUALIFY rank 1 — independent formulations. The lookup is
+    deliberately LEFT: this synthetic fixture ships ~half its items
+    BEFORE the order date (dates are independent draws), and a real
+    PIT lookup must surface such no-version-yet rows as NULLs, not
+    drop them.
+
+    At 100 TB: as-of via union-window scales with fact+dim on one key
+    exchange and never materializes fact x versions; the per-key window
+    depth is the customer's history, bounded by business reality."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    fact = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    dim = orders.select(
+        F.col("o_custkey").alias("d_custkey"),
+        F.col("o_orderdate").alias("status_since"),
+        F.col("o_orderstatus").alias("status_at_ship"),
+        F.col("o_orderkey").alias("d_orderkey"),
+    )
+    from flinkstreametl_spark.operators.windows import asof_join
+
+    return asof_join(
+        fact,
+        dim,
+        key="o_custkey",
+        right_key="d_custkey",
+        left_ts="l_shipdate",
+        right_ts="status_since",
+        right_cols=["status_at_ship", "status_since"],
+        tie_break="d_orderkey",
+    ).select(
+        "l_orderkey", "l_linenumber", "o_custkey", "l_shipdate",
+        "status_at_ship", "status_since",
+    )

@@ -180,3 +180,58 @@ def test_weighted_median_matches_python(spark, sf_dir):
                 break
         assert got[flag].weighted_median_price == v
         assert got[flag].total_weight == total
+
+
+def test_pit_status_matches_python(spark, sf_dir):
+    """Backward as-of dimension lookup vs a brute-force python scan
+    (newest order with date <= shipdate, ties by highest orderkey)."""
+    from flinkstreametl_spark.plans.warehouse_ext import scd2_point_in_time_status
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
+    ).collect()
+    by_cust = defaultdict(list)
+    for o in orders:
+        by_cust[o.o_custkey].append(o)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    ).collect()
+    okey_to_cust = {o.o_orderkey: o.o_custkey for o in orders}
+
+    out = scd2_point_in_time_status(spark, sf_dir).collect()
+    assert len(out) == len(li)
+    checked = 0
+    for r in out[:500]:
+        cands = [
+            o for o in by_cust[r.o_custkey] if o.o_orderdate <= r.l_shipdate
+        ]
+        if not cands:
+            assert r.status_at_ship is None and r.status_since is None
+        else:
+            best = max(cands, key=lambda o: (o.o_orderdate, o.o_orderkey))
+            assert r.status_at_ship == best.o_orderstatus
+            assert r.status_since == best.o_orderdate
+        assert okey_to_cust[r.l_orderkey] == r.o_custkey
+        checked += 1
+    assert checked == min(500, len(out))
+
+
+def test_dau_mau_matches_python(spark, sf_dir):
+    from flinkstreametl_spark.operators.windows import epoch_micros
+    from flinkstreametl_spark.plans.timeseries_ext import dau_mau_stickiness
+
+    events = load_table(spark, sf_dir, "events")
+    day = (epoch_micros(events, "ts") / F.lit(86_400_000_000)).cast("long")
+    active = defaultdict(set)
+    for r in events.select("user_id", day.alias("day")).collect():
+        active[r.day].add(r.user_id)
+    max_day = max(active)
+    got = {r.day: r for r in dau_mau_stickiness(spark, sf_dir).collect()}
+    assert set(got) == set(active)
+    for d, users in active.items():
+        mau = set()
+        for back in range(28):
+            mau |= active.get(d - back, set())
+        assert got[d].dau == len(users)
+        assert got[d].mau28 == len(mau)
+        assert got[d].stickiness == len(users) / len(mau)

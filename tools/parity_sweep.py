@@ -54,6 +54,10 @@ def main() -> int:
     ap.add_argument("--log", required=True)
     ap.add_argument("--skip-done", action="store_true")
     ap.add_argument("--only", default=None)
+    # sfN fixtures outgrow Spark's default 1g local driver heap (the
+    # whole local[*] JVM) long before they stress the algorithms —
+    # learned the hard way: the first sf1 run OOMed at query 48.
+    ap.add_argument("--driver-mem", default="24g")
     args = ap.parse_args()
 
     done: set[str] = set()
@@ -69,7 +73,11 @@ def main() -> int:
 
     from flinkstreametl_spark.plans import REGISTRY
 
-    spark = SparkSession.builder.master("local[32]").getOrCreate()
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.driver.memory", args.driver_mem)
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
