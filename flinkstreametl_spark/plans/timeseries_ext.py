@@ -699,7 +699,7 @@ FROM dau d JOIN mau m ON m.day = d.day
 """
 
 
-@register("dau_mau_stickiness", tags=("ext", "timeseries"), oracle=_DAU_MAU_ORACLE)
+@register("dau_mau_stickiness", tags=("ext", "timeseries", "bench"), oracle=_DAU_MAU_ORACLE)
 def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / MAU(28d) stickiness per active day — the engagement
     ratio every growth dashboard carries, and the canonical ROLLING
