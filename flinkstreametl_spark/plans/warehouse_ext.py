@@ -530,33 +530,31 @@ def daily_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Round 5: SCD2 point-in-time lookup
 
+# The tie on equal o_orderdate (highest o_orderkey wins, matching the
+# Spark side's tie_break) is resolved by PRE-DEDUPING the dimension to
+# one row per (custkey, date) BEFORE DuckDB's native ASOF JOIN — whose
+# own equal-t choice is unspecified and must never be relied on. The
+# first formulation (LEFT-join-all-versions + QUALIFY per lookup
+# grain) was quadratic-ish at sf1: its 6M-grain inequality join ground
+# for 30+ minutes in the scale sweep; ASOF is the O(n log n) spelling
+# of the same pick.
 _PIT_ORACLE = """
 WITH f AS (
     SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, l.l_shipdate
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 ),
--- the as-of answer depends only on (custkey, shipdate): pick per
--- lookup grain, then stamp every fact row (this fixture's
--- (l_orderkey, l_linenumber) is NOT unique — duplicates must each
--- keep their stamped row)
-g AS (SELECT DISTINCT o_custkey, l_shipdate FROM f),
-pick AS (
-    SELECT o_custkey, l_shipdate, status_at_ship, status_since FROM (
-        SELECT g.o_custkey, g.l_shipdate,
-               o2.o_orderstatus AS status_at_ship,
-               o2.o_orderdate AS status_since,
-               row_number() OVER (
-                   PARTITION BY g.o_custkey, g.l_shipdate
-                   ORDER BY o2.o_orderdate DESC NULLS LAST, o2.o_orderkey DESC NULLS LAST
-               ) AS rk
-        FROM g LEFT JOIN orders o2
-          ON o2.o_custkey = g.o_custkey AND o2.o_orderdate <= g.l_shipdate
-    ) v WHERE rk = 1
+dim AS (
+    SELECT o_custkey, o_orderdate, o_orderstatus FROM (
+        SELECT o_custkey, o_orderdate, o_orderstatus,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rk
+        FROM orders) v
+    WHERE rk = 1
 )
 SELECT f.l_orderkey, f.l_linenumber, f.o_custkey, f.l_shipdate,
-       p.status_at_ship, p.status_since
-FROM f JOIN pick p
-  ON p.o_custkey = f.o_custkey AND p.l_shipdate = f.l_shipdate
+       d.o_orderstatus AS status_at_ship, d.o_orderdate AS status_since
+FROM f ASOF LEFT JOIN dim d
+  ON f.o_custkey = d.o_custkey AND f.l_shipdate >= d.o_orderdate
 """
 
 
