@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flinkstreametl_spark.functions.exact import dbl, dec, sql_dbl
+from flinkstreametl_spark.functions.exact import dbl, dbl_wide, dec, sql_dbl, sql_dbl_wide
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.plans.shared import EVENT_FP as _EVENT_FP
 from flinkstreametl_spark.plans.shared import EVENT_VALUE_FP_SQL as _EVENT_FP_SQL
@@ -432,8 +432,12 @@ def redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         redacted.alias("redacted"),
-        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE))).alias("n_emails"),
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).alias("n_numbers"),
+        # group idx 0 (whole match) EXPLICITLY: Spark's default is 1,
+        # which is invalid for these group-less patterns — and the
+        # error is raised per MATCHING row, so fixtures without digits
+        # masked it until the sf1 sweep introduced one (round 5).
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_numbers"),
     )
 
 
@@ -471,17 +475,22 @@ _SYY = "SUM(CAST(l_extendedprice AS DECIMAL(14,2)) * CAST(l_extendedprice AS DEC
 _SXY = "SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2)))"
 
 
+# the three product moments use the WIDE decimal->double path: their
+# unscaled magnitude (sum * 10^4) passes 2^63 at sf1 — the narrow
+# dbl()'s BIGINT hop threw CAST_OVERFLOW in the round-5 scale sweep
+# (74014641194662174870.0000 for sum(price^2)); dbl_wide splits at
+# 2^32 and holds to ~4e28. First-moment sums keep the narrow path.
 @register(
     "stats_corr_covar_exact",
     tags=("ext", "aggregate", "stats"),
     oracle=f"""
 SELECT l_returnflag,
        COUNT(*) AS n,
-       ({sql_dbl(_SXY, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SY, 2)} / CAST(COUNT(*) AS DOUBLE))
+       ({sql_dbl_wide(_SXY, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SY, 2)} / CAST(COUNT(*) AS DOUBLE))
          / (CAST(COUNT(*) AS DOUBLE) - 1) AS covar_samp_qp,
-       (CAST(COUNT(*) AS DOUBLE) * {sql_dbl(_SXY, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SY, 2)})
-         / SQRT((CAST(COUNT(*) AS DOUBLE) * {sql_dbl(_SXX, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SX, 2)})
-              * (CAST(COUNT(*) AS DOUBLE) * {sql_dbl(_SYY, 4)} - {sql_dbl(_SY, 2)} * {sql_dbl(_SY, 2)})) AS corr_qp
+       (CAST(COUNT(*) AS DOUBLE) * {sql_dbl_wide(_SXY, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SY, 2)})
+         / SQRT((CAST(COUNT(*) AS DOUBLE) * {sql_dbl_wide(_SXX, 4)} - {sql_dbl(_SX, 2)} * {sql_dbl(_SX, 2)})
+              * (CAST(COUNT(*) AS DOUBLE) * {sql_dbl_wide(_SYY, 4)} - {sql_dbl(_SY, 2)} * {sql_dbl(_SY, 2)})) AS corr_qp
 FROM lineitem
 GROUP BY l_returnflag
 """,
@@ -507,7 +516,7 @@ def stats_corr_covar_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     sx, sy = dbl(F.col("sx"), 2), dbl(F.col("sy"), 2)
-    sxx, syy, sxy = dbl(F.col("sxx"), 4), dbl(F.col("syy"), 4), dbl(F.col("sxy"), 4)
+    sxx, syy, sxy = dbl_wide(F.col("sxx"), 4), dbl_wide(F.col("syy"), 4), dbl_wide(F.col("sxy"), 4)
     return agg.select(
         "l_returnflag",
         "n",

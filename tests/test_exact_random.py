@@ -126,3 +126,61 @@ def test_random_corr_moments_bit_identical(spark, tmp_path):
     }
     con.close()
     assert got == want
+
+
+def test_random_dbl_wide_bit_identical_past_bigint(spark, tmp_path):
+    """dbl_wide()/sql_dbl_wide(): magnitudes whose unscaled value
+    passes 2^63 (where dbl() throws CAST_OVERFLOW — the round-5 sf1
+    sweep finding) must still convert BIT-identically in both engines,
+    and must agree with dbl() below 2^53 where both are exact."""
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.functions.exact import dbl_wide, sql_dbl_wide
+
+    import decimal as _d
+
+    rng = random.Random(0xF00D)
+    rows = []
+    for i in range(2000):
+        # NATIVE decimal fixture: a double->decimal cast of wide values
+        # rounds differently between engines (the documented trap), so
+        # the shared input must be exact from the start — as in real
+        # usage, where wide unscaled values arise from exact SUMs.
+        digits = rng.randint(1, 26)
+        unscaled = rng.randrange(-(10**digits), 10**digits)
+        rows.append((i, _d.Decimal(unscaled).scaleb(-4)))
+    p = str(tmp_path / "wide.parquet")
+    spark.createDataFrame(rows, "id long, v decimal(30,4)").write.parquet(p)
+
+    got = {
+        r.id: _bits(r.c)
+        for r in spark.read.parquet(p)
+        .select("id", dbl_wide(dec("v", 30, 4), 4).alias("c"))
+        .collect()
+    }
+    con = duckdb.connect()
+    want = {
+        rid: _bits(c)
+        for rid, c in con.sql(
+            f"""SELECT id, {sql_dbl_wide('CAST(v AS DECIMAL(30,4))', 4)} AS c
+                FROM '{p}/*.parquet'"""
+        ).fetchall()
+    }
+    con.close()
+    assert got == want
+
+    # below 2^53 unscaled, wide == narrow exactly
+    small = [(i, round(rng.uniform(-1e8, 1e8), 4)) for i in range(500)]
+    p2 = str(tmp_path / "small.parquet")
+    spark.createDataFrame(small, "id long, v double").write.parquet(p2)
+    both = (
+        spark.read.parquet(p2)
+        .select(
+            "id",
+            dbl(dec("v", 20, 4), 4).alias("narrow"),
+            dbl_wide(dec("v", 20, 4), 4).alias("wide"),
+        )
+        .collect()
+    )
+    for r in both:
+        assert _bits(r.narrow) == _bits(r.wide)
