@@ -43,6 +43,14 @@ from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
 # AUDIT_REGISTRY — queries() stays 100% oracle-backed.
+#
+# ROUND-6 ROTATION PLAN: if CORRECTNESS_r05 comes back 50/50 green, no
+# registered query's newest verdict is older than r2, and the oldest
+# tier is the 45 r2-era names (occupancy_rate_by_region, the q10-q22
+# analogs, dedup_keep_first, ...). Round 6 window = _NEW_R6 (additions
+# the day they land) + the r2-era names oldest-first + bench/CDC
+# re-pins in the tail. If any r5 window name fails, it leads the
+# round-6 window after repair.
 _PRIORITY_R5 = [
     # §2 CDC/streaming core with r1-only verdicts — lead the window
     "dim_3way_join",
@@ -89,6 +97,12 @@ _NEW_R5: list[str] = [
     "weighted_median_quantity",
     "scd2_point_in_time_status",
     "dau_mau_stickiness",
+    # not new, but round-5 changed their live behavior (dbl_wide
+    # moments / regex group idx / SRP bucket cap) — window them for
+    # fresh verdicts rather than leaning on pre-change evidence
+    "stats_corr_covar_exact",
+    "redact_documents",
+    "embedding_srp_pairs",
 ]
 
 _REPINS_R5 = [
