@@ -23,146 +23,120 @@ from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
-# driver verdict each round. CORRECTNESS_r04 came back 50/50 green, so
-# entering round 5 EVERY registered query (165) holds a green driver
-# verdict on record (cumulative r1-r4). Round 5 executes the planned
-# rotation: refresh the evidence that is oldest first.
-#   1. _PRIORITY_R5 — the 29 queries whose ONLY driver verdict is
-#      r1-era (it predates the driver's fixture regeneration — the
-#      round-2 NTZ episode). Local parity covers them against current
-#      fixtures, but the official evidence is stale; after this round
-#      no registered query's newest verdict is older than r2.
-#   2. _NEW_R5 — queries added during round 5; every new registration
+# driver verdict each round. CORRECTNESS_r05 came back 50/50 green, so
+# entering round 6 EVERY registered query (176) holds a green driver
+# verdict on record (cumulative r1-r5) and the oldest evidence tier is
+# the 43 names whose newest verdict is r2-era. Round 6 executes the
+# recorded rotation (commit 91f962b; VERDICT r5 item 1):
+#   1. _PRIORITY_R6 — exactly those 43 r2-era names (computed from
+#      CORRECTNESS_r01–r05 latest-verdict distribution: r5=50, r4=43,
+#      r3=40, r2=43). Their verdicts predate the round-5
+#      regex/decimal/cap fixes and two rounds of shared-helper
+#      refactors (plans/shared.py). After this round the oldest
+#      verdict repo-wide is r3.
+#   2. _NEW_R6 — queries added during round 6; every new registration
 #      is appended here THE DAY IT LANDS so it gets a verdict this
-#      round instead of waiting a full rotation (the round-3 mistake,
-#      fixed in round 4 — keep the discipline).
-#   3. _REPINS_R5 — high-traffic re-pins (frozen bench set + the §2
-#      CDC/streaming core), displaced from the tail as _NEW_R5 grows.
-#      Every repin already holds a fresh r4 verdict, so displacement
-#      never loses evidence.
+#      round instead of waiting a full rotation. CAP: 43 priority
+#      names leave only 7 window slots, so at most 7 additions may
+#      register as driver-facing this round — more would silently
+#      evict priority names at the [:50] truncation (guarded below).
+#   3. _REPINS_R6 — flagship + highest-traffic bench names fill any
+#      remaining tail slots; each already holds a fresh r4/r5 verdict,
+#      so displacement never loses evidence.
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
 # AUDIT_REGISTRY — queries() stays 100% oracle-backed.
 #
-# ROUND-6 ROTATION PLAN: if CORRECTNESS_r05 comes back 50/50 green, no
-# registered query's newest verdict is older than r2, and the oldest
-# tier is the 45 r2-era names (occupancy_rate_by_region, the q10-q22
-# analogs, dedup_keep_first, ...). Round 6 window = _NEW_R6 (additions
-# the day they land) + the r2-era names oldest-first + bench/CDC
-# re-pins in the tail. If any r5 window name fails, it leads the
-# round-6 window after repair.
-_PRIORITY_R5 = [
-    # §2 CDC/streaming core with r1-only verdicts — lead the window
-    "dim_3way_join",
-    "replace_upsert_latest",
-    "changelog_op_column",
-    "json_payload_roundtrip",
-    "flagship_enrich_sql",
-    "string_funcs_parts",
-    # analytics / window / set-op names with r1-only verdicts
-    "anti_join_no_orders",
-    "cube_agg",
-    "full_outer_nation_counts",
-    "group_distinct_agg",
-    "grouping_sets_agg",
-    "null_handling_buckets",
-    "pivot_status_qty",
-    "q14_promo_revenue_share",
-    "q18_large_orders",
-    "q4_order_priority",
-    "rollup_agg",
-    "scalar_subquery_above_avg",
-    "semi_join_with_orders",
-    "setop_except_all_keys",
-    "setop_except_nations",
-    "setop_intersect_all_keys",
-    "setop_intersect_nations",
-    "setop_union_all_keys",
-    "setop_union_nations",
-    "sort_events_top50",
-    "topk_orders",
-    "window_rank_top3",
-    "window_running_total",
-]
-
-_NEW_R5: list[str] = [
-    "ivf_recall_curve",
-    "capped_balance_daily",
-    "user_activity_streaks",
-    "cumulative_unique_users",
-    "equidepth_totalprice_bounds",
-    "pareto_frontier_parts",
-    "mode_brand_per_type",
-    "topk_with_ties_orders",
-    "weighted_median_quantity",
-    "scd2_point_in_time_status",
-    "dau_mau_stickiness",
-    # not new, but round-5 changed their live behavior (dbl_wide
-    # moments / regex group idx / SRP bucket cap) — window them for
-    # fresh verdicts rather than leaning on pre-change evidence
-    "stats_corr_covar_exact",
-    "redact_documents",
-    "embedding_srp_pairs",
-]
-
-_REPINS_R5 = [
-    # frozen bench set, highest-traffic first (q18_large_orders sits
-    # in _PRIORITY_R5 this round; incremental_minhash_multibatch is
-    # the round-4 bench addition)
-    "flagship_enrich",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "minhash_lsh_neardup",
-    "simhash_near_pairs",
-    "incremental_minhash_multibatch",
-    "knn_cosine_fast",
-    "knn_pandas_topk",
-    "knn_brute_topk",
-    "exact_dup_groups",
-    "embedding_neardup_pairs",
-    "decontaminate_ngram_hits",
-    "fuzzy_dup_parts",
-    "tfidf_top_terms",
-    "passage_dedup_stats",
-    "bigram_familiarity_score",
-    "dup_span_ladder",
-    "asof_latest_order",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
+# ROUND-7 ROTATION PLAN: if CORRECTNESS_r06 comes back 50/50 green,
+# the oldest tier becomes the 40 r3-era names (ann_ivf_topk,
+# asof_latest_order, cdc_filter_project, kmeans_cluster_sizes, the
+# q3/q5/q6 analogs, ...). Round 7 window = _NEW_R7 + those 40
+# oldest-first + re-pins. If any r6 window name fails, it leads the
+# round-7 window after repair.
+_PRIORITY_R6 = [
+    # the 43 r2-era names, §2/goal-parity core first
+    "occupancy_rate_by_region",
+    "q2_min_cost_supplier",
     "q7_nation_trade_volume",
     "q8_market_share",
     "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_parts",
     "q12_priority_shipping_counts",
     "q13_order_count_distribution",
-    "token_frequency_top100",
-    "occupancy_rate_by_region",
-    "text_quality_stats",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_predicate",
+    "q20_excess_suppliers",
+    "q21_sole_supplier_orders",
+    "q22_idle_customers",
+    "conditional_aggregates",
+    "histogram_totalprice",
+    "listagg_region_nations",
+    "median_disc_quantity",
+    "percentile_quantities",
+    "resample_ffill_hourly",
+    "rollup_with_grouping_id",
+    "unpivot_part_measures",
+    "window_range_frame",
+    "window_rows_frame_dist",
+    "pandas_udf_quality",
+    # LLM-pipeline tier
+    "array_functions_embeddings",
+    "bpe_ish_token_count",
     "chunk_documents",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "doc_repetition_stats",
+    "embedding_norms",
+    "hash_split_train_test",
+    "label_centroids",
+    "langid_heuristic",
+    "media_meta",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "stratified_hash_sample",
+    "text_quality_stats",
     "training_data_pipeline",
-    # §2 CDC/streaming core re-pins (the rest lead the window this
-    # round as _PRIORITY_R5 members)
-    "cdc_filter_project",
-    "temporal_active_filter",
-    "session_window_agg",
-    "timestamp_parse_roundtrip",
 ]
 
-_WINDOW_R5 = (*_PRIORITY_R5, *_NEW_R5, *_REPINS_R5)[:50]
+_NEW_R6: list[str] = [
+    "copurchase_triangle_stats",  # not new — round-6 rewrote its oracle to the scalable degree-oriented form; window it for a fresh verdict on the changed contract
+    "weighted_median_quantity",  # not new — round-6 changed the weight definition to floor() both sides (ADVICE r5)
+]
+
+_REPINS_R6 = [
+    # flagship + §2 core re-pins fill the tail
+    "flagship_enrich",
+    "q1_pricing_summary",
+    "cdc_filter_project",
+    "minhash_lsh_neardup",
+    "sessionize_events",
+]
+
+_WINDOW_R6 = (*_PRIORITY_R6, *_NEW_R6, *_REPINS_R6)[:50]
+
+# Every priority name must survive the [:50] truncation — adding an
+# 8th _NEW_R6 entry would otherwise silently evict evidence the round
+# exists to refresh.
+assert all(n in _WINDOW_R6 for n in _PRIORITY_R6), (
+    "round-6 priority names evicted from the driver window; trim _NEW_R6"
+)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R5 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R6 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R5) != len(set(_WINDOW_R5)):
+    if len(_WINDOW_R6) != len(set(_WINDOW_R6)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R5 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R6 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R5 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R5 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R5, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R6 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R6 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R6, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

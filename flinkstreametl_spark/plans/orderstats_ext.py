@@ -243,7 +243,7 @@ def topk_with_ties_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WMEDIAN_ORACLE = """
 WITH g AS (
     SELECT l_returnflag, l_extendedprice AS v,
-           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS wt
     FROM lineitem
     GROUP BY l_returnflag, l_extendedprice
 ),
@@ -271,14 +271,17 @@ def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one map-combined shuffle to the (flag, price) value grain,
     then both windows (running weight, class total) share the flag
-    exchange; the selection is a filter + min, not a sort. Weights
-    stay BIGINT (quantities are integral in this schema — the cast is
-    exact); the median VALUE is carried verbatim, so results hash
-    identically cross-engine."""
+    exchange; the selection is a filter + min, not a sort. Weights are
+    defined as floor(quantity) on BOTH engines — Spark's .cast('long')
+    truncates decimals while DuckDB's CAST rounds half-to-even, so a
+    bare cast agrees only while quantities happen to be integral
+    (ADVICE r5); floor() pins one semantics regardless of input. The
+    median VALUE is carried verbatim, so results hash identically
+    cross-engine."""
     li = load_table(spark, sf_dir, "lineitem")
     g = li.groupBy(
         "l_returnflag", F.col("l_extendedprice").alias("v")
-    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("wt"))
+    ).agg(F.sum(F.floor("l_quantity").cast("long")).alias("wt"))
     byf = Window.partitionBy("l_returnflag")
     wcum = byf.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = g.select(

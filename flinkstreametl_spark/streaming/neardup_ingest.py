@@ -47,6 +47,34 @@ DOCS_SUBDIR = "docs"
 DEFAULT_COMPACT_EVERY = 10
 
 
+def _recover_compaction(path: str) -> None:
+    """Repair a compaction swap interrupted by a crash (ADVICE r5).
+
+    The swap in ``_compact_parquet`` is rename(path, old) then
+    rename(tmp, path); a crash between the two leaves ``path`` missing
+    with the ORIGINAL intact at ``path + '._old'``. Without this step
+    ``_load_or_empty`` would silently treat the missing dir as empty —
+    the dedup index resets, duplicate pairs re-emit, and the document
+    store is lost. Recovery is deterministic:
+
+    - ``._old`` present, ``path`` missing  -> crash mid-swap: restore
+      the original (content-equal to the compacted ``._compact``;
+      restoring the known-complete original is the conservative pick).
+    - ``._old`` present, ``path`` present -> crash after the new dir
+      landed: the swap succeeded, only housekeeping remains.
+    - a stale ``._compact`` is always discarded (the next compaction
+      rewrites it from live state).
+    """
+    tmp, old = path + "._compact", path + "._old"
+    if os.path.isdir(old):
+        if not os.path.isdir(path):
+            os.rename(old, path)
+        else:
+            shutil.rmtree(old)
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+
+
 def _compact_parquet(
     spark: SparkSession, path: str, schema, n_files: int, cluster_col: str | None = None
 ) -> None:
@@ -54,11 +82,18 @@ def _compact_parquet(
     (hash-clustered on ``cluster_col`` when given, so the candidate
     join's band pruning keeps working on the compacted layout).
 
-    Swap is rename-based: correct for the single-writer foreachBatch
-    loop this module runs (Structured Streaming serializes batches);
-    a multi-writer deployment at cluster scale would put the state in
-    a transactional table format instead and compact via its rewrite
-    API — the read/compute shape here is unchanged by that swap."""
+    Swap is rename-based and CRASH-RECOVERABLE: the original directory
+    survives at ``path + '._old'`` until the new one is verified in
+    place (its ``_SUCCESS`` marker — written by the committer before
+    the swap began — is checked after the final rename), and every
+    state load runs ``_recover_compaction`` first, so a crash at any
+    point costs only deferred housekeeping, never state. Correct for
+    the single-writer foreachBatch loop this module runs (Structured
+    Streaming serializes batches); a multi-writer deployment at
+    cluster scale would put the state in a transactional table format
+    instead and compact via its rewrite API — the read/compute shape
+    here is unchanged by that swap."""
+    _recover_compaction(path)
     if not os.path.isdir(path):
         return
     df = spark.read.schema(schema).parquet(path)
@@ -67,12 +102,14 @@ def _compact_parquet(
     else:
         df = df.repartition(n_files)
     tmp, old = path + "._compact", path + "._old"
-    for d in (tmp, old):
-        if os.path.isdir(d):
-            shutil.rmtree(d)
     df.write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # The committed write lost its marker — keep ._old (recovery
+        # restores it on the next load) rather than deleting the only
+        # known-good copy.
+        raise RuntimeError(f"compacted state at {path} missing _SUCCESS; original kept at ._old")
     shutil.rmtree(old)
 
 
@@ -104,6 +141,9 @@ def _empty_index(spark: SparkSession) -> DataFrame:
 
 
 def _load_or_empty(spark: SparkSession, path: str, empty: DataFrame) -> DataFrame:
+    # Pre-batch recovery: a crash mid-compaction must restore, never
+    # silently read as empty (see _recover_compaction).
+    _recover_compaction(path)
     if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
         return spark.read.schema(empty.schema).parquet(path)
     return empty

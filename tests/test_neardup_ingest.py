@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 from flinkstreametl_spark.operators.dedup import minhash_lsh_pairs
 from flinkstreametl_spark.sources.parquet import load_table
 from flinkstreametl_spark.streaming.neardup_ingest import (
+    DOCS_SUBDIR,
     INDEX_SUBDIR,
     PAIRS_SUBDIR,
+    compact_state,
     process_batch,
     run_neardup_stream,
 )
@@ -122,3 +124,53 @@ def test_compaction_mid_stream_preserves_state_and_idempotency(spark, sf_dir, tm
                   batch_id=3, compact_every=None)
     assert spark.read.parquet(os.path.join(states["on"], PAIRS_SUBDIR)).count() == before
     assert spark.read.parquet(idx_dir).count() == idx_before
+
+
+def test_crash_mid_compaction_swap_recovers_not_resets(spark, sf_dir, tmp_path):
+    """ADVICE r5 (medium): a crash BETWEEN the two renames of the
+    compaction swap leaves the index/docs dir missing with the original
+    parked at '._old'. The next batch must RESTORE that state — not
+    treat it as empty (which would reset the dedup index: duplicate
+    pairs re-emitted, corpus lost). Simulate the torn swap at its worst
+    point for both state dirs, then replay an already-ingested batch:
+    it must still anti-join away as redelivered."""
+    import shutil
+
+    rows = _docs_rows(spark, sf_dir, n=60)
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    process_batch(spark, spark.createDataFrame(rows), state)
+
+    idx_dir = os.path.join(state, INDEX_SUBDIR)
+    docs_dir = os.path.join(state, DOCS_SUBDIR)
+    idx_before = sorted(map(tuple, spark.read.parquet(idx_dir).collect()))
+    pairs_before = _pairs_set(spark.read.parquet(os.path.join(state, PAIRS_SUBDIR)))
+
+    # Tear the swap exactly between rename(path, old) and
+    # rename(tmp, path): path gone, original at ._old, a half-written
+    # tmp lying around.
+    for d in (idx_dir, docs_dir):
+        os.rename(d, d + "._old")
+        os.makedirs(d + "._compact")
+        with open(os.path.join(d + "._compact", "part-half-written.parquet"), "wb") as fh:
+            fh.write(b"not parquet")
+
+    # Replay the SAME batch. With recovery, every doc is redelivered ->
+    # no new pairs, no new index rows, no duplicate docs.
+    process_batch(spark, spark.createDataFrame(rows), state)
+
+    assert sorted(map(tuple, spark.read.parquet(idx_dir).collect())) == idx_before
+    assert _pairs_set(spark.read.parquet(os.path.join(state, PAIRS_SUBDIR))) == pairs_before
+    docs = spark.read.parquet(docs_dir)
+    assert docs.count() == docs.dropDuplicates(["doc_id"]).count() == len(rows)
+    # housekeeping completed: no leftover swap dirs
+    for d in (idx_dir, docs_dir):
+        assert not os.path.isdir(d + "._old") and not os.path.isdir(d + "._compact")
+
+    # The other crash point — after the new dir landed but before the
+    # ._old cleanup — must also converge (swap already succeeded; the
+    # stale original is just discarded).
+    shutil.copytree(idx_dir, idx_dir + "._old")
+    compact_state(spark, state)
+    assert sorted(map(tuple, spark.read.parquet(idx_dir).collect())) == idx_before
+    assert not os.path.isdir(idx_dir + "._old")
