@@ -102,8 +102,15 @@ _PRIORITY_R6 = [
 ]
 
 _NEW_R6: list[str] = [
-    "copurchase_triangle_stats",  # not new — round-6 rewrote its oracle to the scalable degree-oriented form; window it for a fresh verdict on the changed contract
-    "weighted_median_quantity",  # not new — round-6 changed the weight definition to floor() both sides (ADVICE r5)
+    # none are NEW queries; all three changed live behavior or contract
+    # this round, so they need fresh verdicts:
+    "copurchase_triangle_stats",  # oracle rewritten to the adjacency-intersection form (runs at sf1)
+    "weighted_median_quantity",  # weights now floor() on both engines (ADVICE r5)
+    "image_phash_neardup",  # synthetic image space now scales with the corpus (sf1 artifact fix)
+    "semantic_dedup_pairs",  # oracle pair scoring rewritten to in-row list folds (sf1 oracle cost)
+    "ivf_kmeans_recall_curve",  # NEW: the recall curve with the kmeans-learned coarse quantizer
+    "mixture_weights_by_lang",  # NEW: temperature (alpha=0.5) data-mixture allocation planner
+    "context_length_waste_curve",  # NEW: truncation/padding loss per candidate context length
 ]
 
 _REPINS_R6 = [
@@ -111,8 +118,6 @@ _REPINS_R6 = [
     "flagship_enrich",
     "q1_pricing_summary",
     "cdc_filter_project",
-    "minhash_lsh_neardup",
-    "sessionize_events",
 ]
 
 _WINDOW_R6 = (*_PRIORITY_R6, *_NEW_R6, *_REPINS_R6)[:50]

@@ -61,12 +61,22 @@ oriented AS (
                 THEN dv.deg*{_ORD} + v ELSE du.deg*{_ORD} + u END AS ord_dst
     FROM pairs JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
 ),
+adj AS (
+    SELECT src, list(dst) AS nbrs FROM oriented GROUP BY src
+),
 tri AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-    FROM oriented o1
-    JOIN oriented o2 ON o1.src = o2.src AND o1.ord_dst < o2.ord_dst
-    WHERE EXISTS (SELECT 1 FROM oriented o
-                  WHERE o.src = o1.dst AND o.dst = o2.dst)
+    -- Edge-parallel intersection counting: for each oriented edge
+    -- (u,v), triangles closed over it are |N+(u) ∩ N+(v)| (w completes
+    -- u->w, v->w; the orientation makes u,v the two least nodes, so
+    -- each triangle counts exactly once). Unlike the wedge self-join +
+    -- EXISTS form this NEVER materializes the O(E^1.5) wedge set —
+    -- memory is the adjacency lists (E entries total) plus the edge
+    -- scan, which is what lets DuckDB run it single-node at the sf1
+    -- sweep's 31M edges (the old form exceeded disk; VERDICT r5 item 3).
+    SELECT CAST(COALESCE(SUM(len(list_intersect(au.nbrs, av.nbrs))), 0) AS BIGINT) AS n_triangles
+    FROM oriented e
+    JOIN adj au ON au.src = e.src
+    JOIN adj av ON av.src = e.dst
 ),
 gstats AS (
     SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,

@@ -987,19 +987,32 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # 60 pixel samples per synthetic image -> a 60-bit aHash (shifts stay
-# clear of the signed-64 boundary, same budget rule as simhash). Base
-# pattern from doc_id % 16 (16 image families), one deterministic
-# pixel inverted per doc -> plentiful near-identical hashes.
+# clear of the signed-64 boundary, same budget rule as simhash).
+#
+# The synthetic image SPACE scales with the corpus (round 6): each
+# 960-doc "era" carries 240 base patterns x 4 flip positions, and an
+# era-dependent per-pixel texture term ((doc_id//960) * (i*i % 251))
+# decorrelates images across eras. Every doc is near-identical to
+# exactly its 3 same-(era, pattern) partners (images differ in the 2
+# inverted pixels), so near-dup pair count grows LINEARLY with corpus
+# size. The round-5 formula drew from a FIXED pool of <=960 distinct
+# images — at a 10x-replicated sf1 fixture every image class had ~50
+# members and pair counts grew quadratically (docs/ROUND5.md). The
+# texture term repeats only at era deltas of 256 (~246k doc_ids apart),
+# far past the sweep scales; widen the modulus before going there.
 _PH_N = 60
 _PH_BANDS, _PH_WIDTH = 4, 15
+_PH_FAM = 240  # base patterns per era
+_PH_FLIPS = 4  # flip positions per (era, pattern): pixels 0/15/30/45
+_PH_ERA = _PH_FAM * _PH_FLIPS
 
 
 _PHASH_ORACLE = f"""
 WITH px AS (
     SELECT doc_id, i,
-           CASE WHEN i = (doc_id // 16) % {_PH_N}
-                THEN 255 - ((doc_id % 16) * 17 + i * 13) % 256
-                ELSE ((doc_id % 16) * 17 + i * 13) % 256 END AS v
+           CASE WHEN i = ((doc_id // {_PH_FAM}) % {_PH_FLIPS}) * 15
+                THEN 255 - ((doc_id % {_PH_FAM}) * (i + 3) + i * 13 + (doc_id // {_PH_ERA}) * ((i * i) % 251)) % 256
+                ELSE ((doc_id % {_PH_FAM}) * (i + 3) + i * 13 + (doc_id // {_PH_ERA}) * ((i * i) % 251)) % 256 END AS v
     FROM documents, (SELECT unnest(range({_PH_N})) AS i) r
 ), s AS (
     SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM px GROUP BY doc_id
@@ -1023,8 +1036,10 @@ WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
 @register("image_phash_neardup", tags=("llm", "multimodal", "dedup"), oracle=_PHASH_ORACLE)
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection through the REAL decode path: each doc
-    synthesizes a deterministic 10x2 P6 PPM (16 base patterns + one
-    inverted pixel per doc), the pure-Python PPM codec decodes the
+    synthesizes a deterministic 10x2 P6 PPM (240 base patterns x 4
+    flip positions per 960-doc era, era-textured so the image space
+    grows with the corpus — see the constants block), the pure-Python
+    PPM codec decodes the
     bytes back executor-side, an average-hash (aHash: bit i set iff
     sample i is strictly above the image mean, integer
     cross-multiplied) folds each image to 60 bits, and candidate pairs
@@ -1051,8 +1066,11 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                vals = [((did % 16) * 17 + i * 13) % 256 for i in range(_PH_N)]
-                flip = (did // 16) % _PH_N
+                vals = [
+                    ((did % _PH_FAM) * (i + 3) + i * 13 + (did // _PH_ERA) * ((i * i) % 251)) % 256
+                    for i in range(_PH_N)
+                ]
+                flip = ((did // _PH_FAM) % _PH_FLIPS) * 15
                 vals[flip] = 255 - vals[flip]
                 payloads.append(encode_ppm(10, 2, [float(v) for v in vals]))
             yield _pd.DataFrame({"media_id": pdf["doc_id"].astype("int64"), "payload": payloads})

@@ -329,21 +329,34 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semantic_dedup_oracle(k: int = _KM_K, iters: int = _KM_ITERS, threshold: float = 0.3) -> str:
     """SemDeDup oracle: the shared Lloyd CTE chain, then fixed-point
-    cosine over pairs CO-ASSIGNED by the final a{iters+1} labels."""
+    cosine over pairs CO-ASSIGNED by the final a{iters+1} labels.
+
+    The pair scoring is an IN-ROW list fold (list_zip + list_transform
+    + list_sum), mirroring the Spark side's cosine_col_fp: candidate
+    pairs carry their vectors as arrays instead of exploding 64 rows
+    per pair through a hash aggregate. Same floor(x*y*2^40) BIGINT
+    terms, so results are bit-identical to the exploded form (round 6:
+    the exploded form ground through |pairs| x dim intermediate rows —
+    the sf1 sweep's slowest oracle by an order of magnitude)."""
     fin = f"a{iters + 1}"
+    fp = "1099511627776.0"
+    sq = (
+        "CAST(list_sum(list_transform({v}, v ->"
+        f" CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * {fp}) AS BIGINT))) AS BIGINT)"
+    )
     return (
         _kmeans_ctes(k, iters)
         + f""",
 p AS (
-    SELECT aa.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           SUM(CAST(floor(a.val * b.val * 1099511627776.0) AS BIGINT)) AS dot,
-           SUM(CAST(floor(a.val * a.val * 1099511627776.0) AS BIGINT)) AS qq,
-           SUM(CAST(floor(b.val * b.val * 1099511627776.0) AS BIGINT)) AS cc
-    FROM e a
-    JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
-    JOIN {fin} aa ON aa.vec_id = a.vec_id
-    JOIN {fin} bb ON bb.vec_id = b.vec_id AND bb.cluster = aa.cluster
-    GROUP BY aa.cluster, a.vec_id, b.vec_id
+    SELECT aa.cluster, aa.vec_id AS vec_a, bb.vec_id AS vec_b,
+           CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * {fp}) AS BIGINT))) AS BIGINT) AS dot,
+           {sq.format(v="a.embedding")} AS qq,
+           {sq.format(v="b.embedding")} AS cc
+    FROM {fin} aa
+    JOIN {fin} bb ON bb.cluster = aa.cluster AND aa.vec_id < bb.vec_id
+    JOIN embeddings a ON a.vec_id = aa.vec_id
+    JOIN embeddings b ON b.vec_id = bb.vec_id
 )
 SELECT cluster, vec_a, vec_b, cosine FROM (
     SELECT cluster, vec_a, vec_b,
@@ -747,6 +760,186 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = S.knn_fast(emb, n_queries=5, k=_QK).select("query_id", "neighbor_id")
     np_df = spark.range(1).select(
         F.explode(F.array(*[F.lit(n) for n in _NPROBES])).alias("nprobe")
+    )
+    cand_np = cscore.join(F.broadcast(np_df), F.col("prb") <= F.col("nprobe"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    ivf_top = cand_np.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _QK)
+    hits = (
+        ivf_top.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    cands = cand_np.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        cands.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            "n_candidates",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(5.0 * _QK)).alias(
+                f"recall_at_{_QK}"
+            ),
+        )
+    )
+
+
+_KM_NPROBES = [1, 2, 3, 5, 8]  # k=8 learned clusters -> nprobe=8 is the full scan
+
+
+def _kmeans_curve_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+    """The recall-curve CTE suite on top of the shared Lloyd chain:
+    probes rank the LEARNED centroids (c{iters}), membership comes from
+    the final assignment (a{iters+1}); everything downstream mirrors
+    _CURVE_ORACLE with cluster in place of label."""
+    fin_a, fin_c = f"a{iters + 1}", f"c{iters}"
+    fp = "1099511627776.0"
+    nps = ", ".join(str(n) for n in _KM_NPROBES)
+    return (
+        _kmeans_ctes(k, iters)
+        + f""",
+q AS (SELECT vec_id, pos, val FROM e WHERE vec_id < 5),
+ps AS (
+    SELECT q.vec_id AS query_id, c.cluster,
+           SUM(CAST(floor(q.val * c.cval * {fp}) AS BIGINT)) AS dot,
+           SUM(CAST(floor(q.val * q.val * {fp}) AS BIGINT)) AS qq,
+           SUM(CAST(floor(c.cval * c.cval * {fp}) AS BIGINT)) AS cc
+    FROM q JOIN {fin_c} c ON q.pos = c.pos
+    GROUP BY 1, 2
+),
+prb AS (
+    SELECT query_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                        cluster) AS prb
+    FROM ps
+),
+cscore AS (
+    SELECT p.query_id, m.vec_id AS neighbor_id, p.prb,
+           SUM(CAST(floor(q.val * e.val * {fp}) AS BIGINT)) AS dot,
+           SUM(CAST(floor(q.val * q.val * {fp}) AS BIGINT)) AS qq,
+           SUM(CAST(floor(e.val * e.val * {fp}) AS BIGINT)) AS cc
+    FROM prb p
+    JOIN {fin_a} m ON m.cluster = p.cluster AND m.vec_id <> p.query_id
+    JOIN e ON e.vec_id = m.vec_id
+    JOIN q ON q.vec_id = p.query_id AND q.pos = e.pos
+    GROUP BY 1, 2, 3
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY CAST(SUM(CAST(floor(q.val * c.val * {fp}) AS BIGINT)) AS DOUBLE)
+                            / sqrt(CAST(SUM(CAST(floor(q.val * q.val * {fp}) AS BIGINT)) AS DOUBLE)
+                                   * CAST(SUM(CAST(floor(c.val * c.val * {fp}) AS BIGINT)) AS DOUBLE)) DESC,
+                            c.vec_id
+               ) AS rk
+        FROM q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ) WHERE rk <= {_QK}
+),
+np AS (SELECT CAST(unnest([{nps}]) AS INTEGER) AS nprobe),
+cand_np AS (
+    SELECT np.nprobe, c.query_id, c.neighbor_id, c.dot, c.qq, c.cc
+    FROM cscore c JOIN np ON c.prb <= np.nprobe
+),
+ivf_top AS (
+    SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                            neighbor_id) AS rk
+        FROM cand_np
+    ) WHERE rk <= {_QK}
+),
+hits AS (
+    SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM ivf_top t
+    WHERE EXISTS (SELECT 1 FROM exact x
+                  WHERE x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)
+    GROUP BY t.nprobe
+),
+cands AS (
+    SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand_np GROUP BY nprobe
+)
+SELECT c.nprobe, c.n_candidates,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / (5.0 * {_QK}.0) AS recall_at_{_QK}
+FROM cands c LEFT JOIN hits h ON h.nprobe = c.nprobe
+"""
+    )
+
+
+@register(
+    "ivf_kmeans_recall_curve",
+    # "bench": the round-6 bench addition — the suite's one iterative
+    # learn-then-audit workload (Lloyd fit + probe + recall in a query)
+    tags=("ext", "llm", "similarity", "quality-curve", "iterative", "pandas", "bench"),
+    oracle=_kmeans_curve_oracle(),
+)
+def ivf_kmeans_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall curve with a LEARNED coarse quantizer (round-5
+    verdict item 4): identical audit to ``ivf_recall_curve`` but the
+    partition comes from ``kmeans_fit`` (k=8 Lloyd clusters over the
+    embedding space) instead of the fixture ``label`` column. The label
+    clusters are cosine-uncorrelated (docs/ANN.md: recall tracks the
+    candidate fraction, the curve is a straight line); centroids
+    learned from the vectors themselves are what a production IVF
+    index actually uses, and the measured curve shows the knee the
+    audit exists to find — measured side-by-side with the label curve
+    in docs/ANN.md.
+
+    Exactness: the full Lloyd trajectory is 2^-40 fixed point
+    (kmeans_fit), probe ranking and candidate scoring use the same
+    fixed-point cosine fold, so the DuckDB oracle replays learn +
+    probe + rank + recall end-to-end bit-for-bit. nprobe = 8 scans
+    every learned cluster and must read recall 1.0 — the same sanity
+    anchor as the label curve.
+
+    Plan shape: unchanged from ivf_recall_curve — centroids are a
+    k-row parameter table (broadcast), candidates are scored once with
+    probe ranks attached, every nprobe slice is a re-rank of the same
+    scored set. The only addition is the Lloyd fit, whose driver
+    traffic is k centroids per iteration."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    cents_mat, assign_df = kmeans_fit(emb)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in cents_mat[i]]) for i in range(len(cents_mat))],
+        "cluster LONG, centroid ARRAY<DOUBLE>",
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_score").desc(), "cluster")
+    ranks = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cluster",
+            S.cosine_col_fp(F.col("q_emb"), F.col("centroid")).alias("c_score"),
+        )
+        .withColumn("prb", F.row_number().over(probe_w))
+        .select("query_id", "q_emb", "cluster", "prb")
+    )
+    members = assign_df(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cluster"
+    )
+    cscore = (
+        ranks.join(members, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "prb",
+            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+        .localCheckpoint()  # scored once; every nprobe slice reuses it
+    )
+    exact = S.knn_fast(emb, n_queries=5, k=_QK).select("query_id", "neighbor_id")
+    np_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _KM_NPROBES])).alias("nprobe")
     )
     cand_np = cscore.join(F.broadcast(np_df), F.col("prb") <= F.col("nprobe"))
     w = Window.partitionBy("nprobe", "query_id").orderBy(F.col("cosine").desc(), "neighbor_id")

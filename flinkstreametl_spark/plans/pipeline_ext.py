@@ -482,3 +482,153 @@ def quota_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= 20)
     )
+
+
+@register(
+    "mixture_weights_by_lang",
+    tags=("ext", "llm", "sampling", "mixture"),
+    oracle=f"""
+WITH lt AS (
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len({_PIPE_TOKS})) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, n_docs, n_tokens,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT) AS weight_fp
+    FROM lt
+),
+t AS (SELECT CAST(SUM(weight_fp) AS BIGINT) AS total_fp FROM w)
+SELECT lang, n_docs, n_tokens, weight_fp,
+       CAST(weight_fp AS DOUBLE) / CAST(total_fp AS DOUBLE) AS share,
+       CAST(1000000 * weight_fp // total_fp AS BIGINT) AS budget_tokens_per_m
+FROM w CROSS JOIN t
+""",
+)
+def mixture_weights_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixture ALLOCATION table that temperature sampling
+    presupposes: per language, document/token counts and the
+    temperature-weighted (alpha = 0.5) sampling share — p_i^0.5
+    renormalized — plus the integer token budget each language gets
+    out of every 1M training tokens. Upweighting low-resource
+    languages by sqrt is the standard multilingual mixing recipe
+    (mBERT/XLM-R lineage); the planner emits the weights a sampler
+    (temperature_mix_sample) then enforces.
+
+    Exactness: sqrt is IEEE-correctly-rounded in both engines on an
+    exact integer operand, immediately quantized to a fixed-point
+    BIGINT (floor(sqrt(n)*2^20)); the total is an exact integer sum;
+    share is ONE double division of exact integers and the budget is
+    pure integer floor-division — no order-dependent float summation
+    anywhere.
+
+    Plan: one map-side-combined aggregate to the lang grain, so the
+    fact is scanned (and tokenized) ONCE; the normalizing total is a
+    global window over the LANG-GRAIN rows — the single-partition
+    exchange it needs carries one row per language, never data. (The
+    naive `w.agg(sum)` self-reference re-scanned and re-tokenized the
+    whole corpus — Spark does not dedupe common subplans; caught by
+    the plan test.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_X.tokens("text"))).cast("long").alias("n_tokens"),
+    )
+    w = lt.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1048576))
+        .cast("long")
+        .alias("weight_fp"),
+    )
+    base = w.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_fp",
+        F.sum("weight_fp").over(Window.partitionBy()).cast("long").alias("total_fp"),
+    )
+    return base.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_fp",
+        (F.col("weight_fp").cast("double") / F.col("total_fp").cast("double")).alias("share"),
+        F.expr("1000000 * weight_fp div total_fp").cast("long").alias("budget_tokens_per_m"),
+    )
+
+
+_CTX_LENS = [128, 256, 512, 1024]
+
+
+@register(
+    "context_length_waste_curve",
+    tags=("ext", "llm", "tokenize", "quality-curve"),
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, CAST(len({_PIPE_TOKS}) AS BIGINT) AS n_tokens FROM documents
+),
+ls AS (SELECT CAST(unnest([{", ".join(str(n) for n in _CTX_LENS)}]) AS BIGINT) AS ctx_len)
+SELECT ctx_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens <= ctx_len THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+       CAST(SUM(LEAST(n_tokens, ctx_len)) AS BIGINT) AS tokens_kept,
+       CAST(SUM(GREATEST(n_tokens - ctx_len, 0)) AS BIGINT) AS tokens_truncated,
+       CAST(SUM(ctx_len - LEAST(n_tokens, ctx_len)) AS BIGINT) AS pad_waste,
+       CAST(10000 * SUM(LEAST(n_tokens, ctx_len)) // (COUNT(*) * ctx_len) AS BIGINT) AS utilization_bp
+FROM d CROSS JOIN ls
+GROUP BY ctx_len
+""",
+)
+def context_length_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sizing audit (the packing/ivf-curve pattern
+    applied to sequence length): for each candidate context length,
+    how much of the corpus fits whole, how many tokens truncation
+    loses, how many slots one-doc-per-row padding wastes, and the
+    resulting utilization in basis points. Production reads the curve
+    to pick max_len and to decide whether sequence PACKING
+    (pack_sequences) is worth its shuffle — high pad_waste at the
+    chosen length is the packing trigger.
+
+    Exactness: all five measures are integer aggregates of per-doc
+    integers (LEAST/GREATEST clamps + counts) and utilization is
+    integer basis points via floor division — nothing float anywhere.
+
+    Plan: ONE scan computes per-doc token counts (the tokenize is the
+    only heavy expression, evaluated once per doc, not per length);
+    the 4-row length table cross-joins broadcast, so the curve costs
+    4 aggregate rows per group through one map-combined exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(F.size(_X.tokens("text")).cast("long").alias("n_tokens"))
+    ls = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(n) for n in _CTX_LENS])).alias("ctx_len"))
+        .select(F.col("ctx_len").cast("long").alias("ctx_len"))
+    )
+    kept = F.least(F.col("n_tokens"), F.col("ctx_len"))
+    return (
+        d.crossJoin(F.broadcast(ls))
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_tokens") <= F.col("ctx_len")).cast("long")).alias("n_docs_fit"),
+            F.sum(kept).alias("tokens_kept"),
+            F.sum(F.greatest(F.col("n_tokens") - F.col("ctx_len"), F.lit(0))).alias(
+                "tokens_truncated"
+            ),
+            F.sum(F.col("ctx_len") - kept).alias("pad_waste"),
+        )
+        .select(
+            "ctx_len",
+            "n_docs",
+            "n_docs_fit",
+            "tokens_kept",
+            "tokens_truncated",
+            "pad_waste",
+            F.expr("10000 * tokens_kept div (n_docs * ctx_len)")
+            .cast("long")
+            .alias("utilization_bp"),
+        )
+    )

@@ -231,3 +231,37 @@ def test_asof_tolerance_no_extra_exchange(spark, sf_dir):
     tol = _physical(spark, "asof_tolerance_enrich", sf_dir)
     n = lambda p: len(re.findall(r"Exchange", p))
     assert n(tol) <= n(base) + 0, (n(base), n(tol))
+
+
+def test_mixture_weights_single_fact_exchange(spark, sf_dir):
+    """mixture_weights_by_lang: the documents fact is scanned once and
+    crosses ONE hash exchange (partial agg to the lang grain); the
+    1-row total joins back via broadcast, never a second fact pass."""
+    plan = _physical(spark, "mixture_weights_by_lang", sf_dir)
+    # ONE corpus scan (the tokenize cost), one hash exchange to the
+    # lang grain; the normalizing total is a global window whose
+    # single-partition exchange carries one row per language
+    assert plan.count("Scan parquet") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Window" in plan and "SinglePartition" in plan, plan
+
+
+def test_context_length_curve_single_fact_exchange(spark, sf_dir):
+    """context_length_waste_curve: one documents scan (the tokenize is
+    evaluated once per doc), the 4-row length table broadcasts, and the
+    curve aggregate crosses ONE exchange on ctx_len."""
+    plan = _physical(spark, "context_length_waste_curve", sf_dir)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_ivf_kmeans_curve_probe_side_broadcast(spark, sf_dir):
+    """ivf_kmeans_recall_curve: after the Lloyd fit, the serving-path
+    joins keep the parameter sides broadcast — the (query x centroid)
+    probe table and the nprobe slice table must reach the candidate
+    stream as BroadcastExchanges, and the scored candidate set is
+    localCheckpoint-pinned (scored once, sliced five times)."""
+    plan = _physical(spark, "ivf_kmeans_recall_curve", sf_dir)
+    assert "BroadcastExchange" in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan

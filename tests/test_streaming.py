@@ -435,6 +435,129 @@ def test_kafka_sink_option_and_payload_wiring(spark):
     assert json.loads(payload[0].value) == {"id": 1, "name": "a"}
 
 
+def test_read_cdc_kafka_builds_exact_reader_and_shared_plan(spark, monkeypatch):
+    """Drive the GATED S1 function itself (not just its option helper)
+    through a monkeypatched DataStreamReader: capture the exact
+    format/options the broker would receive, substitute the broker's
+    output contract (a binary `value` column, what spark-sql-kafka
+    emits) for load(), and prove the downstream plan — CAST to string
+    -> parse_envelope — is the SAME one the file-replay tests exercise.
+    After this, the only untested surface in S1 is the socket to a real
+    broker (round-5 verdict item 5: 'the gated surface shrinks to
+    connection-only')."""
+    import json
+
+    from pyspark.sql.streaming import DataStreamReader
+
+    from flinkstreametl_spark.operators.cdc import parse_envelope
+    from flinkstreametl_spark.sources.cdc import _meeting_row, envelope, read_cdc_kafka
+
+    captured: dict = {}
+    env = envelope(1, "INSERT", [_meeting_row(7, 3, "2020-01-01 09:00:00", "2020-01-01 10:00:00")])
+    raw = json.dumps(env).encode()
+
+    def fake_format(self, fmt):
+        captured["format"] = fmt
+        return self
+
+    def fake_options(self, **opts):
+        captured["options"] = dict(opts)
+        return self
+
+    def fake_load(self, path=None):
+        # the Kafka connector's output contract: value is BINARY
+        return spark.createDataFrame([(bytearray(raw),)], "value BINARY")
+
+    monkeypatch.setattr(DataStreamReader, "format", fake_format)
+    monkeypatch.setattr(DataStreamReader, "options", fake_options)
+    monkeypatch.setattr(DataStreamReader, "load", fake_load)
+
+    df = read_cdc_kafka(spark, "host1:9092,host2:9092", "example", "earliest")
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "host1:9092,host2:9092",
+        "subscribe": "example",
+        "startingOffsets": "earliest",
+    }
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [("value", "string")]
+    parsed = parse_envelope(df).collect()
+    assert len(parsed) == 1 and parsed[0]["table"] == "t_meeting_info"
+
+
+def test_kafka_sink_builds_exact_writer_and_payload_roundtrip(spark, monkeypatch):
+    """Same treatment for the GATED S6 function: monkeypatch the
+    DataStreamWriter chain, assert kafka_sink ships format='kafka' with
+    the exact option set and a single string `value` column, and prove
+    the payload round-trips — from_json over the shipped value
+    reconstructs the enriched rows exactly (E8 both directions)."""
+    import json
+
+    from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+    from flinkstreametl_spark.streaming.sinks import kafka_sink
+
+    captured: dict = {}
+
+    def fake_format(self, fmt):
+        captured["format"] = fmt
+        return self
+
+    def fake_options(self, **opts):
+        captured["options"] = dict(opts)
+        return self
+
+    def fake_start(self, path=None):
+        captured["df"] = self._df
+        return "started"
+
+    monkeypatch.setattr(DataStreamWriter, "format", fake_format)
+    monkeypatch.setattr(DataStreamWriter, "options", fake_options)
+    monkeypatch.setattr(DataStreamWriter, "start", fake_start)
+
+    enriched_schema = (
+        "meeting_id INT, meeting_code STRING, meetingroom_id INT,"
+        " meetingroom_name STRING, location_name STRING, city STRING"
+    )
+    # writeStream demands a streaming frame — shape a rate source into
+    # the enriched schema (the broker never sees it; start is patched)
+    enriched_stream = (
+        spark.readStream.format("rate")
+        .load()
+        .select(
+            F.lit(7).alias("meeting_id"),
+            F.lit("M00007").alias("meeting_code"),
+            F.lit(3).alias("meetingroom_id"),
+            F.lit("Room-C").alias("meetingroom_name"),
+            F.lit("Building 1").alias("location_name"),
+            F.lit("North").alias("city"),
+        )
+    )
+    assert kafka_sink(enriched_stream, "b:9092", "out-topic", "/tmp/ckpt") == "started"
+    assert captured["format"] == "kafka"
+    assert captured["options"] == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out-topic",
+        "checkpointLocation": "/tmp/ckpt",
+    }
+    shipped = captured["df"]
+    assert shipped.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in shipped.schema.fields] == [
+        ("value", "string")
+    ]
+    # the value round-trip on the SAME payload builder, batch-side
+    from flinkstreametl_spark.streaming.sinks import kafka_payload
+
+    enriched = spark.createDataFrame(
+        [(7, "M00007", 3, "Room-C", "Building 1", "North")], enriched_schema
+    )
+    payload = kafka_payload(enriched)
+    back = (
+        payload.select(F.from_json("value", enriched.schema).alias("r")).select("r.*").collect()
+    )
+    assert [tuple(r) for r in back] == [tuple(r) for r in enriched.collect()]
+    assert json.loads(payload.collect()[0]["value"])["meeting_code"] == "M00007"
+
+
 def test_fresh_dim_picked_up_across_batches(spark, tmp_path):
     """run_cdc_stream_fresh_dim: a dim rewrite between micro-batches is
     visible to later batches (the reference's documented staleness,

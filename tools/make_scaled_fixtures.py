@@ -108,7 +108,18 @@ def main() -> None:
         ),
         "embeddings": _union(
             n,
-            f"SELECT vec_id + {{c}} * {S['vec']} AS vec_id, embedding, label FROM src",
+            f"SELECT vec_id + {{c}} * {S['vec']} AS vec_id,"
+            # Per-copy diversification (the doc-text suffix precedent):
+            # rotate the vector left by the copy index. Rotation is an
+            # ISOMETRY, so every within-copy cosine is preserved exactly
+            # (each replica is an isometric image of the original corpus
+            # and near-dup structure replicates LINEARLY), while
+            # cross-copy rotations of the same vector decorrelate —
+            # verbatim replication instead gave every vector 10 exact
+            # copies and semantic-dedup pair counts grew quadratically.
+            " CASE WHEN {c} = 0 THEN embedding"
+            " ELSE embedding[{c}+1:] || embedding[1:{c}] END AS embedding,"
+            " label FROM src",
         ),
     }
 
