@@ -127,6 +127,11 @@ def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
+    # Iterative consumer: pin the input once (Spark's own KMeans caches
+    # its input the same way) — without this every Lloyd iteration
+    # re-reads and re-decodes the embedding parquet (measured: the fit
+    # dominated the recall-curve bench entry 6 scans deep).
+    emb = emb.localCheckpoint()
     init_rows = sorted(
         emb.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
