@@ -102,8 +102,9 @@ _PRIORITY_R6 = [
 ]
 
 _NEW_R6: list[str] = [
-    # none are NEW queries; all three changed live behavior or contract
-    # this round, so they need fresh verdicts:
+    # four names changed live behavior or oracle contract this round
+    # (fresh verdicts needed on the changed semantics), three are new
+    # registrations:
     "copurchase_triangle_stats",  # oracle rewritten to the adjacency-intersection form (runs at sf1)
     "weighted_median_quantity",  # weights now floor() on both engines (ADVICE r5)
     "image_phash_neardup",  # synthetic image space now scales with the corpus (sf1 artifact fix)
@@ -114,7 +115,10 @@ _NEW_R6: list[str] = [
 ]
 
 _REPINS_R6 = [
-    # flagship + §2 core re-pins fill the tail
+    # flagship + §2 core re-pins — fill tail slots ONLY if priority +
+    # new leave room ([:50] cuts from here first; all three hold fresh
+    # r5 verdicts, so being cut loses nothing). This round 43 + 7 fill
+    # the window exactly and none of these enter it.
     "flagship_enrich",
     "q1_pricing_summary",
     "cdc_filter_project",
@@ -122,12 +126,15 @@ _REPINS_R6 = [
 
 _WINDOW_R6 = (*_PRIORITY_R6, *_NEW_R6, *_REPINS_R6)[:50]
 
-# Every priority name must survive the [:50] truncation — adding an
-# 8th _NEW_R6 entry would otherwise silently evict evidence the round
-# exists to refresh.
-assert all(n in _WINDOW_R6 for n in _PRIORITY_R6), (
-    "round-6 priority names evicted from the driver window; trim _NEW_R6"
+# Everything the round owes a verdict — the 43 stale-evidence names AND
+# every round-6 addition/behavior change — must survive the [:50]
+# truncation. (Priority names lead the tuple and cannot be cut; the
+# _NEW_R6 tail is what an 8th addition would silently evict.)
+assert len(_PRIORITY_R6) + len(_NEW_R6) <= 50, (
+    "round-6 window overflows: an addition would fall out of the driver "
+    "window and ship without a verdict; move a priority name out instead"
 )
+assert all(n in _WINDOW_R6 for n in (*_PRIORITY_R6, *_NEW_R6))
 
 
 def _reorder() -> None:

@@ -60,17 +60,24 @@ def _recover_compaction(path: str) -> None:
     - ``._old`` present, ``path`` missing  -> crash mid-swap: restore
       the original (content-equal to the compacted ``._compact``;
       restoring the known-complete original is the conservative pick).
-    - ``._old`` present, ``path`` present -> crash after the new dir
-      landed: the swap succeeded, only housekeeping remains.
+    - ``._old`` present, ``path`` present AND carrying its ``_SUCCESS``
+      marker -> crash after a verified swap: only housekeeping remains.
+    - ``._old`` present, ``path`` present WITHOUT ``_SUCCESS`` -> the
+      swap landed an unverified write (the RuntimeError path below, or
+      a crash straddling the renames): discard it and restore the
+      original — ``._old`` is the only verified copy and must never be
+      deleted in favor of an unverified directory.
     - a stale ``._compact`` is always discarded (the next compaction
       rewrites it from live state).
     """
     tmp, old = path + "._compact", path + "._old"
     if os.path.isdir(old):
-        if not os.path.isdir(path):
-            os.rename(old, path)
-        else:
+        if os.path.isdir(path) and os.path.exists(os.path.join(path, "_SUCCESS")):
             shutil.rmtree(old)
+        else:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.rename(old, path)
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
 

@@ -174,3 +174,16 @@ def test_crash_mid_compaction_swap_recovers_not_resets(spark, sf_dir, tmp_path):
     compact_state(spark, state)
     assert sorted(map(tuple, spark.read.parquet(idx_dir).collect())) == idx_before
     assert not os.path.isdir(idx_dir + "._old")
+
+    # And the UNVERIFIED-swap point: ._old present while the in-place
+    # dir lacks its _SUCCESS marker (the RuntimeError path, or a torn
+    # rename). Recovery must prefer the verified original — never
+    # delete ._old in favor of an unverified directory.
+    shutil.copytree(idx_dir, idx_dir + "._old")
+    os.remove(os.path.join(idx_dir, "_SUCCESS"))
+    with open(os.path.join(idx_dir, "part-bogus.parquet"), "wb") as fh:
+        fh.write(b"unverified")
+    compact_state(spark, state)
+    assert sorted(map(tuple, spark.read.parquet(idx_dir).collect())) == idx_before
+    assert not os.path.isdir(idx_dir + "._old")
+    assert os.path.exists(os.path.join(idx_dir, "_SUCCESS"))

@@ -50,6 +50,13 @@ def _union(n: int, template: str) -> str:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    # The embedding diversification rotates by the copy index; at
+    # copy >= dim (64) rotation wraps to the identity and replicas
+    # become verbatim duplicates again — the quadratic-pairs artifact
+    # this generator exists to avoid. Widen the scheme before scaling
+    # past 64 copies (e.g. compose rotation with a per-copy sign flip).
+    if n > 64:
+        raise SystemExit("n_copies > 64 would make embedding rotation degenerate; see comment")
     out = (
         sys.argv[2]
         if len(sys.argv) > 2
