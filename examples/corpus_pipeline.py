@@ -37,6 +37,13 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
 
     split = REGISTRY["training_data_pipeline"].fn(spark, sf_dir)
     split.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("split").show()
+
+    # sizing reports (round 6): how the mixture and the context length
+    # should be set for whatever survived the cleaning above
+    print("temperature (alpha=0.5) mixture allocation per 1M training tokens:")
+    REGISTRY["mixture_weights_by_lang"].fn(spark, sf_dir).orderBy("lang").show()
+    print("context-length sizing (truncation loss vs padding waste):")
+    REGISTRY["context_length_waste_curve"].fn(spark, sf_dir).orderBy("ctx_len").show()
     return 0
 
 
