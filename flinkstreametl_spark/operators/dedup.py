@@ -205,7 +205,15 @@ def neardup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     but near-dup graphs are not that.
     """
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Pin the symmetric edge list BEFORE the loop: `pairs` is usually a
+    # lazy pair-generation pipeline (banded LSH join + Jaccard verify),
+    # and without this every propagation round re-executed it from the
+    # scan up — at sf1 that was ~12s of pair generation x rounds x the
+    # two lineage uses, dominating the 167s query (round 6; the fix
+    # cuts the CC consumers to pair-gen + rounds x one cheap join).
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     ).localCheckpoint()
