@@ -735,18 +735,33 @@ _G2 = X.sql_ngrams("text", 2)
 @register(
     "doc_repetition_stats",
     tags=("llm", "text", "quality"),
-    oracle=f"""
+    # The same HOF-subexpression pitfall the Spark side fixed applies
+    # to the ORACLE: inlining sql_ngrams() repeats the full tokenize
+    # inside every lambda position and every use, and DuckDB re-splits
+    # per element access — the sf1 sweep's slowest oracle by 5x (810s).
+    # Materializing tokens then grams once through CTEs computes
+    # identical values (same expressions, factored) in seconds.
+    oracle="""
+WITH tk AS (
+    SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3,
+           list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2
+    FROM tk
+),
+m AS (
+    SELECT doc_id, len(g3) AS n3, len(list_distinct(g3)) AS d3,
+           len(g2) AS n2, len(list_distinct(g2)) AS d2
+    FROM g
+)
 SELECT doc_id,
-       len({_G3}) AS n_grams3,
-       CASE WHEN len({_G3}) > 0
-            THEN 1.0 - CAST(len(list_distinct({_G3})) AS DOUBLE) / len({_G3})
-            ELSE 0.0 END AS dup3_ratio,
-       CASE WHEN len({_G2}) > 0
-            THEN 1.0 - CAST(len(list_distinct({_G2})) AS DOUBLE) / len({_G2})
-            ELSE 0.0 END AS dup2_ratio,
-       (len({_G3}) >= 10 AND
-        1.0 - CAST(len(list_distinct({_G3})) AS DOUBLE) / len({_G3}) > 0.2) AS is_repetitive
-FROM documents
+       n3 AS n_grams3,
+       CASE WHEN n3 > 0 THEN 1.0 - CAST(d3 AS DOUBLE) / n3 ELSE 0.0 END AS dup3_ratio,
+       CASE WHEN n2 > 0 THEN 1.0 - CAST(d2 AS DOUBLE) / n2 ELSE 0.0 END AS dup2_ratio,
+       (n3 >= 10 AND 1.0 - CAST(d3 AS DOUBLE) / n3 > 0.2) AS is_repetitive
+FROM m
 """,
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
