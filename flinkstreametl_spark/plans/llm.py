@@ -640,18 +640,22 @@ def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_neardup_pairs",
     tags=("llm", "dedup", "similarity", "bench"),
+    # In-row list folds (the semantic_dedup_pairs oracle pattern, round
+    # 6): candidate pairs carry their vectors as arrays instead of
+    # exploding |pairs| x dim rows through a hash aggregate. Same
+    # floor(x*y*2^40) BIGINT terms -> bit-identical; the sf1 oracle
+    # drops 192s -> seconds-class.
     oracle="""
-WITH e AS (
-    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
-    FROM embeddings
-), p AS (
+WITH p AS (
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           SUM(CAST(floor(CAST(a.val AS DOUBLE) * CAST(b.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
-           SUM(CAST(floor(CAST(a.val AS DOUBLE) * CAST(a.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
-           SUM(CAST(floor(CAST(b.val AS DOUBLE) * CAST(b.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
-    FROM e a
-    JOIN e b ON a.pos = b.pos AND a.label = b.label AND a.vec_id < b.vec_id
-    GROUP BY a.vec_id, b.vec_id
+           CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(a.embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS qq,
+           CAST(list_sum(list_transform(b.embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS cc
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM (
     SELECT vec_a, vec_b,
@@ -726,10 +730,6 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(sl, " ").alias("chunk_text"),
         F.size(sl).alias("n_chunk_tokens"),
     )
-
-
-_G3 = X.sql_ngrams("text", 3)
-_G2 = X.sql_ngrams("text", 2)
 
 
 @register(
