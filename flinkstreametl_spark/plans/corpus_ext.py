@@ -363,15 +363,15 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("vec_a", "vec_b", cosine.alias("cosine")).filter(F.col("cosine") >= _SRP_TAU)
 
 
-_ALL_BIGRAMS = f"list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1])"
-
-
 @register(
     "bigram_familiarity_score",
     tags=("ext", "llm", "text", "quality", "lm", "bench"),
     oracle=f"""
-WITH g AS (
-    SELECT doc_id, unnest({_ALL_BIGRAMS}) AS gram FROM documents
+WITH tk AS (
+    SELECT doc_id, {_TOKS} AS toks FROM documents
+), g AS (
+    SELECT doc_id, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+    FROM tk
 ), cnt AS (
     SELECT gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY gram
 )

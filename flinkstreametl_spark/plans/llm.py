@@ -272,8 +272,6 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
 
 
-_BIGRAMS = f"list_distinct(list_transform(range(1, len({_TOKS})), i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1]))"
-
 _ID_BAND = 25  # max doc-id distance for a candidate pair (== bucket width)
 
 
@@ -281,8 +279,12 @@ _ID_BAND = 25  # max doc-id distance for a candidate pair (== bucket width)
     "ngram_jaccard_pairs",
     tags=("llm", "dedup"),
     oracle=f"""
-WITH g AS (
-    SELECT doc_id, lang, source, {_BIGRAMS} AS grams FROM documents
+WITH tk AS (
+    SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents
+), g AS (
+    SELECT doc_id, lang, source,
+           list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS grams
+    FROM tk
 )
 SELECT doc_a, doc_b, jaccard FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -325,11 +325,13 @@ _PROBE_SOURCE = "src0"  # stand-in benchmark/eval corpus
     "decontaminate_ngram_hits",
     tags=("ext", "llm", "pipeline", "decontamination", "bench"),
     oracle=f"""
-WITH grams AS (
+WITH tk AS (
+    SELECT doc_id, source, {_PIPE_TOKS} AS toks FROM documents
+), grams AS (
     SELECT doc_id, source,
-           unnest(list_distinct(list_transform(range(1, len({_PIPE_TOKS}) - 1),
-                  i -> {_PIPE_TOKS}[i] || ' ' || {_PIPE_TOKS}[i+1] || ' ' || {_PIPE_TOKS}[i+2]))) AS gram
-    FROM documents
+           unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+    FROM tk
 ), probe AS (
     SELECT DISTINCT gram FROM grams WHERE source = '{_PROBE_SOURCE}'
 )
