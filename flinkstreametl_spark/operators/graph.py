@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 
 DEFAULT_ORD_BASE = 10_000_000
 
+PR_SCALE = 10**9
+"""Fixed-point scale for PageRank mass: rank 1.0 == PR_SCALE. Chosen
+so the damped in-sum stays far inside BIGINT at any plausible node
+count (total mass = |V| * PR_SCALE; 85 * 2e14 at an sf1-sized graph,
+ceiling ~10^8 nodes before the 9.2e18 BIGINT limit — widen to a
+smaller scale or decimal past that)."""
+
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+"""Damping factor 0.85 as an exact integer ratio — the float constant
+would make every iteration's rounding engine-dependent."""
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """(node, deg) from a canonical undirected edge list."""
@@ -125,3 +136,52 @@ def triangle_stats(edges: DataFrame, *, ord_base: int = DEFAULT_ORD_BASE) -> Dat
             ).alias("transitivity"),
         )
     )
+
+
+def pagerank(edges: DataFrame, *, iterations: int = 6, scale: int = PR_SCALE) -> DataFrame:
+    """Power-iteration PageRank over a canonical undirected edge list:
+    returns (node, rank_fp) with rank_fp an exact BIGINT fixed-point
+    mass (1.0 == ``scale``).
+
+    The classic GraphX/Pregel kernel re-expressed as DataFrame joins:
+    each iteration JOINs the adjacency list with the current ranks on
+    src (one shuffle) and aggregates contributions by dst (one
+    shuffle) — 2 exchanges per iteration, both on bounded-width BIGINT
+    keys, never an all-pairs anything. The adjacency list (edge list +
+    out-degree) is built ONCE and localCheckpoint-pinned: without the
+    pin every iteration would replay the edge-list derivation from the
+    scan up (the lazy-reuse-in-loops trap that cost 6x on the
+    connected-components loop — see neardup_clusters). Per-iteration
+    rank frames form a LINEAR lazy chain (each consumed exactly once
+    by the next), so they need no pinning.
+
+    Exactness, the reason this is driver-verifiable cross-engine: all
+    arithmetic is integer. Each node's outgoing contribution is
+    ``rank_fp div deg`` (floor; operands positive so Spark's
+    truncating ``div`` == DuckDB's flooring ``//``), the damped update
+    is ``base + (85 * sum) div 100`` with ``base = (15 * scale) div
+    100``, and integer sums are order-independent — no float
+    accumulation anywhere, so N iterations stay bit-identical on both
+    engines. Undirected edges are symmetrized, so every graph node has
+    out-degree >= 1: no dangling-mass redistribution term is needed
+    and the node set is closed under the update.
+    """
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        ranks = (
+            adj.join(ranks, adj["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    f"CAST({base} AS BIGINT) + ({PR_DAMP_NUM} * sum(r div deg)) div {PR_DAMP_DEN}"
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

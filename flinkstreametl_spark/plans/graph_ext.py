@@ -28,7 +28,7 @@ once, on exact operands, in the same order as the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators import graph as G
@@ -219,4 +219,93 @@ def basket_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_pair").desc(), "u", "v")
         .limit(20)
+    )
+
+
+_PR_ITER = 6
+_PR_TOPK = 20
+_PR_BASE = G.PR_SCALE * (G.PR_DAMP_DEN - G.PR_DAMP_NUM) // G.PR_DAMP_DEN
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled power iteration: r0..r{N} as a CTE chain (DuckDB has no
+    keyed iterate-to-fixpoint; a recursive CTE can't re-aggregate per
+    step, so the fixed iteration count is spelled out). `pairs`/`adj`
+    are MATERIALIZED — each rank step scans adj, and without the hint
+    DuckDB may inline the per-order self-join into all N steps."""
+    steps = []
+    for i in range(1, _PR_ITER + 1):
+        steps.append(
+            f"r{i} AS (\n"
+            f"    SELECT a.dst AS node,\n"
+            f"           {_PR_BASE} + ({G.PR_DAMP_NUM} * SUM(r.r // a.deg)) // {G.PR_DAMP_DEN} AS r\n"
+            f"    FROM adj a JOIN r{i - 1} r ON r.node = a.src\n"
+            f"    GROUP BY a.dst\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                    greatest(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+    SELECT u AS src, v AS dst FROM pairs
+    UNION ALL
+    SELECT v AS src, u AS dst FROM pairs
+),
+deg AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src
+),
+adj AS MATERIALIZED (
+    SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)
+),
+r0 AS (
+    SELECT src AS node, CAST({G.PR_SCALE} AS BIGINT) AS r FROM deg
+),
+{chain}
+SELECT node AS part, CAST(r AS BIGINT) AS rank_fp, rk FROM (
+    SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+    FROM r{_PR_ITER}
+) t
+WHERE rk <= {_PR_TOPK}
+"""
+
+
+@register("pagerank_copurchase", tags=("ext", "graph", "iterative"), oracle=_pagerank_oracle())
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by PageRank over the co-purchase graph — the
+    link-analysis quality signal a training-data pipeline computes over
+    its document/web graph, exercised here on the graph the warehouse
+    actually has (same edge list as the triangle census).
+
+    Kernel: operators/graph.py ``pagerank`` — integer fixed-point
+    power iteration (6 rounds, damping 85/100), 2 bounded-key shuffles
+    per round, adjacency pinned once. The DuckDB oracle replays the
+    SAME six integer updates as an unrolled CTE chain, so every
+    intermediate mass — not just the ranking — is hash-verified
+    cross-engine.
+
+    Top-k shape: TakeOrdered on (rank DESC, node) pulls 20 rows; the
+    row_number window then runs on the 20-row frame, never on |V|."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    ranks = G.pagerank(pairs, iterations=_PR_ITER)
+    top = ranks.orderBy(F.col("rank_fp").desc(), "node").limit(_PR_TOPK)
+    w = Window.orderBy(F.col("rank_fp").desc(), "node")
+    return top.select(
+        F.col("node").alias("part"),
+        "rank_fp",
+        F.row_number().over(w).cast("long").alias("rk"),
     )

@@ -340,3 +340,50 @@ def test_degree_orient_rejects_out_of_range_ids(spark):
     # same edges pass with a base that covers the id space
     out = G.triangle_stats(bad, ord_base=100_000_000).collect()[0]
     assert out.n_edges == 2 and out.n_triangles == 0
+
+
+def _pagerank_reference(edges, iterations=6, scale=10**9):
+    """Row-at-a-time integer PageRank — independently written from the
+    textbook update so a shared misreading of the kernel can't pass."""
+    adj = defaultdict(list)
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    base = scale * 15 // 100
+    r = {n: scale for n in adj}
+    for _ in range(iterations):
+        incoming: dict[int, int] = defaultdict(int)
+        for n, nbrs in adj.items():
+            c = r[n] // len(nbrs)
+            for m in nbrs:
+                incoming[m] += c
+        r = {n: base + (85 * s) // 100 for n, s in incoming.items()}
+    return r
+
+
+def test_pagerank_kernel_matches_python_reference(spark):
+    """operators/graph.py pagerank == the Python integer loop, exactly
+    (fixed-point arithmetic means EQUALITY, not tolerance), and the
+    result is independent of input partitioning."""
+    from flinkstreametl_spark.operators.graph import pagerank
+
+    # K4 plus a pendant chain — mixes symmetric and asymmetric mass.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    expect = _pagerank_reference(edges)
+    for parts in (1, 7):
+        df = spark.createDataFrame(edges, "u: long, v: long").repartition(parts)
+        got = {r.node: r.rank_fp for r in pagerank(df).collect()}
+        assert got == expect
+
+
+def test_pagerank_star_center_dominates(spark):
+    """Semantic sanity on a closed-form-ish graph: the hub of a star
+    holds the highest rank and all leaves tie exactly."""
+    from flinkstreametl_spark.operators.graph import pagerank
+
+    star = [(1, n) for n in range(2, 8)]
+    df = spark.createDataFrame(star, "u: long, v: long")
+    got = {r.node: r.rank_fp for r in pagerank(df).collect()}
+    leaves = {got[n] for n in range(2, 8)}
+    assert len(leaves) == 1
+    assert got[1] > leaves.pop()

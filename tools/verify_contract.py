@@ -46,6 +46,12 @@ def _norm(rows, cols):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query names — verify just these (dev loop); "
+        "the full run (no --only) remains the driver-gate replica",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -55,8 +61,16 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
-    n_entry = entry_mod.entry(spark).count()
-    print(f"entry rows: {n_entry}")
+    if args.only:
+        names = [n.strip() for n in args.only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            print(f"unknown query names: {unknown}", file=sys.stderr)
+            return 2
+        qs = {n: qs[n] for n in names}
+    else:
+        n_entry = entry_mod.entry(spark).count()
+        print(f"entry rows: {n_entry}")
 
     con = duckdb.connect()
     for t in TABLES:
