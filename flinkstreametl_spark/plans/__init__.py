@@ -20,6 +20,7 @@ from flinkstreametl_spark.plans import quality_ext as _quality_ext  # noqa: E402
 from flinkstreametl_spark.plans import timeseries_ext as _timeseries_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a

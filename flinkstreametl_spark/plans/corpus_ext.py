@@ -894,3 +894,87 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SIG_ORACLE = f"""
+WITH tok AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+st AS (
+    SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_source
+    FROM tok GROUP BY source, term
+),
+src_tot AS (SELECT source, CAST(SUM(n_source) AS BIGINT) AS tot_s FROM st GROUP BY source),
+term_tot AS (SELECT term, CAST(SUM(n_source) AS BIGINT) AS cnt_all FROM st GROUP BY term),
+tot AS (SELECT CAST(SUM(tot_s) AS BIGINT) AS tot_all FROM src_tot),
+scored AS (
+    SELECT st.source, st.term, st.n_source,
+           (st.n_source * 1000000) // s.tot_s AS rate_s_ppm,
+           ((t.cnt_all - st.n_source) * 1000000)
+               // greatest(tot.tot_all - s.tot_s, 1) AS rate_rest_ppm
+    FROM st JOIN src_tot s USING (source) JOIN term_tot t USING (term) CROSS JOIN tot
+),
+ranked AS (
+    SELECT source, term, n_source, rate_s_ppm, rate_rest_ppm,
+           (rate_s_ppm * 1000000) // (rate_rest_ppm + 1) AS score_fp,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY (rate_s_ppm * 1000000) // (rate_rest_ppm + 1) DESC, term
+           ) AS rk
+    FROM scored
+)
+SELECT source, term, n_source, rate_s_ppm, rate_rest_ppm, score_fp, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 5
+"""
+
+
+@register("domain_signature_terms", tags=("ext", "llm", "text", "audit"), oracle=_SIG_ORACLE)
+def domain_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per source — the contrastive data-card
+    view of the corpus ("what vocabulary makes this domain different"),
+    vs tfidf_top_terms' per-document view. Score is the smoothed
+    relative-rate ratio in fixed point:
+    ``(rate_in_source_ppm * 1e6) // (rate_elsewhere_ppm + 1)`` — ranks
+    like the likelihood ratio, stays pure BIGINT. Rates are normalized
+    to parts-per-million BEFORE the ratio, so every intermediate is
+    <= 1e12 at ANY corpus size (raw cross-count products of the
+    unsmoothed form overflow BIGINT near 10^7-document corpora — the
+    100 TB width guard, same reasoning as simhash's 60-bit cap).
+
+    Plan: ONE token explode feeds the (source, term) grain, which is
+    localCheckpoint-pinned and re-aggregated for the per-source and
+    per-term totals (three consumers of one lazy frame would otherwise
+    re-run the explode three times — the lazy-reuse trap). The source
+    totals and the global total are parameter-sized and broadcast; the
+    only data-path shuffles are the grain aggregate and the term-total
+    join. Ranking is a per-source group-limit window (Spark pushes the
+    rk <= 5 limit below the sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n_source"))
+        .localCheckpoint()
+    )
+    src_tot = st.groupBy("source").agg(F.sum("n_source").alias("tot_s"))
+    term_tot = st.groupBy("term").agg(F.sum("n_source").alias("cnt_all"))
+    tot = src_tot.agg(F.sum("tot_s").alias("tot_all"))
+    scored = (
+        st.join(term_tot, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "term",
+            "n_source",
+            F.expr("(n_source * 1000000) div tot_s").alias("rate_s_ppm"),
+            F.expr(
+                "((cnt_all - n_source) * 1000000) div greatest(tot_all - tot_s, 1L)"
+            ).alias("rate_rest_ppm"),
+        )
+        .withColumn("score_fp", F.expr("(rate_s_ppm * 1000000) div (rate_rest_ppm + 1)"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score_fp").desc(), "term")
+    return (
+        scored.select("*", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "term", "n_source", "rate_s_ppm", "rate_rest_ppm", "score_fp", "rk")
+    )

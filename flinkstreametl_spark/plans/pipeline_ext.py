@@ -634,3 +634,105 @@ def context_length_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("utilization_bp"),
         )
     )
+
+
+_LEAK_N = 5  # contamination n-gram width
+
+_SPLIT_SQL = f"""CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+            WHEN {_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END"""
+
+_LEAK_GRAM_SQL = (
+    "list_distinct(list_transform(range(1, len(toks) - "
+    + str(_LEAK_N - 2)
+    + "), i -> "
+    + " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(_LEAK_N))
+    + "))"
+)
+
+_LEAK_ORACLE = f"""
+WITH sp AS (
+    SELECT doc_id, {_SPLIT_SQL} AS split, {_X.sql_tokens("text")} AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id, split, md5(gram) AS gh
+    FROM (SELECT doc_id, split, unnest({_LEAK_GRAM_SQL}) AS gram FROM sp) t
+),
+flagged AS (
+    SELECT doc_id, split,
+           MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) OVER (PARTITION BY gh) AS has_train
+    FROM g
+),
+leaked AS (
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_leaked
+    FROM (SELECT DISTINCT doc_id, split FROM flagged WHERE split <> 'train' AND has_train = 1)
+    GROUP BY split
+),
+totals AS (
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM sp WHERE split <> 'train' GROUP BY split
+)
+SELECT t.split, t.n_docs,
+       CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+       (10000 * CAST(COALESCE(l.n_leaked, 0) AS BIGINT)) // t.n_docs AS leaked_bp
+FROM totals t LEFT JOIN leaked l USING (split)
+"""
+
+
+@register("split_leakage_audit", tags=("ext", "llm", "sampling", "audit"), oracle=_LEAK_ORACLE)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination audit of the 80/10/10 hash split: for val and
+    test, how many documents share at least one {n}-gram with ANY
+    train document (count + basis points). The split itself is the
+    hash_split_train_test assignment, so this is the audit a pipeline
+    runs BEFORE trusting held-out eval numbers — hash splits are
+    reproducible but do nothing about cross-split near-duplication.
+
+    Plan, single corpus scan: tokenize once, explode distinct
+    {n}-grams, and mark leakage with ONE window over the gram hash —
+    ``max(split = 'train') over (partition by gh)`` — instead of the
+    natural train-set semi-join, which would scan (or materialize) the
+    exploded grams twice. The distinct doc set and the per-split
+    totals are BIGINT counts; leaked_bp is integer basis points, so
+    the whole result is hash-exact cross-engine. Grams travel as
+    md5 hashes: the shuffle key is 32 bytes regardless of gram text
+    width (the 100 TB shuffle-width guard used across the dedup
+    stack). Hot grams (boilerplate) skew the window partition exactly
+    like they'd skew the join — AQE's skew handling applies to both;
+    the window form still moves strictly fewer bytes (no probe-side
+    duplication of the train set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    sp = docs.select("doc_id", split.alias("split"), _X.tokens("text").alias("toks"))
+    grams = F.array_distinct(_X.ngrams_from_tokens(F.col("toks"), _LEAK_N))
+    g = sp.select("doc_id", "split", F.explode(grams).alias("gram")).select(
+        "doc_id", "split", F.md5(F.col("gram").cast("binary")).alias("gh")
+    )
+    w = Window.partitionBy("gh")
+    flagged = g.select(
+        "doc_id",
+        "split",
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).over(w).alias("has_train"),
+    )
+    leaked = (
+        flagged.filter((F.col("split") != "train") & (F.col("has_train") == 1))
+        .select("doc_id", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaked"))
+    )
+    totals = (
+        sp.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        totals.join(leaked, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce(F.col("n_leaked"), F.lit(0)).cast("long").alias("n_leaked"),
+            F.expr("(10000 * coalesce(n_leaked, 0)) div n_docs").cast("long").alias("leaked_bp"),
+        )
+    )
