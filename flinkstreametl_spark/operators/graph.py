@@ -145,15 +145,23 @@ def pagerank(edges: DataFrame, *, iterations: int = 6, scale: int = PR_SCALE) ->
 
     The classic GraphX/Pregel kernel re-expressed as DataFrame joins:
     each iteration JOINs the adjacency list with the current ranks on
-    src (one shuffle) and aggregates contributions by dst (one
-    shuffle) — 2 exchanges per iteration, both on bounded-width BIGINT
-    keys, never an all-pairs anything. The adjacency list (edge list +
-    out-degree) is built ONCE and localCheckpoint-pinned: without the
-    pin every iteration would replay the edge-list derivation from the
-    scan up (the lazy-reuse-in-loops trap that cost 6x on the
-    connected-components loop — see neardup_clusters). Per-iteration
-    rank frames form a LINEAR lazy chain (each consumed exactly once
-    by the next), so they need no pinning.
+    src and aggregates contributions by dst — 3 exchanges per
+    iteration (adjacency, ranks, aggregate), all on bounded-width
+    BIGINT keys, never an all-pairs anything. The adjacency list
+    (edge list + out-degree) is built ONCE and localCheckpoint-pinned:
+    without the pin every iteration would replay the edge-list
+    derivation from the scan up (the lazy-reuse-in-loops trap that
+    cost 6x on the connected-components loop — see neardup_clusters).
+    Measured caveat: localCheckpoint does NOT carry outputPartitioning
+    into the planner, so the pinned adjacency is re-exchanged each
+    iteration; the COMPUTATION (per-order self-join + distinct) is
+    what the pin deduplicates. On a cluster the adjacency exchange is
+    removed by writing it once as a table BUCKETED on src (the
+    sources/bucketed.py path) — iterations then shuffle only the
+    |V|-sized rank frame, which is the GraphX partition-reuse story in
+    DataFrame terms. Per-iteration rank frames form a LINEAR lazy
+    chain (each consumed exactly once by the next), so they need no
+    pinning.
 
     Exactness, the reason this is driver-verifiable cross-engine: all
     arithmetic is integer. Each node's outgoing contribution is
@@ -169,7 +177,10 @@ def pagerank(edges: DataFrame, *, iterations: int = 6, scale: int = PR_SCALE) ->
     sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg is pinned too: the initial rank frame derives from it, and an
+    # un-pinned deg would drag the whole edge-list lineage (parquet
+    # scan included) back into iteration 1's plan.
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     adj = sym.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
     base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))

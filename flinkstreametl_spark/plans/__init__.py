@@ -53,7 +53,13 @@ from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # no
 # asof_latest_order, cdc_filter_project, kmeans_cluster_sizes, the
 # q3/q5/q6 analogs, ...). Round 7 window = _NEW_R7 + those 40
 # oldest-first + re-pins. If any r6 window name fails, it leads the
-# round-7 window after repair.
+# round-7 window after repair. _NEW_R7 MUST start with the five
+# late-round-6 additions, which have NO driver verdict yet (the r6
+# window was already full when they landed; each is verified at
+# sf0.001/sf0.01/sf1 locally — see docs/ROUND6.md): pagerank_copurchase,
+# split_leakage_audit, domain_signature_terms,
+# lsh_precision_recall_audit, dedup_method_agreement. 5 + 40 + re-pins
+# fits the 50-slot window with 5 re-pin slots to spare.
 _PRIORITY_R6 = [
     # the 43 r2-era names, §2/goal-parity core first
     "occupancy_rate_by_region",

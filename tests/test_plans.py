@@ -265,3 +265,50 @@ def test_ivf_kmeans_curve_probe_side_broadcast(spark, sf_dir):
     plan = _physical(spark, "ivf_kmeans_recall_curve", sf_dir)
     assert "BroadcastExchange" in plan, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_split_leakage_two_scans_window_on_gram_hash(spark, sf_dir):
+    """split_leakage_audit: the corpus is scanned exactly twice (the
+    gram explode and the cheap per-split totals) — the window-over-gh
+    rewrite exists precisely so the exploded grams are NOT scanned a
+    second time for a train-set semi-join. Leak marking must be a
+    Window over the gram hash, and no join may degenerate to a
+    cartesian/BNL product."""
+    plan = _physical(spark, "split_leakage_audit", sf_dir)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_domain_signature_pinned_grain_and_broadcast_totals(spark, sf_dir):
+    """domain_signature_terms: the (source, term) grain is
+    localCheckpoint-pinned (its three consumers must NOT replay the
+    token explode — zero parquet scans in the final plan), the
+    source/global totals reach the grain as broadcasts, and the top-5
+    ranking is a group-limit window (rk <= 5 pushed below the sort)."""
+    plan = _physical(spark, "domain_signature_terms", sf_dir)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_pagerank_topk_is_take_ordered(spark, sf_dir):
+    """pagerank_copurchase: the edge-list derivation is pinned behind
+    the adjacency checkpoint (no parquet scan in the iteration plan)
+    and the final top-20 is a distributed TakeOrdered, never a global
+    sort materialization of |V| ranks."""
+    plan = _physical(spark, "pagerank_copurchase", sf_dir)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_audits_all_joins_are_equi(spark, sf_dir):
+    """The two dedup audit queries run entirely on equi-joins (banded /
+    bucketed / key-aligned) — a cartesian or BNL product anywhere means
+    a blocking key was silently dropped."""
+    for name in ("lsh_precision_recall_audit", "dedup_method_agreement"):
+        plan = _physical(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
