@@ -58,8 +58,9 @@ from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # no
 # window was already full when they landed; each is verified at
 # sf0.001/sf0.01/sf1 locally — see docs/ROUND6.md): pagerank_copurchase,
 # split_leakage_audit, domain_signature_terms,
-# lsh_precision_recall_audit, dedup_method_agreement. 5 + 40 + re-pins
-# fits the 50-slot window with 5 re-pin slots to spare.
+# lsh_precision_recall_audit, dedup_method_agreement,
+# cluster_safe_split. 6 + 40 + re-pins fits the 50-slot window with 4
+# re-pin slots to spare.
 _PRIORITY_R6 = [
     # the 43 r2-era names, §2/goal-parity core first
     "occupancy_rate_by_region",

@@ -1,7 +1,7 @@
 """[EXT] Dedup-quality audits: the measurements a pipeline owner runs
 BEFORE trusting a dedup configuration at 100 TB.
 
-Two first-class queries:
+Three first-class queries (audits + the remediation):
 
 - ``lsh_precision_recall_audit`` — candidate precision and
   post-verification recall of the production MinHash+LSH parameters
@@ -16,6 +16,10 @@ Two first-class queries:
   in one row. This is the method-selection evidence: if SimHash finds
   almost nothing outside MinHash's set, running both doubles cost for
   no recall.
+- ``cluster_safe_split`` — the remediation for what the leakage audit
+  measures: split assignment hashed on the near-dup CLUSTER id, so no
+  emitted pair can cross train/val/test; the cross-split pair count is
+  recomputed in-query (zero by construction, hash-verified).
 
 The oracle SQL reproduces the production signature chains from the
 SAME constants (operators/dedup.py NUM_HASHES / ROWS_PER_BAND /
@@ -310,4 +314,104 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.col("f_ex") * F.col("f_mh") * F.col("f_sh")), z)
         .cast("long")
         .alias("n_all3"),
+    )
+
+
+# Reuse the production pair-set oracle verbatim (plans/llm.py): the
+# cluster-safe split must be defined over EXACTLY the pairs the dedup
+# pipeline emits, or the zero-leak guarantee is vacuous.
+from flinkstreametl_spark.plans.llm import _MINHASH_ORACLE  # noqa: E402
+
+_CL_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+)
+
+_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{_MINHASH_ORACLE}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+), m AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+), sp AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_CL_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_CL_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END AS split
+    FROM m
+), per AS (
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+    FROM sp GROUP BY split
+), crossed AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cross_pairs
+    FROM pairs p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id
+    WHERE a.split <> b.split
+)
+SELECT split, n_docs, n_clusters, n_cross_pairs FROM per CROSS JOIN crossed
+"""
+
+
+@register(
+    "cluster_safe_split",
+    tags=("ext", "llm", "sampling", "dedup"),
+    oracle=_SAFE_SPLIT_ORACLE,
+)
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remediation for what split_leakage_audit measures: assign
+    train/val/test by hashing the NEAR-DUP CLUSTER id instead of the
+    document id, so a whole duplicate component lands in one split and
+    no emitted near-dup pair can cross the boundary. Output: per-split
+    doc and cluster counts plus the cross-split pair count — computed,
+    not asserted, and zero BY CONSTRUCTION (the oracle recomputes it
+    independently; a nonzero value would hash-mismatch the claim).
+
+    The doc-id hash split is perfectly reproducible but leak-blind;
+    hashing the component representative keeps reproducibility (same
+    md5-bucket law, one level up) while buying leak-freedom. The cost
+    is granularity — splits deviate from 80/10/10 by cluster-size
+    lumps, which n_docs exposes.
+
+    Plan: production LSH pairs -> min-label components
+    (operators/dedup.neardup_clusters, adjacency pinned inside) ->
+    broadcast-join labels back onto documents. The pair set feeds BOTH
+    the clustering and the cross-split check, so it is pinned once
+    (localCheckpoint) instead of re-running the banded join twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b").localCheckpoint()
+    )
+    labels = D.neardup_clusters(pairs)
+    cluster = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    assign = docs.join(labels, "doc_id", "left").select(
+        "doc_id", cluster.alias("cluster_id")
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10).cast("int")
+        % 100
+    )
+    sp = assign.select(
+        "doc_id",
+        "cluster_id",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    per = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("cluster_id").alias("n_clusters"),
+    )
+    sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .agg(F.count(F.lit(1)).alias("n_cross_pairs"))
+    )
+    return per.crossJoin(F.broadcast(crossed)).select(
+        "split", "n_docs", "n_clusters", "n_cross_pairs"
     )

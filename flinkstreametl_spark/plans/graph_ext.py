@@ -274,7 +274,7 @@ WHERE rk <= {_PR_TOPK}
 """
 
 
-@register("pagerank_copurchase", tags=("ext", "graph", "iterative"), oracle=_pagerank_oracle())
+@register("pagerank_copurchase", tags=("ext", "graph", "iterative", "bench"), oracle=_pagerank_oracle())
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by PageRank over the co-purchase graph — the
     link-analysis quality signal a training-data pipeline computes over

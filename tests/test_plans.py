@@ -312,3 +312,16 @@ def test_dedup_audits_all_joins_are_equi(spark, sf_dir):
         plan = _physical(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_cluster_safe_split_pins_pairs_and_zero_leak(spark, sf_dir):
+    """cluster_safe_split: the LSH pair set is localCheckpoint-pinned
+    (it feeds clustering AND the cross-split check — the banded join
+    must not run twice, so the final plan reads ExistingRDD, and the
+    one-row cross count broadcasts onto the per-split rows). Also the
+    semantic guarantee itself: zero cross-split pairs."""
+    plan = _physical(spark, "cluster_safe_split", sf_dir)
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    rows = REGISTRY["cluster_safe_split"].fn(spark, sf_dir).collect()
+    assert rows and all(r.n_cross_pairs == 0 for r in rows)
