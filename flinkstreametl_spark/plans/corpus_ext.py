@@ -671,11 +671,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
-    """Encode twin of ``_bpe_oracle``: the same chained-CTE training,
-    but the vocab chain CARRIES the original word, so the final merged
-    sequences map word -> symbol count; documents then tokenize, join
-    the mapping, and sum — tokens-after-BPE per document."""
+def _bpe_wl_prefix(steps: int = _BPE_STEPS) -> str:
+    """Shared chained-CTE prefix for the encode-side oracles: the same
+    training loop as ``_bpe_oracle`` but the vocab chain CARRIES the
+    original word, ending in ``wl`` = (word -> symbol count after the
+    first ``steps`` merges). Consumers append their own tokenize +
+    join + aggregate tail."""
     esc_tok = r"'\[([^\]]*)\]'"
     ctes = [
         "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM ("
@@ -701,7 +702,17 @@ def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
         "WITH "
         + ",\n".join(ctes)
         + f""",
-wl AS (SELECT w, CAST(len(regexp_extract_all(seq, {esc_tok}, 1)) AS BIGINT) AS n_syms FROM s{steps}),
+wl AS (SELECT w, CAST(len(regexp_extract_all(seq, {esc_tok}, 1)) AS BIGINT) AS n_syms FROM s{steps})"""
+    )
+
+
+def _bpe_encode_oracle(steps: int = _BPE_STEPS) -> str:
+    """Encode twin of ``_bpe_oracle``: the shared ``wl`` chain, then
+    documents tokenize, join the mapping, and sum — tokens-after-BPE
+    per document."""
+    return (
+        _bpe_wl_prefix(steps)
+        + f""",
 dtok AS (SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_words,
@@ -726,6 +737,24 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpora) and aggregates per doc. One explode + one broadcast join +
     one aggregate at any scale."""
     docs = load_table(spark, sf_dir, "documents")
+    wl = _bpe_word_symbol_map(docs)
+    dtok = docs.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    return (
+        dtok.join(F.broadcast(wl), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_syms").cast("long").alias("bpe_tokens"),
+        )
+    )
+
+
+def _bpe_word_symbol_map(docs: DataFrame) -> DataFrame:
+    """Run the greedy BPE trainer (``_BPE_STEPS`` merges) and return the
+    encode mapping (w, n_syms): per vocabulary word, its symbol count
+    after the merges. Shared by the per-doc and per-language encode
+    queries; the training loop iterates on the vocabulary-sized
+    checkpointed table, never re-scanning the corpus."""
     wc = (
         docs.select(F.explode(X.tokens("text")).alias("w"))
         .groupBy("w")
@@ -757,14 +786,57 @@ def bpe_encode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         seqs = seqs.select(
             "w", F.replace(F.col("seq"), F.lit(f"[{l}][{r}]"), F.lit(f"[{l}{r}]")).alias("seq"), "wc"
         ).localCheckpoint()
-    wl = seqs.select("w", F.size(toks).cast("long").alias("n_syms"))
-    dtok = docs.select("doc_id", F.explode(X.tokens("text")).alias("w"))
+    return seqs.select("w", F.size(toks).cast("long").alias("n_syms"))
+
+
+_FERTILITY_ORACLE = (
+    _bpe_wl_prefix()
+    + f""",
+dtok AS (SELECT lang, unnest({_TOKS}) AS w FROM documents)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(wl.n_syms) AS BIGINT) AS bpe_tokens,
+       (10000 * CAST(SUM(wl.n_syms) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fertility_bp
+FROM dtok JOIN wl USING (w)
+GROUP BY lang"""
+)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    tags=("ext", "llm", "text", "tokenizer", "audit"),
+    oracle=_FERTILITY_ORACLE,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language — post-BPE tokens per
+    whitespace word, in basis points (10000 = 1 token/word) — the
+    standard multilingual-tokenizer equity audit: a vocabulary trained
+    on a skewed mixture over-fragments the under-represented languages,
+    and fertility is the number that exposes it (the same merge table
+    costs different languages differently). Uses the SAME trained
+    merges as bpe_train_merges / bpe_encode_token_counts (shared
+    ``_bpe_word_symbol_map``), so the audit measures the production
+    tokenizer, not a twin.
+
+    Plan: the vocabulary-sized (word -> n_syms) mapping broadcasts onto
+    one corpus token explode, then ONE hash aggregate to the language
+    grain. fertility_bp is integer floor division on exact BIGINT
+    sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    wl = _bpe_word_symbol_map(docs)
+    dtok = docs.select("lang", F.explode(X.tokens("text")).alias("w"))
     return (
         dtok.join(F.broadcast(wl), "w")
-        .groupBy("doc_id")
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
             F.sum("n_syms").cast("long").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "bpe_tokens",
+            F.expr("(10000 * bpe_tokens) div n_words").alias("fertility_bp"),
         )
     )
 

@@ -736,3 +736,76 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * coalesce(n_leaked, 0)) div n_docs").cast("long").alias("leaked_bp"),
         )
     )
+
+
+_VEC_BUCKET_SQL = "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100"
+
+_REPR_ORACLE = f"""
+WITH sp AS (
+    SELECT CASE WHEN {_VEC_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_VEC_BUCKET_SQL} < 90 THEN 'val' ELSE 'test' END AS split,
+           label
+    FROM embeddings
+),
+g AS (
+    SELECT split, label, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY split, label
+)
+SELECT split, label, n,
+       (10000 * n) // SUM(n) OVER (PARTITION BY split) AS share_bp,
+       (10000 * SUM(n) OVER (PARTITION BY label)) // SUM(n) OVER () AS global_share_bp,
+       (10000 * n) // SUM(n) OVER (PARTITION BY split)
+         - (10000 * SUM(n) OVER (PARTITION BY label)) // SUM(n) OVER () AS dev_bp
+FROM g
+"""
+
+
+@register(
+    "split_representativeness_audit",
+    tags=("ext", "llm", "sampling", "audit"),
+    oracle=_REPR_ORACLE,
+)
+def split_representativeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the hash split over the embedding corpus:
+    per (split, label), the within-split share vs the global label
+    share and their deviation, all in integer basis points. A hash
+    split is uniform in EXPECTATION only — on a finite corpus the
+    deviation column is the evidence eval sets represent the training
+    distribution (and the first thing to check before attributing an
+    eval gap to the model).
+
+    Plan: one scan, one hash aggregate to the (split, label) grain;
+    the share/total windows run on that grain — 3 x |labels| rows, a
+    parameter-sized frame, so the unpartitioned total window is NOT a
+    data-path single-partition hazard (same justification as
+    mixture_weights_by_lang). Integer floor-division shares on BIGINT
+    counts keep every value hash-exact; dev_bp is the difference of
+    the two floored shares, defined identically on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10).cast("int") % 100
+    sp = emb.select(
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"), "label"
+    )
+    g = sp.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+    w_split = Window.partitionBy("split")
+    w_label = Window.partitionBy("label")
+    w_all = Window.partitionBy()
+    # Window sums land as named columns first so the shares can use
+    # integer `div` (same floor as DuckDB's //) — not floor(dbl/dbl),
+    # whose correctly-rounded quotient can cross an integer boundary
+    # at exact-divisibility edges.
+    sums = g.select(
+        "split",
+        "label",
+        F.col("n").cast("long").alias("n"),
+        F.sum("n").over(w_split).cast("long").alias("s_split"),
+        F.sum("n").over(w_label).cast("long").alias("s_label"),
+        F.sum("n").over(w_all).cast("long").alias("s_all"),
+    )
+    return sums.select(
+        "split",
+        "label",
+        "n",
+        F.expr("(10000 * n) div s_split").alias("share_bp"),
+        F.expr("(10000 * s_label) div s_all").alias("global_share_bp"),
+        F.expr("(10000 * n) div s_split - (10000 * s_label) div s_all").alias("dev_bp"),
+    )

@@ -325,3 +325,22 @@ def test_cluster_safe_split_pins_pairs_and_zero_leak(spark, sf_dir):
     assert "BroadcastExchange" in plan, plan
     rows = REGISTRY["cluster_safe_split"].fn(spark, sf_dir).collect()
     assert rows and all(r.n_cross_pairs == 0 for r in rows)
+
+
+def test_fertility_broadcasts_vocab_single_corpus_scan(spark, sf_dir):
+    """tokenizer_fertility_by_lang: the trained (word -> n_syms) map is
+    checkpoint-backed and BROADCASTS onto exactly one corpus token
+    explode (one parquet scan) — encoding never re-scans text."""
+    plan = _physical(spark, "tokenizer_fertility_by_lang", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_split_representativeness_single_scan_grain_windows(spark, sf_dir):
+    """split_representativeness_audit: one scan, one hash exchange to
+    the (split, label) grain; the share windows run on that
+    parameter-sized grain (the SinglePartition window is 3x|labels|
+    rows by construction, not a data-path hazard)."""
+    plan = _physical(spark, "split_representativeness_audit", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
