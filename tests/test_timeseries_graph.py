@@ -387,3 +387,61 @@ def test_pagerank_star_center_dominates(spark):
     leaves = {got[n] for n in range(2, 8)}
     assert len(leaves) == 1
     assert got[1] > leaves.pop()
+
+
+def test_pagerank_random_graphs_match_reference(spark):
+    """Seeded random graphs (mixed density, isolated pairs, chains):
+    the DataFrame kernel equals the Python integer loop EXACTLY on
+    every node — breadth the hand-picked graphs can't give. Failures
+    reproduce (fixed seed)."""
+    import random
+
+    from flinkstreametl_spark.operators.graph import pagerank
+
+    rng = random.Random(0x9A6E)
+    for trial in range(4):
+        n = rng.randint(5, 40)
+        all_pairs = [(u, v) for u in range(n) for v in range(u + 1, n)]
+        edges = rng.sample(all_pairs, k=max(1, int(len(all_pairs) * rng.uniform(0.05, 0.4))))
+        expect = _pagerank_reference(edges)
+        df = spark.createDataFrame(edges, "u: long, v: long").repartition(rng.choice([1, 3, 8]))
+        got = {r.node: r.rank_fp for r in pagerank(df).collect()}
+        assert got == expect, f"trial {trial} (n={n}, e={len(edges)})"
+
+
+def test_cluster_hash_split_never_separates_components(spark):
+    """The cluster_safe_split LAW on seeded random pair graphs: after
+    min-label components, hashing the component label into split
+    buckets puts EVERY member of a component in one split — zero
+    cross-split pairs, for any graph shape (chains force multi-round
+    label propagation, the case a one-round implementation would
+    fail)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.operators.dedup import neardup_clusters
+
+    rng = random.Random(0x51DE)
+    for trial in range(3):
+        n = rng.randint(10, 60)
+        edges = [(rng.randint(0, n - 1), rng.randint(0, n - 1)) for _ in range(n)]
+        edges = [(u, v) for u, v in edges if u != v]
+        edges = [(min(u, v), max(u, v)) for u, v in edges]
+        edges = list(dict.fromkeys(edges)) + [(100 + i, 101 + i) for i in range(0, 8, 2)]
+        pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+        labels = neardup_clusters(pairs)
+        b = (
+            F.conv(F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10).cast("int")
+            % 100
+        )
+        sp = labels.select(
+            F.col("doc_id"),
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        )
+        sa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+        sb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+        crossed = (
+            pairs.join(sa, "doc_a").join(sb, "doc_b").filter(F.col("sa") != F.col("sb")).count()
+        )
+        assert crossed == 0, f"trial {trial}: {crossed} cross-split pairs"
