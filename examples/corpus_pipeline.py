@@ -44,6 +44,18 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     REGISTRY["mixture_weights_by_lang"].fn(spark, sf_dir).orderBy("lang").show()
     print("context-length sizing (truncation loss vs padding waste):")
     REGISTRY["context_length_waste_curve"].fn(spark, sf_dir).orderBy("ctx_len").show()
+
+    # split governance (round 6, wave 2): measure the leak the naive
+    # doc-id split carries, then apply the cluster-safe law that makes
+    # it zero by construction
+    print("5-gram leakage of the doc-id hash split (held-out docs sharing a gram with train):")
+    REGISTRY["split_leakage_audit"].fn(spark, sf_dir).orderBy("split").show()
+    print("cluster-safe split (assignment hashed on the near-dup component; n_cross_pairs is recomputed, not assumed):")
+    REGISTRY["cluster_safe_split"].fn(spark, sf_dir).orderBy("split").show()
+
+    # tokenizer equity: tokens/word per language on the production merges
+    print("tokenizer fertility by language (bp; 10000 = 1 token/word):")
+    REGISTRY["tokenizer_fertility_by_lang"].fn(spark, sf_dir).orderBy("lang").show()
     return 0
 
 

@@ -751,10 +751,10 @@ g AS (
     SELECT split, label, CAST(COUNT(*) AS BIGINT) AS n FROM sp GROUP BY split, label
 )
 SELECT split, label, n,
-       (10000 * n) // SUM(n) OVER (PARTITION BY split) AS share_bp,
-       (10000 * SUM(n) OVER (PARTITION BY label)) // SUM(n) OVER () AS global_share_bp,
-       (10000 * n) // SUM(n) OVER (PARTITION BY split)
-         - (10000 * SUM(n) OVER (PARTITION BY label)) // SUM(n) OVER () AS dev_bp
+       CAST((10000 * n) // SUM(n) OVER (PARTITION BY split) AS BIGINT) AS share_bp,
+       CAST((10000 * SUM(n) OVER (PARTITION BY label)) // SUM(n) OVER () AS BIGINT) AS global_share_bp,
+       CAST((10000 * n) // SUM(n) OVER (PARTITION BY split)
+         - (10000 * SUM(n) OVER (PARTITION BY label)) // SUM(n) OVER () AS BIGINT) AS dev_bp
 FROM g
 """
 
