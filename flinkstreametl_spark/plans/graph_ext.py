@@ -282,11 +282,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually has (same edge list as the triangle census).
 
     Kernel: operators/graph.py ``pagerank`` — integer fixed-point
-    power iteration (6 rounds, damping 85/100), 2 bounded-key shuffles
-    per round, adjacency pinned once. The DuckDB oracle replays the
-    SAME six integer updates as an unrolled CTE chain, so every
-    intermediate mass — not just the ranking — is hash-verified
-    cross-engine.
+    power iteration (6 rounds, damping 85/100) over a width-bounded
+    GROUPED adjacency (per-node neighbor arrays, hash-segmented past
+    8192 entries), so each round's join moves |V|-scale rows and the
+    contribution stream compacts via partial aggregation before its
+    one exchange; the symmetrized edge list and grouped adjacency are
+    pinned once. The DuckDB oracle replays the SAME six integer
+    updates as an unrolled CTE chain, so every intermediate mass —
+    not just the ranking — is hash-verified cross-engine.
 
     Top-k shape: TakeOrdered on (rank DESC, node) pulls 20 rows; the
     row_number window then runs on the 20-row frame, never on |V|."""

@@ -409,6 +409,24 @@ def test_pagerank_random_graphs_match_reference(spark):
         assert got == expect, f"trial {trial} (n={n}, e={len(edges)})"
 
 
+def test_pagerank_segmentation_is_invisible(spark):
+    """The hot-node width cap cannot change the result: forcing
+    max_seg_width=2 splits every neighbor list into many hash-assigned
+    segments, and the per-segment partial sums must recombine to the
+    EXACT unsegmented masses (integer addition is associative — this
+    test is the executable form of that claim) on a graph with a
+    deliberate hub."""
+    from flinkstreametl_spark.operators.graph import pagerank
+
+    hub = [(1, n) for n in range(2, 20)] + [(2, 3), (5, 6), (10, 11)]
+    df = spark.createDataFrame(hub, "u: long, v: long")
+    expect = _pagerank_reference(hub)
+    wide = {r.node: r.rank_fp for r in pagerank(df).collect()}
+    seg = {r.node: r.rank_fp for r in pagerank(df, max_seg_width=2).collect()}
+    assert wide == expect
+    assert seg == expect
+
+
 def test_cluster_hash_split_never_separates_components(spark):
     """The cluster_safe_split LAW on seeded random pair graphs: after
     min-label components, hashing the component label into split
