@@ -318,6 +318,128 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_SHARDS = 16  # output shards (training files); parameter-sized
+_SHARD_BUCKETS = 64  # parallel units of the two-phase prefix sum
+
+
+@register(
+    "token_balanced_shards",
+    tags=("ext", "llm", "pipeline", "sharding"),
+    oracle=f"""
+WITH sized AS (
+    SELECT doc_id,
+           CAST(len({_PIPE_TOKS}) AS BIGINT) AS n,
+           CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hkey
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, n, hkey, hkey % {_SHARD_BUCKETS} AS bucket FROM sized WHERE n > 0
+),
+placed AS (
+    SELECT n,
+           CAST(SUM(n) OVER (ORDER BY bucket, hkey, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n AS cum_before
+    FROM keyed
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM keyed),
+agg AS (
+    SELECT CAST(({_N_SHARDS} * p.cum_before) // t.t AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n) AS BIGINT) AS shard_tokens,
+           MAX(t.t) AS t
+    FROM placed p CROSS JOIN tot t
+    GROUP BY 1
+)
+SELECT shard, n_docs, shard_tokens,
+       CAST(({10000 * _N_SHARDS} * shard_tokens) // t - 10000 AS BIGINT) AS dev_bp
+FROM agg
+""",
+)
+def token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding — the write-side step of a
+    training pipeline: assign every document to one of 16 shards so
+    shard token totals are near-equal (each shard covers a contiguous
+    token range of the hash-ordered stream, so imbalance is bounded by
+    one document), deterministically (md5 order, no rand()) and
+    without a global sort. Emits the per-shard audit: doc count,
+    token total, and signed deviation from the ideal share in integer
+    basis points.
+
+    The scale pattern this query exists to demonstrate is the
+    TWO-PHASE GLOBAL PREFIX SUM. A naive running total over a global
+    ORDER BY is a single-partition window — the one shape Spark cannot
+    scale. Instead: (1) docs hash into 64 buckets; the running sum
+    runs per-bucket (parallel, each sorts |docs|/64 rows); (2)
+    per-bucket token totals — a 64-row parameter table — get
+    cumulative offsets on a single partition that is
+    PARAMETER-sized, never data-sized, and broadcast back; (3) global
+    position = bucket offset + local running sum, exactly as if one
+    machine had summed the stream in (bucket, hkey, doc_id) order —
+    which is precisely what the DuckDB oracle does, so the
+    decomposition itself is what the hash check verifies. The windowed
+    doc-scale frame is localCheckpoint-pinned: it feeds both the
+    offset table and the final join (pin shared fan-out, not chains).
+
+    Integer exactness: positions and totals are BIGINT token counts;
+    shard = (N * cum_before) div total stays under 9.2e18 up to ~5e14
+    total tokens at N=16, and dev_bp's 160000 * shard_tokens under
+    ~5e13 — both orders of magnitude past a 100 TB corpus. Engine
+    `div` and DuckDB `//` agree on the nonnegative operands.
+    """
+    from flinkstreametl_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    h32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+    sized = docs.select(
+        "doc_id", F.size(X.tokens("text")).cast("long").alias("n"), h32.alias("hkey")
+    )
+    keyed = sized.filter(F.col("n") > 0).withColumn(
+        "bucket", F.col("hkey") % _SHARD_BUCKETS
+    )
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("bucket")
+    placed = keyed.select(
+        "bucket",
+        "n",
+        (F.sum("n").over(wloc) - F.col("n")).alias("loc_before"),
+        F.sum("n").over(wtot).alias("bucket_tokens"),
+    ).localCheckpoint()
+    woff = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        placed.groupBy("bucket")
+        .agg(F.first("bucket_tokens").alias("bt"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("bt").over(woff), F.lit(0)).alias("offset"),
+            F.sum("bt").over(wall).alias("total"),
+        )
+    )
+    shard = F.expr(f"({_N_SHARDS} * (offset + loc_before)) div total")
+    agg = (
+        placed.join(F.broadcast(offsets), "bucket")
+        .select(shard.alias("shard"), "n", "total")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("shard_tokens"),
+            F.first("total").alias("total"),
+        )
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.expr(f"({10000 * _N_SHARDS} * shard_tokens) div total - 10000").alias("dev_bp"),
+    )
+
+
 _PROBE_SOURCE = "src0"  # stand-in benchmark/eval corpus
 
 

@@ -304,6 +304,20 @@ def test_pagerank_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_token_balanced_shards_two_phase_prefix_sum(spark, sf_dir):
+    """token_balanced_shards: the doc-scale windowed frame is pinned
+    (final plan reads ExistingRDD, no parquet re-scan), the bucket
+    offset table joins back by BROADCAST, and the only unpartitioned
+    window in the plan runs over the parameter-sized offsets frame —
+    the doc-scale running sum must stay partitioned by bucket."""
+    plan = _physical(spark, "token_balanced_shards", sf_dir)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    # Exactly one single-partition exchange: the 64-row offsets frame.
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_dedup_audits_all_joins_are_equi(spark, sf_dir):
     """The two dedup audit queries run entirely on equi-joins (banded /
     bucketed / key-aligned) — a cartesian or BNL product anywhere means
