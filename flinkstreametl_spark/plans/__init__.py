@@ -60,11 +60,11 @@ from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # no
 # split_leakage_audit, domain_signature_terms,
 # lsh_precision_recall_audit, dedup_method_agreement,
 # cluster_safe_split, tokenizer_fertility_by_lang,
-# split_representativeness_audit, and (wave 3) token_balanced_shards.
-# 9 + 40 + re-pins fits the 50-slot window with 1 re-pin slot to
-# spare; further round-6 additions beyond 10 total would push r3-era
-# names to round 8 — prefer that trade only for first-class
-# operators, not variants.
+# split_representativeness_audit, and (wave 3) token_balanced_shards
+# and pq_adc_recall. That is 10 additions + 40 r3-era names = the
+# full round-7 window with zero re-pin slots — the soft cap is
+# reached; any further round-6 addition would push an r3-era name's
+# refresh to round 8. Do not add more this round.
 _PRIORITY_R6 = [
     # the 43 r2-era names, §2/goal-parity core first
     "occupancy_rate_by_region",
