@@ -93,3 +93,59 @@ def test_ivf_recall_curve_monotone_with_full_scan_anchor(spark, sf_dir):
         assert b.n_candidates > a.n_candidates
         assert b.n_overlap >= a.n_overlap
     assert rows[-1].recall_at_10 == 1.0
+
+
+def _numpy_pq(M: np.ndarray, ids: np.ndarray, n_sub: int, sd: int, k: int, iters: int) -> np.ndarray:
+    """Reference per-subspace Lloyd mirroring pq_fit's fixed-point
+    scheme exactly (same init, distances, means, empty-cell
+    carry-forward) — written against the PQ definition, not pq_fit's
+    code, so a shared misreading can't pass. Returns (n, n_sub) codes."""
+    FP = 1099511627776.0
+    S = M.reshape(len(M), n_sub, sd)
+
+    def dists(cents):
+        # (n, n_sub, k)
+        diff = S[:, :, None, :] - cents[None, :, :, :]
+        return np.floor(diff * diff * FP).astype(np.int64).sum(axis=3)
+
+    order = np.argsort(ids)
+    cents = np.stack([M[order[:k]][:, s * sd : (s + 1) * sd] for s in range(n_sub)])
+    for _ in range(iters):
+        a = np.argmin(dists(cents), axis=2)  # (n, n_sub)
+        new = cents.copy()
+        for s in range(n_sub):
+            for c in range(k):
+                members = S[a[:, s] == c, s]
+                if len(members):
+                    new[s, c] = (
+                        np.floor(members * FP).astype(np.int64).sum(axis=0).astype(np.float64)
+                        / FP
+                        / len(members)
+                    )
+        cents = new
+    return np.argmin(dists(cents), axis=2)
+
+
+def test_pq_codes_match_numpy_reference(spark, sf_dir):
+    from flinkstreametl_spark.plans.ml_ext import _PQ_ITERS, _PQ_K, _PQ_SD, _PQ_SUB, pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    ref = _numpy_pq(M, ids, _PQ_SUB, _PQ_SD, _PQ_K, _PQ_ITERS)
+    ref_by_id = {int(i): ref[j].tolist() for j, i in enumerate(ids)}
+
+    _, codes_fn = pq_fit(emb)
+    got = {r.vec_id: list(r.codes) for r in codes_fn(emb).select("vec_id", "codes").collect()}
+    diffs = [i for i in ref_by_id if ref_by_id[i] != got[i]]
+    assert not diffs, f"codes diverged for {len(diffs)} vectors"
+
+
+def test_pq_recall_bounds_and_determinism(spark, sf_dir):
+    rows1 = sorted(map(tuple, REGISTRY["pq_adc_recall"].fn(spark, sf_dir).collect()))
+    rows2 = sorted(map(tuple, REGISTRY["pq_adc_recall"].fn(spark, sf_dir).collect()))
+    assert rows1 == rows2
+    assert len(rows1) == 5
+    for _, n, r in rows1:
+        assert 0 <= n <= 10 and r == n / 10.0
