@@ -56,6 +56,11 @@ def main(sf_dir: str = "/root/testdata/sf0.001") -> int:
     # tokenizer equity: tokens/word per language on the production merges
     print("tokenizer fertility by language (bp; 10000 = 1 token/word):")
     REGISTRY["tokenizer_fertility_by_lang"].fn(spark, sf_dir).orderBy("lang").show()
+
+    # write-side sharding (round 6, wave 3): token-balanced output
+    # shards via the two-phase global prefix sum — no global sort
+    print("token-balanced shard audit (dev_bp = signed deviation from the ideal share):")
+    REGISTRY["token_balanced_shards"].fn(spark, sf_dir).orderBy("shard").show()
     return 0
 
 
