@@ -324,7 +324,7 @@ _SHARD_BUCKETS = 64  # parallel units of the two-phase prefix sum
 
 @register(
     "token_balanced_shards",
-    tags=("ext", "llm", "pipeline", "sharding"),
+    tags=("ext", "llm", "pipeline", "sharding", "bench"),
     oracle=f"""
 WITH sized AS (
     SELECT doc_id,

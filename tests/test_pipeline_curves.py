@@ -84,3 +84,46 @@ def test_context_length_waste_python_reference(spark, sf_dir):
     for L, (n_docs, _fit, kept, trunc, pad, _u) in got.items():
         assert kept + trunc == total_tokens
         assert kept + pad == n_docs * L
+
+
+def test_token_balanced_shards_python_reference_and_balance_law(spark, sf_dir):
+    """token_balanced_shards vs an independent single-machine reference
+    (sort every doc by (bucket, hkey, doc_id), one running total, shard
+    = contiguous token range) — exact per-shard equality proves the
+    two-phase prefix-sum decomposition — plus the BALANCE LAW the
+    operator exists for: every shard's token total deviates from the
+    ideal share by less than the largest single document (contiguous
+    ranges can only misalign at their two boundaries)."""
+    import hashlib
+
+    from flinkstreametl_spark.operators import text as X
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(X.tokens("text")).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    sized = []
+    for r in docs:
+        hkey = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:8], 16)
+        sized.append((hkey % 64, hkey, r.doc_id, r.n))
+    sized.sort()
+    total = sum(n for *_, n in sized)
+    expect: dict[int, list[int]] = {}
+    cum = 0
+    for *_, n in sized:
+        shard = (16 * cum) // total
+        d, t = expect.setdefault(shard, [0, 0])
+        expect[shard] = [d + 1, t + n]
+        cum += n
+    got = {
+        r.shard: [r.n_docs, r.shard_tokens]
+        for r in REGISTRY["token_balanced_shards"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+    max_doc = max(n for *_, n in sized)
+    ideal = total / 16
+    for _, tokens in got.values():
+        assert abs(tokens - ideal) < max_doc + 1, (tokens, ideal, max_doc)
