@@ -138,3 +138,34 @@ def test_shuffle_partition_sweep_float_queries(spark, sf_dir):
             assert outs[0] == outs[1], name
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default)
+
+
+def test_pq_codes_partition_independent(spark, sf_dir):
+    """Per-subspace fixed-point Lloyd (pq_fit): the full trajectory and
+    the emitted code arrays must not depend on input partitioning."""
+    from flinkstreametl_spark.plans.ml_ext import pq_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for n in (1, 13):
+        _, codes_fn = pq_fit(emb.repartition(n))
+        outs.append(sorted((r.vec_id, tuple(r.codes)) for r in codes_fn(emb).collect()))
+    assert outs[0] == outs[1]
+
+
+def test_token_balanced_shards_partition_independent(spark, sf_dir):
+    """The two-phase prefix sum assembles a GLOBAL order from per-bucket
+    windows — its whole claim is that the decomposition is invisible,
+    so the per-shard audit must be bit-identical under different
+    shuffle-partition counts (which change which rows share a task,
+    the thing a broken decomposition would leak)."""
+    from flinkstreametl_spark.plans import REGISTRY
+
+    outs = []
+    for n in ("1", "13"):
+        spark.conf.set("spark.sql.shuffle.partitions", n)
+        try:
+            outs.append(_rows(REGISTRY["token_balanced_shards"].fn(spark, sf_dir)))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert outs[0] == outs[1]
