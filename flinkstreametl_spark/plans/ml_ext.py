@@ -1191,7 +1191,13 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     by."""
     import numpy as np
 
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # Pinned ONCE for the query's four consumers (fit input, encode
+    # side, query-row collect, exact-L2 corpus side) — Spark does not
+    # dedupe common subplans, so the unpinned frame would re-scan the
+    # embedding parquet per consumer. pq_fit's internal pin then reads
+    # these blocks instead of the scan (a cheap second pin of a small
+    # table, not a second scan).
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
     cents, codes_fn = pq_fit(emb)
     codes = codes_fn(emb).select("vec_id", "codes")
 

@@ -161,11 +161,12 @@ def test_token_balanced_shards_partition_independent(spark, sf_dir):
     the thing a broken decomposition would leak)."""
     from flinkstreametl_spark.plans import REGISTRY
 
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
     outs = []
-    for n in ("1", "13"):
-        spark.conf.set("spark.sql.shuffle.partitions", n)
-        try:
+    try:
+        for n in ("1", "13"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
             outs.append(_rows(REGISTRY["token_balanced_shards"].fn(spark, sf_dir)))
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert outs[0] == outs[1]

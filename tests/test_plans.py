@@ -318,6 +318,15 @@ def test_token_balanced_shards_two_phase_prefix_sum(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1, plan
 
 
+def test_pq_adc_recall_single_pinned_scan(spark, sf_dir):
+    """pq_adc_recall: the embedding table is pinned once for its four
+    consumers — the final plan must read ExistingRDD only, never
+    re-scan the embedding parquet per consumer."""
+    plan = _physical(spark, "pq_adc_recall", sf_dir)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
 def test_dedup_audits_all_joins_are_equi(spark, sf_dir):
     """The two dedup audit queries run entirely on equi-joins (banded /
     bucketed / key-aligned) — a cartesian or BNL product anywhere means
