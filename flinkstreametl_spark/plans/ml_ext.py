@@ -746,7 +746,9 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = n_clusters this is brute force BY DESIGN — the curve is
     the audit that justifies a production nprobe choice, not the
     serving path."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # Pinned once for the fan-out (probe ranks, candidate side, exact
+    # truth) — Spark does not dedupe common subplans.
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
     ranks = S.ivf_probe_ranks(emb, n_queries=5)
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "label"
@@ -906,7 +908,10 @@ def ivf_kmeans_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe ranks attached, every nprobe slice is a re-rank of the same
     scored set. The only addition is the Lloyd fit, whose driver
     traffic is k centroids per iteration."""
-    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # Pinned once for the fan-out (fit input, query rows, membership
+    # side, exact truth) — Spark does not dedupe common subplans; the
+    # unpinned frame re-scanned the embedding parquet per consumer.
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
     cents_mat, assign_df = kmeans_fit(emb)
     cents = spark.createDataFrame(
         [(i, [float(x) for x in cents_mat[i]]) for i in range(len(cents_mat))],
