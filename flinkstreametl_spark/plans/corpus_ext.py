@@ -478,10 +478,24 @@ def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.src", "p.dst")
-    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    # The weighted edge list and node set are pinned ONCE: both are
+    # consumed inside the iteration loop, and a lazy frame there
+    # replays the document tokenize + pair explode from the scan up
+    # PER CONSUMER PER ITERATION (measured: 22 parquet scans of
+    # documents in the unpinned plan — the lazy-reuse-in-loops trap,
+    # same fix as neardup_clusters / pagerank). Both grains are
+    # vocabulary-bounded, so the pin is parameter-scale, and
+    # document-scale data now truly appears only in the two map-side
+    # stages before the pin.
+    edges = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")).localCheckpoint()
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ee = edges.join(out_w, "src")
-    nodes = edges.select(F.col("src").alias("token")).union(edges.select(F.col("dst").alias("token"))).distinct()
+    ee = edges.join(out_w, "src").localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("token"))
+        .union(edges.select(F.col("dst").alias("token")))
+        .distinct()
+        .localCheckpoint()
+    )
     rank = nodes.select("token", F.lit(1000000).cast("long").alias("score"))
     for _ in range(5):
         contrib = (

@@ -294,6 +294,18 @@ def test_domain_signature_pinned_grain_and_broadcast_totals(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_textrank_loop_inputs_pinned(spark, sf_dir):
+    """textrank_keywords: the edge list and node set feed the 5-round
+    iteration loop and must be pinned — unpinned, each iteration
+    replayed the document tokenize + pair explode from the scan up (22
+    parquet scans of documents in the pre-round-6-wave-3 plan). The
+    final plan must read ExistingRDD only and end in TakeOrdered."""
+    plan = _physical(spark, "textrank_keywords", sf_dir)
+    assert plan.count("Scan parquet") == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_pagerank_topk_is_take_ordered(spark, sf_dir):
     """pagerank_copurchase: the edge-list derivation is pinned behind
     the adjacency checkpoint (no parquet scan in the iteration plan)

@@ -1,0 +1,61 @@
+"""Repo-wide duplicate-scan audit: build every registered query's plan
+at sf0.001 and report queries whose final plan scans the SAME parquet
+table >= 3 times.
+
+A high count is either (a) the lazy-reuse-in-loops trap — an iterative
+consumer replaying its upstream derivation per iteration (textrank was
+22 scans of documents before round 6 wave 3 pinned its loop inputs) or
+(b) a deliberate multi-pass design (banded LSH self-joins, the
+equi-depth two-level selection, tf-idf's df/tf passes) where each scan
+is a narrow column-pruned pass that is CHEAPER than pinning the table.
+The tool cannot tell them apart — a human (or the next round's
+reviewer) judges each line; the value is that NEW regressions show up
+as diffs against the table below.
+
+Usage: python tools/scan_audit.py  [writes nothing; prints the table]
+
+Expected state (round 6 wave 3) — all deliberate multi-pass designs:
+  ann_ivf_topk 3, cluster_safe_split 3, dedup_method_agreement 8,
+  embedding_srp_pairs 4, equidepth_totalprice_bounds 5,
+  incremental_minhash_multibatch 4, lsh_precision_recall_audit 4,
+  minhash_lsh_neardup 4, pareto_frontier_parts 3,
+  resample_ffill_hourly 3, temperature_mix_sample 3, tfidf_top_terms 3.
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from flinkstreametl_spark.plans import REGISTRY  # noqa: E402
+from flinkstreametl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def main() -> int:
+    spark = get_spark("scan-audit")
+    flagged = 0
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            df = spec.fn(spark, SF_DIR)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 — audit must keep going
+            print(f"{name}: ERR {type(ex).__name__}: {ex}")
+            flagged += 1
+            continue
+        tables = re.findall(r"file:[^\s\]]*/(\w+)\.parquet", plan)
+        multi = {t: n for t, n in collections.Counter(tables).items() if n >= 3}
+        if multi:
+            print(f"{name}: {multi}")
+            flagged += 1
+    print(f"total flagged: {flagged}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
