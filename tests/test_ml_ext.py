@@ -149,3 +149,104 @@ def test_pq_recall_bounds_and_determinism(spark, sf_dir):
     assert len(rows1) == 5
     for _, n, r in rows1:
         assert 0 <= n <= 10 and r == n / 10.0
+
+
+def test_ivf_pq_composition_full_probe_equals_adc(spark, sf_dir):
+    """docs/ANN.md's composition claim as executed code: IVF-PQ =
+    pq_fit's codes nested under kmeans_fit's coarse partition. The
+    anchor law: with nprobe = ALL coarse clusters the probed candidate
+    set is the whole corpus, so the composed pipeline's top-10 must
+    equal the plain full-scan ADC top-10 EXACTLY (same integer ADC
+    sums, same (dist, vec_id) tie-break) — any divergence means the
+    composition changed the scoring, not just the pruning."""
+    import numpy as np
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flinkstreametl_spark.operators import similarity as S
+    from flinkstreametl_spark.plans.ml_ext import (
+        _KM_FP,
+        _PQ_K,
+        _PQ_SD,
+        _PQ_SUB,
+        kmeans_fit,
+        pq_fit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint()
+    _coarse_cents, assign_df = kmeans_fit(emb)
+    pq_cents, codes_fn = pq_fit(emb)
+    docs = assign_df(codes_fn(emb)).select("vec_id", "codes", "cluster")
+
+    qrows = sorted(
+        emb.filter(F.col("vec_id") < 2).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    tab = []
+    for r in qrows:
+        qv = np.array(r.embedding, dtype=np.float64).reshape(_PQ_SUB, _PQ_SD)
+        for s in range(_PQ_SUB):
+            diff = qv[s][None, :] - pq_cents[s]
+            d = np.floor(diff * diff * _KM_FP).astype(np.int64).sum(axis=1)
+            for j in range(_PQ_K):
+                tab.append((r.vec_id, s, j, int(d[j])))
+    adc = spark.createDataFrame(tab, "query_id LONG, sub INT, code LONG, d LONG")
+
+    def adc_topk(cand):
+        ex = cand.select("vec_id", "cluster", F.posexplode("codes").alias("sub", "code"))
+        dist = (
+            ex.join(F.broadcast(adc), ["sub", "code"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(F.sum("d").alias("dist"))
+        )
+        w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+        top = dist.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+        return sorted(map(tuple, top.select("query_id", "vec_id", "dist", "rk").collect()))
+
+    # plain full-scan ADC
+    full = adc_topk(docs)
+
+    # composed IVF-PQ with nprobe = all clusters: per query, rank the
+    # coarse clusters by centroid cosine (the ivf convention), keep
+    # prb <= n_clusters — the probe set is total, pruning is a no-op.
+    n_clusters = docs.select("cluster").distinct().count()
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in _coarse_cents[i]]) for i in range(len(_coarse_cents))],
+        "cluster LONG, centroid ARRAY<DOUBLE>",
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("c_score").desc(), "cluster")
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            "query_id", "cluster", S.cosine_col_fp(F.col("q_emb"), F.col("centroid")).alias("c_score")
+        )
+        .withColumn("prb", F.row_number().over(probe_w))
+        .filter(F.col("prb") <= n_clusters)
+        .select(F.col("query_id").alias("pq_query"), "cluster")
+    )
+    probed = docs.join(probes, "cluster").select("vec_id", "cluster", "codes", "pq_query")
+    # restrict each query's candidates to ITS probed clusters
+    ex = probed.select("vec_id", "pq_query", F.posexplode("codes").alias("sub", "code"))
+    dist = (
+        ex.join(F.broadcast(adc), ["sub", "code"])
+        .filter((F.col("query_id") == F.col("pq_query")) & (F.col("vec_id") != F.col("query_id")))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    composed = sorted(
+        map(
+            tuple,
+            dist.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("query_id", "vec_id", "dist", "rk")
+            .collect(),
+        )
+    )
+    assert composed == full
