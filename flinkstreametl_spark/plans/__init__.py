@@ -24,143 +24,130 @@ from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # no
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
-# driver verdict each round. CORRECTNESS_r05 came back 50/50 green, so
-# entering round 6 EVERY registered query (176) holds a green driver
-# verdict on record (cumulative r1-r5) and the oldest evidence tier is
-# the 43 names whose newest verdict is r2-era. Round 6 executes the
-# recorded rotation (commit 91f962b; VERDICT r5 item 1):
-#   1. _PRIORITY_R6 — exactly those 43 r2-era names (computed from
-#      CORRECTNESS_r01–r05 latest-verdict distribution: r5=50, r4=43,
-#      r3=40, r2=43). Their verdicts predate the round-5
-#      regex/decimal/cap fixes and two rounds of shared-helper
-#      refactors (plans/shared.py). After this round the oldest
-#      verdict repo-wide is r3.
-#   2. _NEW_R6 — queries added during round 6; every new registration
-#      is appended here THE DAY IT LANDS so it gets a verdict this
-#      round instead of waiting a full rotation. CAP: 43 priority
-#      names leave only 7 window slots, so at most 7 additions may
-#      register as driver-facing this round — more would silently
-#      evict priority names at the [:50] truncation (guarded below).
-#   3. _REPINS_R6 — flagship + highest-traffic bench names fill any
-#      remaining tail slots; each already holds a fresh r4/r5 verdict,
-#      so displacement never loses evidence.
+# driver verdict each round. CORRECTNESS_r06 came back 50/50 green:
+# entering round 7 all 179 ever-driver-checked queries hold a green
+# latest verdict (distribution r6=50, r5=49, r4=40, r3=40) and the 10
+# late-round-6 additions are registered-but-unchecked. Round 7 executes
+# the rotation recorded in round 6 (VERDICT r6 item 1) exactly:
+#   1. _NEW_R7 — the 10 round-6 additions with NO driver verdict yet
+#      (the r6 window was full when they landed; each verified locally
+#      at sf0.001/sf0.01/sf1 — docs/ROUND6.md). They lead so a failure
+#      can't be hidden by the [:50] cut.
+#   2. _PRIORITY_R7 — exactly the 40 names whose latest verdict is
+#      r3-era (computed from CORRECTNESS_r01–r06). Their verdicts
+#      predate the round-5 regex/decimal/cap fixes and two rounds of
+#      shared-helper refactors. After this round the oldest
+#      repo-wide verdict tier becomes r4.
+#   3. Zero re-pin slots: 10 + 40 fill the window exactly. Queries
+#      ADDED during round 7 (streaming-ANN drift audit, BM25) register
+#      BEHIND the window and are recorded below as the r8 window's
+#      mandatory leaders — the same cadence that carried the round-6
+#      additions here.
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
 # AUDIT_REGISTRY — queries() stays 100% oracle-backed.
 #
-# ROUND-7 ROTATION PLAN: if CORRECTNESS_r06 comes back 50/50 green,
-# the oldest tier becomes the 40 r3-era names (ann_ivf_topk,
-# asof_latest_order, cdc_filter_project, kmeans_cluster_sizes, the
-# q3/q5/q6 analogs, ...). Round 7 window = _NEW_R7 + those 40
-# oldest-first + re-pins. If any r6 window name fails, it leads the
-# round-7 window after repair. _NEW_R7 MUST start with the five
-# late-round-6 additions, which have NO driver verdict yet (the r6
-# window was already full when they landed; each is verified at
-# sf0.001/sf0.01/sf1 locally — see docs/ROUND6.md): pagerank_copurchase,
-# split_leakage_audit, domain_signature_terms,
-# lsh_precision_recall_audit, dedup_method_agreement,
-# cluster_safe_split, tokenizer_fertility_by_lang,
-# split_representativeness_audit, and (wave 3) token_balanced_shards
-# and pq_adc_recall. That is 10 additions + 40 r3-era names = the
-# full round-7 window with zero re-pin slots — the soft cap is
-# reached; any further round-6 addition would push an r3-era name's
-# refresh to round 8. Do not add more this round.
-_PRIORITY_R6 = [
-    # the 43 r2-era names, §2/goal-parity core first
-    "occupancy_rate_by_region",
-    "q2_min_cost_supplier",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping_counts",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_predicate",
-    "q20_excess_suppliers",
-    "q21_sole_supplier_orders",
-    "q22_idle_customers",
-    "conditional_aggregates",
-    "histogram_totalprice",
-    "listagg_region_nations",
-    "median_disc_quantity",
-    "percentile_quantities",
-    "resample_ffill_hourly",
-    "rollup_with_grouping_id",
-    "unpivot_part_measures",
-    "window_range_frame",
-    "window_rows_frame_dist",
-    "pandas_udf_quality",
-    # LLM-pipeline tier
-    "array_functions_embeddings",
-    "bpe_ish_token_count",
-    "chunk_documents",
-    "dedup_keep_first",
-    "doc_fingerprint",
-    "doc_repetition_stats",
-    "embedding_norms",
-    "hash_split_train_test",
-    "label_centroids",
-    "langid_heuristic",
-    "media_meta",
-    "ngram_jaccard_pairs",
-    "simhash_signatures",
-    "stratified_hash_sample",
-    "text_quality_stats",
-    "training_data_pipeline",
+# ROUND-8 ROTATION PLAN: if CORRECTNESS_r07 comes back 50/50 green,
+# the oldest tier becomes the 40 r4-era names. Round 8 window =
+# _NEW_R8 (every round-7 addition, appended the day it lands — see
+# _NEW_R8 below) + the r4-era names oldest-first, capped at 50. If any
+# r7 window name fails, it leads the round-8 window after repair.
+_NEW_R7 = [
+    # the 10 late-round-6 registrations, driver-unchecked until now
+    "pagerank_copurchase",
+    "pq_adc_recall",
+    "token_balanced_shards",
+    "split_leakage_audit",
+    "domain_signature_terms",
+    "lsh_precision_recall_audit",
+    "dedup_method_agreement",
+    "cluster_safe_split",
+    "tokenizer_fertility_by_lang",
+    "split_representativeness_audit",
 ]
 
-_NEW_R6: list[str] = [
-    # four names changed live behavior or oracle contract this round
-    # (fresh verdicts needed on the changed semantics), three are new
-    # registrations:
-    "copurchase_triangle_stats",  # oracle rewritten to the adjacency-intersection form (runs at sf1)
-    "weighted_median_quantity",  # weights now floor() on both engines (ADVICE r5)
-    "image_phash_neardup",  # synthetic image space now scales with the corpus (sf1 artifact fix)
-    "semantic_dedup_pairs",  # oracle pair scoring rewritten to in-row list folds (sf1 oracle cost)
-    "ivf_kmeans_recall_curve",  # NEW: the recall curve with the kmeans-learned coarse quantizer
-    "mixture_weights_by_lang",  # NEW: temperature (alpha=0.5) data-mixture allocation planner
-    "context_length_waste_curve",  # NEW: truncation/padding loss per candidate context length
-]
-
-_REPINS_R6 = [
-    # flagship + §2 core re-pins — fill tail slots ONLY if priority +
-    # new leave room ([:50] cuts from here first; all three hold fresh
-    # r5 verdicts, so being cut loses nothing). This round 43 + 7 fill
-    # the window exactly and none of these enter it.
-    "flagship_enrich",
-    "q1_pricing_summary",
+_PRIORITY_R7 = [
+    # the 40 r3-era names, §2/goal-parity core first
     "cdc_filter_project",
+    "temporal_active_filter",
+    "timestamp_parse_roundtrip",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "asof_latest_order",
+    "range_join_error_context",
+    "session_window_agg",
+    "sliding_window_counts",
+    "window_lag_lead_ntile",
+    "stats_variance_exact",
+    "monthly_revenue_trend",
+    "cohort_retention",
+    "funnel_conversion",
+    "date_arithmetic_orders",
+    "grouped_agg_pandas_udf",
+    "ingest_batch_pipeline",
+    "posexplode_tokens",
+    "props_map_entries",
+    # LLM-pipeline tier
+    "ann_ivf_topk",
+    "kmeans_cluster_sizes",
+    "neardup_cluster_assign",
+    "dup_span_ladder",
+    "passage_dedup_stats",
+    "fuzzy_dup_parts",
+    "cdc_rolling_hash_chunks",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bigram_familiarity_score",
+    "textrank_keywords",
+    "tfidf_top_terms",
+    "token_frequency_top100",
+    "quality_classifier_score",
+    "quota_sample_per_lang",
+    "temperature_mix_sample",
+    "weighted_sample_topk",
+    "pack_sequences",
+    "audio_features_wav",
+    "video_frame_sample",
 ]
 
-_WINDOW_R6 = (*_PRIORITY_R6, *_NEW_R6, *_REPINS_R6)[:50]
+_NEW_R8: list[str] = [
+    # Round-7 additions: they register BEHIND the full r7 window, get
+    # verified locally at sf0.001/sf0.01/sf1, and MUST lead the
+    # round-8 window. Append every new round-7 registration here the
+    # day it lands (names planned for this round, per VERDICT r6 items
+    # 3-4: ann_index_staleness_audit, bm25_topk_docs,
+    # decontaminate_by_retrieval).
+]
 
-# Everything the round owes a verdict — the 43 stale-evidence names AND
-# every round-6 addition/behavior change — must survive the [:50]
-# truncation. (Priority names lead the tuple and cannot be cut; the
-# _NEW_R6 tail is what an 8th addition would silently evict.)
-assert len(_PRIORITY_R6) + len(_NEW_R6) <= 50, (
-    "round-6 window overflows: an addition would fall out of the driver "
-    "window and ship without a verdict; move a priority name out instead"
+_WINDOW_R7 = (*_NEW_R7, *_PRIORITY_R7)[:50]
+
+# Everything the round owes a verdict — the 10 unchecked round-6
+# additions AND the 40 stale-evidence names — must survive the [:50]
+# truncation. The window is exactly full: a round-7 addition placed in
+# the window would silently evict a priority name, so additions go to
+# _NEW_R8 instead (asserted disjoint below).
+assert len(_NEW_R7) + len(_PRIORITY_R7) == 50, (
+    "round-7 window must be exactly the 10 unchecked + 40 r3-era names"
 )
-assert all(n in _WINDOW_R6 for n in (*_PRIORITY_R6, *_NEW_R6))
+assert all(n in _WINDOW_R7 for n in (*_NEW_R7, *_PRIORITY_R7))
+assert not set(_NEW_R8) & set(_WINDOW_R7), (
+    "round-7 additions may not displace window names; they take the r8 window"
+)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R6 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R7 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R6) != len(set(_WINDOW_R6)):
+    if len(_WINDOW_R7) != len(set(_WINDOW_R7)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R6 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R7 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R6 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R6 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R6, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R7 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R7 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R7, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
