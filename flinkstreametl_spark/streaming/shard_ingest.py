@@ -33,14 +33,25 @@ State design (the neardup_ingest conventions):
   #batches-sized table, never an aggregation over the corpus — this is
   what keeps per-batch work proportional to the batch. The totals
   append is the COMMIT POINT: a batch whose key is already present is
-  a redelivery and no-ops entirely.
-- Crash between the two appends (assignments landed, totals did not):
-  the replay's anti-join assigns nothing new, and the totals row it
-  then commits sums the assignment rows CARRYING THIS BATCH'S KEY —
+  a redelivery and no-ops entirely. The key fingerprints doc_ids AND
+  text content, so only a byte-identical redelivery takes the no-op
+  fast path — a retry carrying changed text gets a fresh key and runs
+  the normal path (its already-placed doc_ids are skipped by the
+  anti-join; placement is first-writer-wins per doc_id).
+- Crash between the two appends (assignments landed — possibly only a
+  PARTIAL file subset if the crash hit mid job-commit — totals did
+  not): the replay re-derives the batch's placement over the SAME
+  fresh set at the SAME start offset (placement is deterministic in
+  (bucket, hkey, doc_id) order), so every row lands at the offset the
+  crashed attempt chose; rows already on disk under this batch's key
+  are anti-joined away before the append, so orphans are never
+  duplicated and the survivors fill exactly the offsets the orphans
+  left free — a closed shard can never exceed capacity + max_doc. The
+  totals row then sums the assignment rows CARRYING THIS BATCH'S KEY,
   so the orphaned rows' tokens enter the total exactly once. A doc
-  redelivered in a LATER, different batch is dropped by the anti-join
-  and its row keeps the key of the batch that wrote it, so it can
-  never be counted twice either.
+  redelivered in a LATER, different batch is dropped by the fresh-set
+  anti-join and its row keeps the key of the batch that wrote it, so
+  it can never be counted twice either.
 
 Single-writer (Structured Streaming serializes batches), at-least-once
 safe; a multi-writer deployment would swap the two directories for a
@@ -74,19 +85,28 @@ def _load_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 
 def _batch_key(batch_df: DataFrame) -> str:
-    """Deterministic fingerprint of a micro-batch's doc_id set (order-
-    independent integer folds of per-id md5 prefixes), so a redelivered
-    batch maps to the same key on any partitioning."""
+    """Deterministic fingerprint of a micro-batch's CONTENT — per-row
+    md5 over (doc_id, md5(text)) folded with order-independent
+    aggregates — so a redelivered batch maps to the same key on any
+    partitioning, and a batch with the same ids but DIFFERENT text gets
+    a different key (ADVICE r7: a doc_id-only key silently no-opped
+    changed-text retries). Folds: bit_xor of a 48-bit prefix (exact,
+    overflow-free) plus a sum of a 32-bit suffix (order-independent;
+    bounded by 2^32 per row, so ANSI-safe to ~2^31-row micro-batches —
+    far past any realistic trigger size)."""
+    ch = F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.md5(F.coalesce(F.col("text"), F.lit("")))))
     row = batch_df.agg(
         F.coalesce(
-            F.sum(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")),
-            F.lit(0).cast("long"),
-        ).alias("h"),
+            F.bit_xor(F.conv(F.substring(ch, 1, 12), 16, 10).cast("long")), F.lit(0).cast("long")
+        ).alias("hx"),
+        F.coalesce(
+            F.sum(F.conv(F.substring(ch, 13, 8), 16, 10).cast("long")), F.lit(0).cast("long")
+        ).alias("hs"),
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.min("doc_id"), F.lit(-1)).alias("lo"),
         F.coalesce(F.max("doc_id"), F.lit(-1)).alias("hi"),
     ).collect()[0]
-    return f"{row.h}:{row.n}:{row.lo}:{row.hi}"
+    return f"{row.hx}:{row.hs}:{row.n}:{row.lo}:{row.hi}"
 
 
 def _placed(batch_docs: DataFrame, start_offset: int, capacity: int) -> DataFrame:
@@ -152,14 +172,25 @@ def process_batch(
 
     start = totals.agg(F.coalesce(F.sum("batch_tokens"), F.lit(0).cast("long"))).collect()[0][0]
 
+    # Replay-safe placement (ADVICE r7): the fresh set excludes docs
+    # assigned by OTHER batches only — rows already on disk under THIS
+    # key are a partial commit of this very batch (crash mid
+    # job-commit), and excluding them from placement would shift the
+    # survivors onto the offsets the orphans already occupy (a closed
+    # shard could reach ~2x capacity). Instead the full fresh set is
+    # re-placed — deterministic in (bucket, hkey, doc_id) order at the
+    # same start offset, so it reproduces the crashed attempt's
+    # placement exactly — and the already-written subset is anti-joined
+    # away just before the append.
     assigned = _load_or_empty(spark, assign_path, _ASSIGN_SCHEMA)
-    fresh = batch_df.join(assigned.select("doc_id"), "doc_id", "left_anti")
-    placed = (
-        _placed(fresh, int(start), capacity)
-        .withColumn("batch_key", F.lit(key))
-        .localCheckpoint()
+    fresh = batch_df.join(
+        assigned.filter(F.col("batch_key") != key).select("doc_id"), "doc_id", "left_anti"
     )
-    placed.write.mode("append").parquet(assign_path)
+    placed = _placed(fresh, int(start), capacity).withColumn("batch_key", F.lit(key))
+    to_write = placed.join(
+        assigned.filter(F.col("batch_key") == key).select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint()
+    to_write.write.mode("append").parquet(assign_path)
 
     # The totals row sums the assignment rows carrying THIS batch's key
     # — identical to sum(placed) on the clean path, and on a

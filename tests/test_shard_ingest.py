@@ -120,6 +120,68 @@ def test_redelivered_batch_is_noop_and_duplicates_skipped(spark, sf_dir, tmp_pat
     assert {r.doc_id for r in final} == {r.doc_id for r in rows if len(r.text.split()) > 0}
 
 
+def test_partial_assignments_commit_replay_reproduces_placement(spark, sf_dir, tmp_path):
+    """ADVICE r7 item 1: a crash mid job-commit can leave only a SUBSET
+    of the batch's assignment rows on disk. The replay must reproduce
+    the crashed attempt's placement exactly (same offsets for every
+    doc), never re-place the survivors at the orphans' offsets — the
+    interleaving that let a closed shard reach ~2x capacity."""
+    rows = _docs_rows(spark, sf_dir, 0, 90)
+    sdir = str(tmp_path / "state")
+    clean = str(tmp_path / "clean")
+    b1 = spark.createDataFrame([(r.doc_id, r.text) for r in rows[:30]], "doc_id LONG, text STRING")
+    b2 = spark.createDataFrame([(r.doc_id, r.text) for r in rows[30:]], "doc_id LONG, text STRING")
+    for d in (sdir, clean):
+        process_batch(spark, b1, d, capacity=CAP)
+
+    # simulate the torn append: place b2 fully, but only HALF its rows
+    # reach the assignments dir before the crash (totals never written)
+    b2p = b2.dropDuplicates(["doc_id"]).localCheckpoint()
+    key = _batch_key(b2p)
+    a, t = _state(spark, sdir)
+    start = t.agg(F.coalesce(F.sum("batch_tokens"), F.lit(0).cast("long"))).collect()[0][0]
+    full = (
+        _placed(b2p.join(a.select("doc_id"), "doc_id", "left_anti"), int(start), CAP)
+        .withColumn("batch_key", F.lit(key))
+        .localCheckpoint()
+    )
+    torn = full.orderBy("doc_id").limit(full.count() // 2).localCheckpoint()
+    torn.write.mode("append").parquet(os.path.join(sdir, ASSIGN_SUBDIR))
+    assert _state(spark, sdir)[1].filter(F.col("batch_key") == key).count() == 0
+
+    # replay b2 against the torn state; run it cleanly in the twin dir
+    process_batch(spark, b2, sdir, capacity=CAP)
+    process_batch(spark, b2, clean, capacity=CAP)
+
+    got = sorted((r.doc_id, r.n_tokens, r.shard) for r in _check_invariants(spark, sdir))
+    want = sorted((r.doc_id, r.n_tokens, r.shard) for r in _check_invariants(spark, clean))
+    assert got == want
+
+
+def test_changed_text_redelivery_is_not_swallowed(spark, sf_dir, tmp_path):
+    """ADVICE r7 item 2: the batch key fingerprints content, not just
+    the doc_id set — a retry with the same ids but different text must
+    take the normal path (distinct key, its own totals row), not the
+    byte-identical no-op fast path."""
+    rows = _docs_rows(spark, sf_dir, 0, 30)
+    sdir = str(tmp_path / "state")
+    b1 = spark.createDataFrame([(r.doc_id, r.text) for r in rows], "doc_id LONG, text STRING")
+    changed = spark.createDataFrame(
+        [(r.doc_id, r.text + " amended") for r in rows], "doc_id LONG, text STRING"
+    )
+    assert _batch_key(b1.localCheckpoint()) != _batch_key(changed.localCheckpoint())
+
+    process_batch(spark, b1, sdir, capacity=CAP)
+    process_batch(spark, changed, sdir, capacity=CAP)
+    a, t = _state(spark, sdir)
+    # placement is first-writer-wins per doc_id: no re-assignment...
+    assert a.count() == a.select("doc_id").distinct().count()
+    # ...but the changed-text batch is RECORDED (own totals row), not
+    # silently dropped as a redelivery
+    assert t.count() == 2
+    _check_invariants(spark, sdir)
+
+
 def test_crash_between_appends_recovers_exactly_once(spark, sf_dir, tmp_path):
     rows = _docs_rows(spark, sf_dir, 0, 60)
     sdir = str(tmp_path / "state")
