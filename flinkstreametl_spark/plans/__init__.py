@@ -21,6 +21,7 @@ from flinkstreametl_spark.plans import timeseries_ext as _timeseries_ext  # noqa
 from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import retrieval_ext as _retrieval_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -112,12 +113,10 @@ _PRIORITY_R7 = [
 ]
 
 _NEW_R8: list[str] = [
-    # Round-7 additions: they register BEHIND the full r7 window, get
-    # verified locally at sf0.001/sf0.01/sf1, and MUST lead the
-    # round-8 window. Append every new round-7 registration here the
-    # day it lands (names planned for this round, per VERDICT r6 items
-    # 3-4: ann_index_staleness_audit, bm25_topk_docs,
-    # decontaminate_by_retrieval).
+    # Round-8 additions, appended the day each lands (verified locally
+    # at sf0.001/sf0.01 on landing; they lead the round-8 window).
+    "bm25_topk_docs",
+    "decontaminate_by_retrieval",
 ]
 
 _WINDOW_R7 = (*_NEW_R7, *_PRIORITY_R7)[:50]
