@@ -22,6 +22,7 @@ from flinkstreametl_spark.plans import graph_ext as _graph_ext  # noqa: E402,F40
 from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import retrieval_ext as _retrieval_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -117,6 +118,7 @@ _NEW_R8: list[str] = [
     # at sf0.001/sf0.01 on landing; they lead the round-8 window).
     "bm25_topk_docs",
     "decontaminate_by_retrieval",
+    "ann_index_staleness_audit",
 ]
 
 _WINDOW_R7 = (*_NEW_R7, *_PRIORITY_R7)[:50]

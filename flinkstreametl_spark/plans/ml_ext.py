@@ -101,127 +101,69 @@ _KM_K = 8
 _KM_ITERS = 5
 
 
-_KM_FP = 1099511627776.0  # 2^40
+# Shared with streaming/ann_ingest.py since round 8 — the primitive
+# moved to operators/clustering.py (streaming modules import operators,
+# never plans); these aliases keep every existing call site and test
+# import stable.
+from flinkstreametl_spark.operators.clustering import (  # noqa: E402
+    KM_FP as _KM_FP,
+    kmeans_fit,
+)
 
 
-def kmeans_fit(emb: DataFrame, k: int = _KM_K, n_iters: int = _KM_ITERS):
-    """Lloyd's algorithm over the embedding table, fully deterministic
-    AND engine-exact (round 2): init = the k lowest vec_ids (no RNG),
-    fixed iteration count, and EVERY accumulation in 2^-40 fixed point —
-    assignment distances are per-element floor((x-c)²·2^40) summed as
-    int64 (ties broken by lowest cluster id), centroid updates are the
-    fixed-point mean (double(Σ floor(v·2^40)) / 2^40 / n, the
-    label_centroids scheme). Integer sums are associative, so the whole
-    5-iteration trajectory is partition-order independent and
-    reproducible in DuckDB CTE-by-CTE (_KMEANS_ORACLE).
-
-    Assignment is an Arrow-batched Pandas UDF (a (batch x k x dim)
-    numpy kernel against the broadcast centroid matrix — k x dim floats
-    in the closure, never a shuffle of pairs); new centroids come from
-    one groupBy per iteration; only k rows ever reach the driver per
-    iteration. Returns (centroids ndarray, assign_fn).
-
-    Empty clusters keep their previous centroid (standard Lloyd
-    fallback), preserving determinism.
-    """
-    import numpy as np
-    from pyspark.sql.functions import pandas_udf
-
-    # Iterative consumer: pin the input once (Spark's own KMeans caches
-    # its input the same way) — without this every Lloyd iteration
-    # re-reads and re-decodes the embedding parquet (measured: the fit
-    # dominated the recall-curve bench entry 6 scans deep).
-    emb = emb.localCheckpoint()
-    init_rows = sorted(
-        emb.orderBy("vec_id").limit(k).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
-    cents = np.array([r.embedding for r in init_rows], dtype=np.float64)
-
-    def make_assign(c_mat: "np.ndarray"):
-        @pandas_udf("long")
-        def assign(emb_s):
-            M = np.array(emb_s.tolist(), dtype=np.float64)
-            diff = M[:, None, :] - c_mat[None, :, :]
-            d = np.floor(diff * diff * _KM_FP).astype(np.int64).sum(axis=2)
-            import pandas as pd
-
-            # np.argmin takes the FIRST minimum -> lowest cluster id on
-            # ties, matching the oracle's ORDER BY dist, cluster.
-            return pd.Series(np.argmin(d, axis=1).astype(np.int64))
-
-        return assign
-
-    for _ in range(n_iters):
-        assign = make_assign(cents)
-        assigned = emb.select("vec_id", "embedding", assign(F.col("embedding")).alias("cluster"))
-        ex = assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
-        means = (
-            ex.groupBy("cluster", "pos")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("val").cast("double") * F.lit(_KM_FP)).cast("long")).cast("double")
-                    / F.lit(_KM_FP)
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("cs"))
-            .select("cluster", F.transform("cs", lambda s: s["m"]).alias("centroid"))
-            .collect()
-        )
-        new = cents.copy()
-        for r in means:
-            new[r.cluster] = np.array(r.centroid, dtype=np.float64)
-        cents = new
-
-    final_assign = make_assign(cents)
-
-    def assign_df(df: DataFrame) -> DataFrame:
-        return df.withColumn("cluster", final_assign(F.col("embedding")))
-
-    return cents, assign_df
-
-
-def _kmeans_ctes(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
+def _kmeans_ctes(
+    k: int = _KM_K, iters: int = _KM_ITERS, *, prefix: str = "", where: str = ""
+) -> str:
     """Chained-CTE Lloyd mirror (the WITH prefix shared by every
     kmeans-derived oracle): c0 = k lowest-id embeddings; per iteration,
     fixed-point distances -> argmin assignment (tie-break by cluster
     id) -> fixed-point centroid means with the empty-cluster
     carry-forward. The final assignment lives in a{iters+1}; exploded
     vector elements in e. Every accumulation is int64, so the
-    trajectory is bit-identical to the Spark/pandas implementation."""
+    trajectory is bit-identical to the Spark/pandas implementation.
+
+    ``prefix`` renames every CTE (e -> {prefix}e, c0 -> {prefix}c0, …)
+    and ``where`` restricts the FIT SET (a SQL predicate over
+    embeddings), so two Lloyd chains — e.g. a stale fit over the base
+    corpus and a re-fit over base+arrivals — can coexist in one oracle
+    (ann_index_staleness_audit). Defaults reproduce the historical
+    unprefixed full-corpus chain byte-for-byte. Note the leading WITH
+    is emitted only for the unprefixed chain's callers to join with
+    ",\\n"."""
     fp = "1099511627776.0"
+    p = prefix
+    wh = f" WHERE {where}" if where else ""
     ctes = [
-        "e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
-        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings)",
-        f"init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster"
-        f" FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}) t)",
-        "c0 AS (SELECT i.cluster, e.pos, e.val AS cval FROM init i JOIN e ON e.vec_id = i.vec_id)",
+        f"{p}e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,"
+        f" CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings{wh})",
+        f"{p}init AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster"
+        f" FROM (SELECT vec_id FROM embeddings{wh} ORDER BY vec_id LIMIT {k}) t)",
+        f"{p}c0 AS (SELECT i.cluster, e.pos, e.val AS cval"
+        f" FROM {p}init i JOIN {p}e e ON e.vec_id = i.vec_id)",
     ]
     for i in range(1, iters + 2):  # iters updates + one final assignment
-        prev = f"c{i - 1}"
+        prev = f"{p}c{i - 1}"
         ctes.append(
-            f"d{i} AS (SELECT e.vec_id, c.cluster,"
+            f"{p}d{i} AS (SELECT e.vec_id, c.cluster,"
             f" SUM(CAST(floor((e.val - c.cval) * (e.val - c.cval) * {fp}) AS BIGINT)) AS dist"
-            f" FROM e JOIN {prev} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster)"
+            f" FROM {p}e e JOIN {prev} c ON e.pos = c.pos GROUP BY e.vec_id, c.cluster)"
         )
         ctes.append(
-            f"a{i} AS (SELECT vec_id, cluster FROM ("
+            f"{p}a{i} AS (SELECT vec_id, cluster FROM ("
             f"SELECT vec_id, cluster, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn"
-            f" FROM d{i}) t WHERE rn = 1)"
+            f" FROM {p}d{i}) t WHERE rn = 1)"
         )
         if i <= iters:
             ctes.append(
-                f"cm{i} AS (SELECT a.cluster, e.pos,"
+                f"{p}cm{i} AS (SELECT a.cluster, e.pos,"
                 f" CAST(SUM(CAST(floor(e.val * {fp}) AS BIGINT)) AS DOUBLE) / {fp} / COUNT(*) AS cval"
-                f" FROM a{i} a JOIN e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.pos)"
+                f" FROM {p}a{i} a JOIN {p}e e ON e.vec_id = a.vec_id GROUP BY a.cluster, e.pos)"
             )
             ctes.append(
-                f"c{i} AS (SELECT p.cluster, p.pos, coalesce(m.cval, p.cval) AS cval"
-                f" FROM {prev} p LEFT JOIN cm{i} m ON m.cluster = p.cluster AND m.pos = p.pos)"
+                f"{p}c{i} AS (SELECT p.cluster, p.pos, coalesce(m.cval, p.cval) AS cval"
+                f" FROM {prev} p LEFT JOIN {p}cm{i} m ON m.cluster = p.cluster AND m.pos = p.pos)"
             )
-    return "WITH " + ",\n".join(ctes)
+    return ("WITH " if not p else "") + ",\n".join(ctes)
 
 
 def _kmeans_oracle(k: int = _KM_K, iters: int = _KM_ITERS) -> str:
