@@ -62,6 +62,9 @@ _NEW_R8: list[str] = [
     "bm25_topk_docs",
     "decontaminate_by_retrieval",
     "ann_index_staleness_audit",
+    "ngram_repetition_stats",
+    "mrl_truncation_recall",
+    "domain_budget_allocation",
 ]
 
 _PRIORITY_R8 = [

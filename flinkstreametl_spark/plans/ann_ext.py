@@ -262,3 +262,125 @@ def ann_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("index_state", "nprobe")
     )
+
+
+# Matryoshka truncation audit: production multi-resolution retrieval
+# serves the FIRST d dimensions of each embedding (coarse search on a
+# prefix, exact rerank on the full width). The audit measures what each
+# prefix width costs in recall against the full-width truth.
+_MRL_DIMS = [8, 16, 32, 64]  # 64 = the fixture embedding width -> recall 1.0 anchor
+
+
+def _mrl_oracle() -> str:
+    dims = ", ".join(str(d) for d in _MRL_DIMS)
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings),
+q AS (SELECT vec_id, pos, val FROM e WHERE vec_id < {_NQ}),
+dims AS (SELECT CAST(unnest([{dims}]) AS BIGINT) AS dim),
+sc AS (
+    SELECT d.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           SUM(CAST(floor(q.val * c.val * {_FP}) AS BIGINT)) AS dot,
+           SUM(CAST(floor(q.val * q.val * {_FP}) AS BIGINT)) AS qq,
+           SUM(CAST(floor(c.val * c.val * {_FP}) AS BIGINT)) AS cc
+    FROM q JOIN e c ON q.pos = c.pos AND q.vec_id <> c.vec_id
+    JOIN dims d ON q.pos < d.dim
+    GROUP BY 1, 2, 3
+),
+topd AS (
+    SELECT dim, query_id, neighbor_id FROM (
+        SELECT dim, query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dim, query_id
+                   ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                            neighbor_id) AS rk
+        FROM sc
+    ) t WHERE rk <= {_QK}
+),
+full_top AS (SELECT query_id, neighbor_id FROM topd WHERE dim = {_MRL_DIMS[-1]}),
+hits AS (
+    SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM topd t
+    WHERE EXISTS (SELECT 1 FROM full_top x
+                  WHERE x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id)
+    GROUP BY t.dim
+)
+SELECT d.dim, COALESCE(h.n_overlap, 0) AS n_overlap,
+       CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / ({_NQ}.0 * {_QK}.0) AS recall_at_{_QK}
+FROM dims d LEFT JOIN hits h ON h.dim = d.dim
+ORDER BY d.dim
+"""
+
+
+@register(
+    "mrl_truncation_recall",
+    tags=("ext", "llm", "similarity", "quality-curve"),
+    oracle=_mrl_oracle(),
+)
+def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (prefix-truncation) recall curve: brute-force top-10
+    by fixed-point cosine over the first d in {8, 16, 32, 64}
+    dimensions of each embedding, scored against the full-width (d=64)
+    top-10 as truth. The d=64 row must read recall 1.0 — a prefix as
+    wide as the vector IS the exact search, anchoring the harness.
+    This is the audit behind a multi-resolution ANN deployment
+    (coarse-search a narrow prefix, rerank the survivors full-width):
+    it prices each prefix width in recall before committing index
+    storage to it.
+
+    Plan shape: ONE pass over the candidates — the 5 query vectors
+    broadcast, every (query, candidate) pair scores all four prefix
+    widths in-row (slice + the cosine_col_fp fixed-point fold, pure
+    JVM), and the stacked (dim, pair, score) frame feeds a per-
+    (dim, query) top-k window. Nothing rescans per width; nothing
+    leaves fixed point, so the DuckDB oracle (prefix filter on the
+    exploded positions) matches bit-for-bit."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    q = emb.filter(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    stacked = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("dim"),
+                        S.cosine_col_fp(
+                            F.slice(F.col("q_emb"), 1, d), F.slice(F.col("c_emb"), 1, d)
+                        ).alias("cosine"),
+                    )
+                    for d in _MRL_DIMS
+                ]
+            )
+        ).alias("dc"),
+    ).select("query_id", "neighbor_id", F.col("dc.dim").alias("dim"), F.col("dc.cosine").alias("cosine"))
+    w = Window.partitionBy("dim", "query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    topd = (
+        stacked.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _QK)
+        .select("dim", "query_id", "neighbor_id")
+        .localCheckpoint()  # truth and every width slice reuse it
+    )
+    full_top = topd.filter(F.col("dim") == _MRL_DIMS[-1]).select("query_id", "neighbor_id")
+    hits = (
+        topd.join(full_top, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    dims_df = spark.range(1).select(
+        F.explode(F.array(*[F.lit(d).cast("long") for d in _MRL_DIMS])).alias("dim")
+    )
+    return (
+        dims_df.join(hits, "dim", "left")
+        .select(
+            "dim",
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(float(_NQ * _QK))).alias(
+                f"recall_at_{_QK}"
+            ),
+        )
+        .orderBy("dim")
+    )

@@ -16,6 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 
@@ -930,4 +931,119 @@ def split_representativeness_audit(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("(10000 * n) div s_split").alias("share_bp"),
         F.expr("(10000 * s_label) div s_all").alias("global_share_bp"),
         F.expr("(10000 * n) div s_split - (10000 * s_label) div s_all").alias("dev_bp"),
+    )
+
+
+# --- domain_budget_allocation -------------------------------------------
+# Water-filling token-budget allocation across sources (the data-mixing
+# step of a training run: a fixed token budget, per-domain supplies, no
+# domain allowed to crowd out the rest). Exact integer arithmetic
+# throughout, so the driver hash gate holds.
+_BUDGET_NUM, _BUDGET_DEN = 3, 5  # budget = 60% of the corpus supply
+
+_ALLOC_ORACLE = f"""
+WITH s AS (
+    SELECT source, CAST(SUM(len({{toks}})) AS BIGINT) AS supply
+    FROM documents GROUP BY source
+),
+b AS (
+    SELECT CAST((SUM(supply) * {_BUDGET_NUM}) // {_BUDGET_DEN} AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s
+),
+r AS (
+    SELECT source, supply,
+           ROW_NUMBER() OVER (ORDER BY supply, source) AS k,
+           CAST(SUM(supply) OVER (ORDER BY supply, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pk
+    FROM s
+),
+j AS (
+    SELECT MIN(k) AS j FROM r, b WHERE supply * (n - k + 1) > budget - (pk - supply)
+),
+cap AS (
+    SELECT (b.budget - (r.pk - r.supply)) // (b.n - r.k + 1) AS cap,
+           (b.budget - (r.pk - r.supply)) % (b.n - r.k + 1) AS rem
+    FROM r, b, j WHERE r.k = j.j
+)
+SELECT r.source, r.supply AS supply_tokens,
+       CAST(CASE WHEN j.j IS NULL OR r.k < j.j THEN r.supply
+            ELSE cap.cap + (CASE WHEN r.k - j.j < cap.rem THEN 1 ELSE 0 END)
+       END AS BIGINT) AS alloc_tokens,
+       (j.j IS NOT NULL AND r.k >= j.j) AS capped
+FROM r LEFT JOIN j ON TRUE LEFT JOIN cap ON TRUE
+ORDER BY r.source
+"""
+
+
+@register(
+    "domain_budget_allocation",
+    tags=("ext", "llm", "sampling", "mixing"),
+    oracle=_ALLOC_ORACLE.format(toks=X.sql_tokens("text")),
+)
+def domain_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources — the
+    data-mixing planner: given a training budget of 60% of the corpus'
+    tokens, small domains contribute everything they have and large
+    domains are capped at the common water level, chosen so the
+    allocations sum EXACTLY to the budget (the integer remainder goes
+    +1 to the first capped domains in (supply, source) order).
+    Classic max-min fair allocation, all in int64: the capped level is
+    cap = (budget - supply_of_uncapped) div n_capped.
+
+    Shape: the corpus-sized work is one tokenize + per-source sum
+    (map-side combine, one exchange on source). Everything after runs
+    on the DOMAIN table — orders of magnitude smaller than the corpus
+    (tens to thousands of rows at 100 TB), so the single-partition
+    window over it is a deliberate bounded choice, the same reasoning
+    as vocab_coverage_curve's vocabulary window. The first-capped
+    index and water level are 1-row aggregates joined back by
+    broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = (
+        docs.select("source", F.size(X.tokens("text")).cast("long").alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("supply"))
+    )
+    b = s.agg(
+        F.expr(f"(SUM(supply) * {_BUDGET_NUM}) div {_BUDGET_DEN}").alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("supply", "source")
+    r = s.select(
+        "source",
+        "supply",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("supply").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("pk"),
+    ).crossJoin(F.broadcast(b))
+    j = r.agg(
+        F.min(
+            F.when(
+                F.col("supply") * (F.col("n") - F.col("k") + 1)
+                > F.col("budget") - (F.col("pk") - F.col("supply")),
+                F.col("k"),
+            )
+        ).alias("j")
+    )
+    rj = r.crossJoin(F.broadcast(j))
+    cap = rj.filter(F.col("k") == F.col("j")).select(
+        F.expr("(budget - (pk - supply)) div (n - k + 1)").alias("cap"),
+        F.expr("(budget - (pk - supply)) % (n - k + 1)").alias("rem"),
+    )
+    alloc = F.when(
+        F.col("j").isNull() | (F.col("k") < F.col("j")), F.col("supply")
+    ).otherwise(
+        F.col("cap") + F.when(F.col("k") - F.col("j") < F.col("rem"), F.lit(1)).otherwise(F.lit(0))
+    )
+    # cap is a 1-row (or empty) frame: left cross-joinable via a
+    # broadcast nested loop without a key.
+    return (
+        rj.join(F.broadcast(cap), F.lit(True), "left")
+        .select(
+            "source",
+            F.col("supply").alias("supply_tokens"),
+            alloc.cast("long").alias("alloc_tokens"),
+            (F.col("j").isNotNull() & (F.col("k") >= F.col("j"))).alias("capped"),
+        )
+        .orderBy("source")
     )

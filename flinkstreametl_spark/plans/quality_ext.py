@@ -164,3 +164,122 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_freq",
         (F.col("cum_freq").cast("double") / F.col("total")).alias("cum_frac"),
     )
+
+
+# Gopher's n-gram repetition family (the half gopher_quality_gate does
+# not cover: that gate bounds DISTINCT-token and top-TOKEN fractions;
+# these bound positional n-gram repetition — boilerplate and copy-paste
+# loops that unigram statistics cannot see). Thresholds placed at the
+# fixture distribution's tail (top-2-gram char frac p90 ≈ 0.066,
+# dup-3-gram char frac p99 ≈ 0.036) so the corpus has both keepers and
+# drops.
+_MAX_TOP2_FRAC = 0.06
+_MAX_DUP3_FRAC = 0.01
+
+_G2_SQL = "list_transform(range(1, len({c})), i -> {c}[i] || ' ' || {c}[i+1])"
+_G3_SQL = "list_transform(range(1, len({c}) - 1), i -> {c}[i] || ' ' || {c}[i+1] || ' ' || {c}[i+2])"
+
+_REP_ORACLE = f"""
+WITH base AS (SELECT doc_id, {X.sql_tokens("text")} AS c FROM documents),
+g2 AS (SELECT doc_id, unnest({_G2_SQL.format(c="c")}) AS g
+       FROM base WHERE len(c) >= 2),
+c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g2 GROUP BY 1, 2),
+s2 AS (SELECT doc_id, CAST(SUM(cnt * len(g)) AS BIGINT) AS tot2 FROM c2 GROUP BY 1),
+top2 AS (SELECT doc_id, g AS top_2gram, cnt AS top2_count,
+                CAST(cnt * len(g) AS BIGINT) AS top2_chars
+         FROM (SELECT doc_id, g, cnt,
+                      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+               FROM c2) t WHERE rn = 1),
+g3 AS (SELECT doc_id, unnest({_G3_SQL.format(c="c")}) AS g
+       FROM base WHERE len(c) >= 3),
+c3 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt FROM g3 GROUP BY 1, 2),
+s3 AS (SELECT doc_id, CAST(SUM(cnt * len(g)) AS BIGINT) AS tot3,
+              CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * len(g) ELSE 0 END) AS BIGINT) AS dup3
+       FROM c3 GROUP BY 1)
+SELECT s2.doc_id, top2.top_2gram, top2.top2_count,
+       CAST(top2.top2_chars AS DOUBLE) / s2.tot2 AS top2_char_frac,
+       CAST(s3.dup3 AS DOUBLE) / s3.tot3 AS dup3_char_frac,
+       (CAST(top2.top2_chars AS DOUBLE) / s2.tot2 <= {_MAX_TOP2_FRAC})
+         AND (CAST(s3.dup3 AS DOUBLE) / s3.tot3 <= {_MAX_DUP3_FRAC}) AS keep
+FROM s2 JOIN top2 USING (doc_id) JOIN s3 USING (doc_id)
+"""
+
+
+def _ngrams(toks, n: int):
+    """Positional word n-grams WITH duplicates (repetition is the
+    signal), guarded for short docs — Spark's sequence(1, stop)
+    DESCENDS for stop < 1 where DuckDB's range(1, stop) is empty."""
+    parts = lambda i: [F.element_at(toks, i + j) for j in range(n)]  # noqa: E731
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *parts(i)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "ngram_repetition_stats",
+    tags=("ext", "llm", "quality", "repetition"),
+    oracle=_REP_ORACLE,
+)
+def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher n-gram repetition filters: per document, the fraction of
+    2-gram characters covered by the single most frequent 2-gram
+    (boilerplate headers/footers) and the fraction of 3-gram characters
+    inside 3-grams occurring twice or more (copy-paste loops), each
+    bounded into a keep flag. Complements gopher_quality_gate, which
+    sees only unigram geometry.
+
+    Shape: the token array is materialized once per doc, n-grams come
+    from an array transform (no positional window, no extra shuffle —
+    the (doc_id, gram) aggregate is the only exchange, with map-side
+    partial aggregation). The top-2-gram pick is a per-doc row_number
+    with (count desc, gram) tie-break; all fractions are
+    integer-over-integer double divisions — bit-identical across
+    engines. At 100 TB this is the gopher_quality_gate plan with a
+    wider key (gram vs token): state stays bounded by per-doc gram
+    vocabulary; nothing is quadratic in document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("c"))
+    c2 = (
+        base.select("doc_id", F.explode(_ngrams(F.col("c"), 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s2 = c2.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.length("g")).alias("tot2"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "g")
+    top2 = (
+        c2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("g").alias("top_2gram"),
+            F.col("cnt").alias("top2_count"),
+            (F.col("cnt") * F.length("g")).alias("top2_chars"),
+        )
+    )
+    c3 = (
+        base.select("doc_id", F.explode(_ngrams(F.col("c"), 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s3 = c3.groupBy("doc_id").agg(
+        F.sum(F.col("cnt") * F.length("g")).alias("tot3"),
+        F.sum(
+            F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(F.lit(0))
+        ).alias("dup3"),
+    )
+    top2_frac = F.col("top2_chars").cast("double") / F.col("tot2")
+    dup3_frac = F.col("dup3").cast("double") / F.col("tot3")
+    return (
+        s2.join(top2, "doc_id")
+        .join(s3, "doc_id")
+        .select(
+            "doc_id",
+            "top_2gram",
+            "top2_count",
+            top2_frac.alias("top2_char_frac"),
+            dup3_frac.alias("dup3_char_frac"),
+            ((top2_frac <= _MAX_TOP2_FRAC) & (dup3_frac <= _MAX_DUP3_FRAC)).alias("keep"),
+        )
+    )
