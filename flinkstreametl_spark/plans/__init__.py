@@ -65,6 +65,7 @@ _NEW_R8: list[str] = [
     "ngram_repetition_stats",
     "mrl_truncation_recall",
     "domain_budget_allocation",
+    "bm25_index_staleness_audit",
 ]
 
 _PRIORITY_R8 = [

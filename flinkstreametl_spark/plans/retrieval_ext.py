@@ -37,6 +37,16 @@ _BM25_K = 10  # bm25_topk_docs depth
 _BM25_NQ = 3  # query docs (the suite's lowest-id convention)
 _RET_K = 5  # decontaminate_by_retrieval depth
 _PROBE_SOURCE = "src0"  # stand-in benchmark/eval corpus (pipeline_ext)
+# Eval suites are FIXED-SIZE: a benchmark has the same few thousand
+# items whether the training corpus is 1 GB or 100 TB. The fixture's
+# src0 instead grows with sf (it is 1/20 of the corpus), so an
+# unbounded probe set turns the audit quadratic AT THE FIXTURE — 2,500
+# probes x 47,500 training docs at sf1 with a 40-word vocabulary where
+# every term matches ~78% of docs (measured: the sf1 oracle ran >30 min
+# on the unbounded panel). The audit therefore pins the panel to the
+# _RET_PANEL lowest probe doc_ids — the fixed-benchmark model, keeping
+# cost linear in the corpus at every sf.
+_RET_PANEL = 100
 
 
 def bm25_topk(corpus: DataFrame, qterms: DataFrame, k: int) -> DataFrame:
@@ -178,16 +188,22 @@ _TRI_SQL = (
     " i -> {c}[i] || ' ' || {c}[i+1] || ' ' || {c}[i+2]))"
 )
 
+_PANEL_SQL = (
+    f"(SELECT doc_id FROM documents WHERE source = '{_PROBE_SOURCE}'"
+    f" ORDER BY doc_id LIMIT {_RET_PANEL})"
+)
+
 _RET_ORACLE = (
     _bm25_ctes(
         f"WHERE source <> '{_PROBE_SOURCE}'",
         f"SELECT doc_id AS query_id, unnest(list_distinct({X.sql_tokens('text')})) AS term"
-        f" FROM documents WHERE source = '{_PROBE_SOURCE}'",
+        f" FROM documents WHERE source = '{_PROBE_SOURCE}' AND doc_id IN {_PANEL_SQL}",
         _RET_K,
     )
     + f""",
 pb AS (SELECT doc_id AS query_id, {X.sql_tokens("text")} AS ptoks
-       FROM documents WHERE source = '{_PROBE_SOURCE}'),
+       FROM documents
+       WHERE source = '{_PROBE_SOURCE}' AND doc_id IN {_PANEL_SQL}),
 pg AS (SELECT query_id, unnest({_TRI_SQL.format(c="ptoks")}) AS gram FROM pb),
 tb AS (SELECT doc_id, {X.sql_tokens("text")} AS ttoks
        FROM documents
@@ -213,9 +229,11 @@ FROM topk k LEFT JOIN sh ON sh.query_id = k.query_id AND sh.doc_id = k.doc_id
 def decontaminate_by_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage benchmark decontamination (the production shape:
     retrieval narrows, exact overlap confirms). Stage 1: every probe
-    document (source = src0, the stand-in eval suite) retrieves its
-    BM25 top-5 from the TRAINING corpus (source <> src0; tf/df/dl
-    statistics over training docs only). Stage 2: each retrieved pair
+    document in the fixed-size eval panel (source = src0, the stand-in
+    eval suite, pinned to its 100 lowest ids — benchmarks don't grow
+    with the corpus; see _RET_PANEL) retrieves its BM25 top-5 from the
+    TRAINING corpus (source <> src0; tf/df/dl statistics over training
+    docs only). Stage 2: each retrieved pair
     is scored by its count of shared distinct word 3-grams — the
     decontaminate_ngram_hits unit — so a high-BM25 / zero-trigram pair
     reads as topical overlap, not contamination. Pairs with zero shared
@@ -230,10 +248,14 @@ def decontaminate_by_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair and probe-gram tables."""
     docs = load_table(spark, sf_dir, "documents")
     train = docs.filter(F.col("source") != _PROBE_SOURCE)
-    # Probe corpus is tiny by nature: tokenize it once, pin, and derive
-    # both the query terms and the confirm-stage grams from the pin.
+    # The probe panel is FIXED-SIZE (the _RET_PANEL lowest probe ids —
+    # see the module constant: benchmarks don't grow with the corpus):
+    # tokenize it once, pin, and derive both the query terms and the
+    # confirm-stage grams from the pin.
     probes = (
         docs.filter(F.col("source") == _PROBE_SOURCE)
+        .orderBy("doc_id")
+        .limit(_RET_PANEL)
         .select(F.col("doc_id").alias("query_id"), X.tokens("text").alias("toks"))
         .localCheckpoint()
     )
@@ -263,4 +285,188 @@ def decontaminate_by_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score_fp",
         "rk",
         F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_trigrams"),
+    )
+
+
+# --- bm25_index_staleness_audit -----------------------------------------
+# The sparse-retrieval twin of ann_index_staleness_audit: a streaming
+# inverted index (streaming/index_ingest.py) appends postings per batch
+# but keeps its ranking statistics (df, S, N) frozen at the last fit,
+# so BM25 rankings drift as the corpus grows. The audit replays that
+# state in-query: every 5th document "arrived after the stats fit"
+# (the ann_ext._ARRIVALS convention), postings cover everything, and
+# the same queries are ranked under the stale stats vs a re-fit.
+_STALE_ARRIVALS = "doc_id % 5 = 0"
+
+_BM25_STALE_ORACLE = f"""
+WITH base AS (SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              CAST(max(dl) AS BIGINT) AS dl
+       FROM tok GROUP BY doc_id, term),
+st_df AS (
+    SELECT 'stale' AS st, term, CAST(count(*) AS BIGINT) AS df
+    FROM tf WHERE NOT ({_STALE_ARRIVALS}) GROUP BY term
+    UNION ALL
+    SELECT 'refit' AS st, term, CAST(count(*) AS BIGINT) AS df
+    FROM tf GROUP BY term
+),
+st_tot AS (
+    SELECT 'stale' AS st, CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, max(dl) AS dl FROM tf WHERE NOT ({_STALE_ARRIVALS}) GROUP BY doc_id) b
+    UNION ALL
+    SELECT 'refit' AS st, CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id) f
+),
+q AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+      FROM base WHERE doc_id < {_BM25_NQ}),
+sc AS (
+    SELECT d.st, q.query_id, tf.doc_id,
+           CAST(SUM(
+               (((2 * t.n - 2 * d.df + 1) * {_FP}) // (2 * d.df + 1))
+               * ((22 * tf.tf * t.s * {_FP}) // (10 * tf.tf * t.s + 3 * t.s + 9 * tf.dl * t.n))
+               // {_FP}
+           ) AS BIGINT) AS score_fp
+    FROM q JOIN tf ON tf.term = q.term
+    JOIN st_df d ON d.term = q.term
+    JOIN st_tot t ON t.st = d.st
+    GROUP BY 1, 2, 3
+),
+topk AS (
+    SELECT st, query_id, doc_id, rk FROM (
+        SELECT st, query_id, doc_id,
+               row_number() OVER (PARTITION BY st, query_id
+                                  ORDER BY score_fp DESC, doc_id) AS rk
+        FROM sc
+    ) r WHERE rk <= {_BM25_K}
+),
+ov AS (
+    SELECT s.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM topk s JOIN topk f ON f.query_id = s.query_id AND f.doc_id = s.doc_id
+    WHERE s.st = 'stale' AND f.st = 'refit'
+    GROUP BY 1
+),
+t1 AS (
+    SELECT s.query_id, (s.doc_id = f.doc_id) AS top1_same
+    FROM topk s JOIN topk f ON f.query_id = s.query_id
+    WHERE s.st = 'stale' AND f.st = 'refit' AND s.rk = 1 AND f.rk = 1
+)
+SELECT o.query_id, o.n_overlap,
+       CAST(o.n_overlap AS DOUBLE) / {_BM25_K}.0 AS overlap_at_{_BM25_K},
+       t1.top1_same
+FROM ov o JOIN t1 ON t1.query_id = o.query_id
+ORDER BY o.query_id
+"""
+
+
+@register(
+    "bm25_index_staleness_audit",
+    tags=("ext", "llm", "retrieval", "audit", "streaming-twin"),
+    oracle=_BM25_STALE_ORACLE,
+)
+def bm25_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking drift of a STALE inverted index vs a re-fit one — the
+    in-query audit of the trade the streaming index maintenance makes
+    (streaming/index_ingest.py: postings append per micro-batch, but
+    df/S/N stay frozen until the growth-triggered stats re-fit).
+
+    Setup: every 5th document arrived after the stats fit. The STALE
+    statistics (per-term df, corpus size N, total length S) are
+    computed over the base 80% only; the REFIT statistics over
+    everything; postings (tf, dl) cover everything in both states —
+    exactly the index process_batch maintains. For the 3 standing query
+    docs, the fixed-point BM25 top-10 under each statistics snapshot is
+    compared: n_overlap/overlap@10 and whether the top-1 result
+    survives the re-fit. A term unseen by the stale stats would be
+    skipped (inner join on the stats vocabulary — an index cannot score
+    a term it has no df for); on these fixtures every term predates the
+    arrivals.
+
+    Plan shape: ONE corpus scan into the pinned (doc, term) tf
+    aggregate; both statistics snapshots re-aggregate tf (vocabulary-
+    and 1-row-sized, broadcast); the posting join runs once with the
+    2-state stats dimension attached, so the corpus-sized work does not
+    double. The overlap stage runs on the bounded top-k set."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+    sized = base.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = (
+        sized.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    is_base = ~F.expr(_STALE_ARRIVALS)
+    st_df = (
+        tf.filter(is_base)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.lit("stale").alias("st"), "term", "df")
+    ).unionByName(
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(F.lit("refit").alias("st"), "term", "df")
+    )
+    def _tot(frame, st):
+        return (
+            frame.groupBy("doc_id")
+            .agg(F.max("dl").alias("dl"))
+            .agg(F.sum("dl").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(F.lit(st).alias("st"), "s", "n")
+        )
+    st_tot = _tot(tf.filter(is_base), "stale").unionByName(_tot(tf, "refit"))
+    qterms = (
+        docs.filter(F.col("doc_id") < _BM25_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(X.tokens("text"))).alias("term"),
+        )
+    )
+    term_fp = F.expr(
+        f"(((2 * n - 2 * df + 1) * {_FP}) div (2 * df + 1))"
+        f" * ((22 * tf * s * {_FP}) div (10 * tf * s + 3 * s + 9 * dl * n))"
+        f" div {_FP}"
+    )
+    sc = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(st_df), "term")
+        .join(F.broadcast(st_tot), "st")
+        .groupBy("st", "query_id", "doc_id")
+        .agg(F.sum(term_fp).cast("long").alias("score_fp"))
+    )
+    w = Window.partitionBy("st", "query_id").orderBy(F.col("score_fp").desc(), "doc_id")
+    topk = (
+        sc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _BM25_K)
+        .select("st", "query_id", "doc_id", "rk")
+        .localCheckpoint()  # bounded (2 x queries x k); overlap + top1 reuse it
+    )
+    stale = topk.filter(F.col("st") == "stale")
+    refit = topk.filter(F.col("st") == "refit")
+    ov = (
+        stale.join(refit.select("query_id", "doc_id"), ["query_id", "doc_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    t1 = (
+        stale.filter(F.col("rk") == 1)
+        .select("query_id", F.col("doc_id").alias("d_s"))
+        .join(
+            refit.filter(F.col("rk") == 1).select("query_id", F.col("doc_id").alias("d_f")),
+            "query_id",
+        )
+        .select("query_id", (F.col("d_s") == F.col("d_f")).alias("top1_same"))
+    )
+    return (
+        ov.join(t1, "query_id")
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.lit(float(_BM25_K))).alias(
+                f"overlap_at_{_BM25_K}"
+            ),
+            "top1_same",
+        )
+        .orderBy("query_id")
     )

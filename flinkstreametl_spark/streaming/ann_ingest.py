@@ -57,11 +57,17 @@ from flinkstreametl_spark.operators.clustering import (
     assign_to_centroids,
     kmeans_fit,
 )
+from flinkstreametl_spark.streaming.versioned import (
+    CURRENT_FILE,
+    current_version as _current_version,
+    flip_current as _flip_current,
+    gc_orphans as _gc_orphans,
+    version_dir as _version_dir,
+)
 
 CENTROIDS_SUBDIR = "centroids"
 POSTINGS_SUBDIR = "postings"
 META_FILE = "meta.json"
-CURRENT_FILE = "CURRENT"
 
 POSTINGS_SCHEMA = "vec_id LONG, cluster LONG, embedding ARRAY<DOUBLE>"
 CENTROIDS_SCHEMA = "cluster LONG, centroid ARRAY<DOUBLE>"
@@ -70,43 +76,6 @@ CENTROIDS_SCHEMA = "cluster LONG, centroid ARRAY<DOUBLE>"
 #: fit-time corpus. 0.5 = re-fit at 1.5x growth — each re-fit is O(index)
 #: so the amortized maintenance cost stays O(1) per ingested vector.
 DEFAULT_REFIT_GROWTH = 0.5
-
-
-def _current_version(index_dir: str) -> int | None:
-    cur = os.path.join(index_dir, CURRENT_FILE)
-    if not os.path.exists(cur):
-        return None
-    with open(cur) as f:
-        return int(f.read().strip().lstrip("v"))
-
-
-def _version_dir(index_dir: str, version: int) -> str:
-    return os.path.join(index_dir, f"v{version}")
-
-
-def _flip_current(index_dir: str, version: int) -> None:
-    """Atomically point CURRENT at ``v{version}`` (write-temp +
-    os.replace — POSIX rename atomicity; readers see old or new,
-    never a torn pointer)."""
-    cur = os.path.join(index_dir, CURRENT_FILE)
-    tmp = cur + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(f"v{version}\n")
-    os.replace(tmp, cur)
-
-
-def _gc_orphans(index_dir: str) -> None:
-    """Remove version directories other than CURRENT — crash leftovers
-    from an interrupted build/refit (pre-flip: the orphan is the new
-    version; post-flip: the orphan is the superseded one)."""
-    live = _current_version(index_dir)
-    if live is None:
-        return
-    for name in os.listdir(index_dir):
-        if name.startswith("v") and name != f"v{live}":
-            path = os.path.join(index_dir, name)
-            if os.path.isdir(path):
-                shutil.rmtree(path)
 
 
 def _write_version(
