@@ -66,6 +66,7 @@ _NEW_R8: list[str] = [
     "mrl_truncation_recall",
     "domain_budget_allocation",
     "bm25_index_staleness_audit",
+    "profile_documents",
 ]
 
 _PRIORITY_R8 = [

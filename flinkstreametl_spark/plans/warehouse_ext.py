@@ -610,3 +610,87 @@ def scd2_point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "o_custkey", "l_shipdate",
         "status_at_ship", "status_since",
     )
+
+
+# --- profile_documents ---------------------------------------------------
+# One-pass column profiling (ANALYZE TABLE / dbt-docs shape): every
+# statistic for every column computed in a single aggregate over a
+# single scan, then unpivoted to one row per column. The stats are
+# chosen exact (no approx sketches) so the driver hash gate holds:
+# null counts, exact distinct counts, lexicographic min/max of the
+# string form, and total string length (avg derivable, kept integer).
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_PROFILE_ORACLE = (
+    "WITH t AS (SELECT "
+    + ", ".join(
+        f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS nn_{c},"
+        f" CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c},"
+        f" MIN(CAST({c} AS VARCHAR)) AS mn_{c},"
+        f" MAX(CAST({c} AS VARCHAR)) AS mx_{c},"
+        f" CAST(SUM(length(CAST({c} AS VARCHAR))) AS BIGINT) AS tl_{c}"
+        for c in _PROFILE_COLS
+    )
+    + ", CAST(COUNT(*) AS BIGINT) AS n FROM documents)\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, n AS n_rows, nn_{c} AS n_nulls,"
+        f" nd_{c} AS n_distinct, mn_{c} AS min_str, mx_{c} AS max_str,"
+        f" tl_{c} AS total_len FROM t"
+        for c in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)
+
+
+@register(
+    "profile_documents",
+    tags=("ext", "warehouse", "profiling"),
+    oracle=_PROFILE_ORACLE,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass table profile of the documents corpus: per
+    column, row count, null count, exact distinct count, lexicographic
+    min/max of the string form, and total string length — the ANALYZE
+    statistics a warehouse keeps per table (and the first thing a data
+    engineer runs against an unfamiliar 100 TB corpus).
+
+    Shape: ONE scan, ONE aggregate row carrying all 5 columns x 5
+    stats (count-distinct per column expands to the standard Spark
+    expand-aggregate — still a single pass of the scan), then a
+    5-row unpivot of that single row. Nothing shuffles on an unbounded
+    key; the exchange carries exactly one row per distinct-count
+    grouping. Exact distincts (not approx_count_distinct) keep the
+    result hash-stable across engines — the approx tier lives in
+    AUDIT_REGISTRY by design."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        sc = F.col(c).cast("string")
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+            F.min(sc).alias(f"mn_{c}"),
+            F.max(sc).alias(f"mx_{c}"),
+            F.sum(F.length(sc)).alias(f"tl_{c}"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("n"))
+    t = docs.agg(*aggs)
+    stacked = t.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("n").alias("n_rows"),
+                        F.col(f"nn_{c}").alias("n_nulls"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"mn_{c}").alias("min_str"),
+                        F.col(f"mx_{c}").alias("max_str"),
+                        F.col(f"tl_{c}").alias("total_len"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    return stacked.orderBy("col_name")
