@@ -67,6 +67,8 @@ _NEW_R8: list[str] = [
     "domain_budget_allocation",
     "bm25_index_staleness_audit",
     "profile_documents",
+    "pca_power_topcomp",
+    "hard_negative_mining",
 ]
 
 _PRIORITY_R8 = [

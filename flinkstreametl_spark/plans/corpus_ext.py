@@ -1064,3 +1064,136 @@ def domain_signature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("source", "term", "n_source", "rate_s_ppm", "rate_rest_ppm", "score_fp", "rk")
     )
+
+
+# --- asymmetric containment dedup (doc-in-doc) ---------------------------
+
+_CONT_TAU_NUM, _CONT_TAU_DEN = 1, 2  # containment threshold 0.5 as a ratio
+_CONT_MIN = 8  # ignore docs with fewer distinct shingles (trivia guard)
+_CONT_CAP = 256
+"""Posting-list cap for candidate generation: shingles seen in more
+documents than this are too common to discriminate and are excluded
+from the prefix/index join (the MAX_BUCKET_SIZE precedent in
+operators/dedup.py — bounded recall loss, bounded worst-case join).
+The exact verification still runs on the FULL shingle sets."""
+
+_CONT_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sh AS MATERIALIZED (
+    SELECT DISTINCT doc_id, toks[g.i] || '_' || toks[g.i + 1] || '_' || toks[g.i + 2] AS s
+    FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i) g
+    WHERE len(toks) >= 3
+),
+sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY s),
+ranked AS (
+    SELECT sh.doc_id, sh.s, df.df, sz.n,
+           ROW_NUMBER() OVER (PARTITION BY sh.doc_id ORDER BY df.df, sh.s) AS rn
+    FROM sh JOIN df USING (s) JOIN sz USING (doc_id)
+),
+pre AS (
+    SELECT doc_id, s FROM ranked
+    WHERE n >= {_CONT_MIN}
+      AND rn <= n - (n * {_CONT_TAU_NUM} + {_CONT_TAU_DEN} - 1) // {_CONT_TAU_DEN} + 1
+      AND df <= {_CONT_CAP}
+),
+idx AS (
+    SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s) WHERE df.df <= {_CONT_CAP}
+),
+cand AS (
+    SELECT DISTINCT p.doc_id AS doc_a, i.doc_id AS doc_b
+    FROM pre p JOIN idx i ON i.s = p.s AND i.doc_id <> p.doc_id
+),
+ov AS (
+    SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT o.doc_a, o.doc_b, sa.n AS n_a, o.overlap,
+       CAST(o.overlap AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+FROM ov o JOIN sz sa ON sa.doc_id = o.doc_a
+WHERE o.overlap * {_CONT_TAU_DEN} >= sa.n * {_CONT_TAU_NUM}
+ORDER BY o.doc_a, o.doc_b
+"""
+
+
+@register(
+    "containment_dup_pairs",
+    tags=("ext", "llm", "dedup"),
+    oracle=_CONT_ORACLE,
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: directed pairs (A, B) where at
+    least half of A's distinct 3-token shingles also occur in B —
+    catching quotes, excerpts, and doc-in-doc duplication that
+    resemblance methods MISS by construction (a page embedded in a
+    10x-larger page has Jaccard ~0.1 but containment ~1.0, so
+    minhash_lsh_neardup never surfaces it; cf. Broder's
+    resemblance-vs-containment distinction).
+
+    Candidate generation is PREFIX FILTERING from the set-similarity-
+    join literature: order every document's shingles by (global df,
+    shingle); if |A ∩ B| >= ceil(tau·|A|) then B must share one of
+    A's first |A| - ceil(tau·|A|) + 1 shingles in that order
+    (pigeonhole), so only that prefix joins against the inverted
+    index — and because the prefix holds A's RAREST shingles, the
+    posting lists it probes are the shortest ones. Shingles with
+    df > 256 are excluded from the join on both sides (documented
+    recall cap, the hot-bucket precedent); exact verification then
+    recomputes overlap on the FULL shingle sets via array_intersect.
+
+    Plan shape: shingle arrays built per-row (transform over
+    sequence, no explode until the index), one shuffle keyed by
+    shingle for df + the candidate join, one doc-grain window for the
+    prefix rank, verification joins on the pinned per-doc arrays.
+    Never all-pairs: work is sum of (prefix x capped posting list).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("toks")).filter(F.size("toks") >= 3)
+    sh_arr = F.array_distinct(
+        F.expr("transform(sequence(0, size(toks)-3), i -> concat_ws('_', toks[i], toks[i+1], toks[i+2]))")
+    )
+    sets = base.select("doc_id", sh_arr.alias("sh")).localCheckpoint()
+
+    ds = sets.select("doc_id", F.explode("sh").alias("s"))
+    dfc = ds.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    dsd = ds.join(dfc, "s")
+    sz = sets.select("doc_id", F.size("sh").cast("long").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    t_of_n = F.expr(f"(n * {_CONT_TAU_NUM} + {_CONT_TAU_DEN} - 1) div {_CONT_TAU_DEN}")
+    pre = (
+        dsd.withColumn("rn", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(
+            (F.col("n") >= _CONT_MIN)
+            & (F.col("rn") <= F.col("n") - t_of_n + 1)
+            & (F.col("df") <= _CONT_CAP)
+        )
+        .select(F.col("doc_id").alias("doc_a"), "s")
+    )
+    idx = dsd.filter(F.col("df") <= _CONT_CAP).select(F.col("doc_id").alias("doc_b"), "s")
+    cand = (
+        pre.join(idx, "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    overlap = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    n_a = F.size("sh_a").cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_a.alias("n_a"),
+            overlap.alias("overlap"),
+            (overlap.cast("double") / n_a.cast("double")).alias("containment"),
+        )
+        .filter(F.col("overlap") * _CONT_TAU_DEN >= F.col("n_a") * _CONT_TAU_NUM)
+        .orderBy("doc_a", "doc_b")
+    )

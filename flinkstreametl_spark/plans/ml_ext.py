@@ -1210,3 +1210,245 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PCA_F = 1 << 20
+"""Embedding quantization scale for PCA: x_fp = floor(val * 2^20).
+Small enough that every centered value stays ~2^21, keeping per-pair
+products (c_i * c_j <= 2^42) far inside BIGINT before the widening
+DECIMAL(38,0) / HUGEINT sum."""
+
+_PCA_SCALE = 1 << 20
+"""Fixed-point scale of the iterated eigenvector: |comp_fp| <= 2^20."""
+
+_PCA_ITERS = 120
+"""Power-iteration steps on the Gram matrix. The synthetic embedding
+fixture is near-isotropic (top eigengap ratio ~1.07), so convergence
+goes like 0.93^t: 120 steps put the fixed-point vector at cosine
+>= 0.99 with numpy's exact eigenvector at every test scale (measured:
+1.0 at sf0.001, 0.994 at sf0.01). Each step costs one pass over the
+d x d Gram — 4096 rows — so the count is a parameter-grain knob, not
+a data-scale one."""
+
+
+def _pca_oracle(iters: int = _PCA_ITERS) -> str:
+    """Unrolled power iteration (same rationale as the PageRank
+    oracle: DuckDB's recursive CTEs can't re-aggregate per step, so
+    the fixed iteration count is spelled out). The iteration runs on
+    the PARAMETER-sized Gram matrix, so 120 steps are 120 joins of a
+    4096-row table with a 64-row vector — the data-scale work is the
+    single covariance aggregation in ``gram``. Every ``w{i}`` is
+    MATERIALIZED: it is referenced twice (by the rescale and by the
+    max subquery), and DuckDB 1.0 re-inlines multi-referenced CTEs —
+    over 120 chained steps that inlining would be exponential. All
+    arithmetic is integer (HUGEINT here, BIGINT/DECIMAL(38,0) in
+    Spark); ``//`` here and ``div`` there both truncate toward zero,
+    so every intermediate is bit-identical cross-engine."""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""w{i} AS MATERIALIZED (
+    SELECT g.i AS pos, SUM(g.g * v.v) AS w
+    FROM gram g JOIN v{i - 1} v ON v.pos = g.j GROUP BY g.i
+),
+v{i} AS (
+    SELECT pos, CASE WHEN t.mx = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST((w * {_PCA_SCALE}) // t.mx AS BIGINT) END AS v
+    FROM w{i}, (SELECT MAX(abs(w)) AS mx FROM w{i}) t
+)"""
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+xf AS MATERIALIZED (
+    SELECT vec_id, pos, CAST(floor(CAST(val AS DOUBLE) * {float(_PCA_F)}) AS BIGINT) AS x
+    FROM ex
+),
+mean AS (
+    SELECT pos, SUM(x) // COUNT(*) AS m FROM xf GROUP BY pos
+),
+cen AS MATERIALIZED (
+    SELECT xf.vec_id, xf.pos, xf.x - mean.m AS c FROM xf JOIN mean USING (pos)
+),
+gram AS MATERIALIZED (
+    SELECT a.pos AS i, b.pos AS j, SUM(a.c * b.c) AS g
+    FROM cen a JOIN cen b USING (vec_id)
+    GROUP BY a.pos, b.pos
+),
+v0 AS (
+    SELECT pos, CAST({_PCA_SCALE} AS BIGINT) AS v FROM mean
+),
+{chain}
+SELECT CAST(pos AS BIGINT) AS pos, v AS comp_fp FROM v{iters} ORDER BY pos
+"""
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division for exact Python ints — the
+    semantics Spark's ``div`` and DuckDB's ``//`` share (Python's
+    ``//`` floors, which differs on negative numerators)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+@register(
+    "pca_power_topcomp",
+    tags=("ext", "llm", "similarity", "iterative"),
+    oracle=_pca_oracle(),
+)
+def pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by fixed-point
+    power iteration — the dimensionality-reduction / whitening leg of
+    the embedding toolchain (dominant-axis removal a la
+    all-but-the-top embedding post-processing, drift axes,
+    PCA-initialized OPQ rotations). Output is the 64-row eigenvector
+    at |v|_inf = 2^20, hash-verified against an unrolled DuckDB CTE
+    chain replaying the SAME integer updates; a numpy cross-check
+    (tests/test_round8_ops.py) pins that it IS the principal axis,
+    not just a deterministic vector.
+
+    Scale split — the part that sees the data vs the part that
+    iterates: the corpus-scale work is ONE covariance pass (explode +
+    self-join on vec_id + partial-aggregated SUM into the d x d Gram,
+    O(n d^2) map-side work and a 4096-row result, independent of
+    corpus size), after which 120 power steps run on the
+    parameter-sized Gram — driver-side in exact Python ints (the
+    pq_adc_recall precedent: parameter-sized state may cross the
+    driver; 4096 rows here vs its 640-row ADC table). Iterating on
+    the Gram instead of the data is what makes 120 steps affordable:
+    on the data matrix each step would re-scan the corpus.
+
+    Exactness: centering uses ``sum div count`` (truncating integer
+    mean, identical cross-engine); Gram entries are BIGINT pair
+    products under a widening sum (DECIMAL(38,0) in Spark, HUGEINT in
+    DuckDB — good past 10^9 vectors); each step is integer
+    matrix-vector products rescaled by trunc-division with the max
+    |component|. No float enters after quantization. The final step
+    runs IN-PLAN (broadcast v, one Gram join, 1-row max broadcast) so
+    the returned frame is computed distributed end-to-end."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    xf = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("val").cast("double") * F.lit(float(_PCA_F))).cast("long").alias("x"),
+    )
+    mean = xf.groupBy("pos").agg(F.expr("sum(x) div count(*)").alias("m"))
+    cen = xf.join(F.broadcast(mean), "pos").select(
+        "vec_id", "pos", (F.col("x") - F.col("m")).alias("c")
+    )
+    gram = (
+        cen.alias("a")
+        .join(cen.alias("b"), "vec_id")
+        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
+        .agg(F.sum((F.col("a.c") * F.col("b.c")).cast("decimal(38,0)")).alias("g"))
+        .localCheckpoint()  # pinned: feeds the driver pull AND the final in-plan step
+    )
+
+    g_rows = gram.collect()  # d^2 = 4096 rows — parameter-sized, never data
+    pos_list = sorted({int(r.i) for r in g_rows})
+    gm = {(int(r.i), int(r.j)): int(r.g) for r in g_rows}
+    v = {p: _PCA_SCALE for p in pos_list}
+    for _ in range(_PCA_ITERS - 1):  # last step runs in-plan below
+        w = {i: sum(gm[(i, j)] * v[j] for j in pos_list) for i in pos_list}
+        mx = max(abs(x) for x in w.values())
+        v = {p: (0 if mx == 0 else _tdiv(w[p] * _PCA_SCALE, mx)) for p in pos_list}
+
+    vdf = F.broadcast(
+        spark.createDataFrame([(p, v[p]) for p in pos_list], "j INT, v LONG")
+    )
+    w_df = gram.join(vdf, "j").groupBy("i").agg(F.sum(F.col("g") * F.col("v")).alias("w"))
+    mx_df = w_df.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+    return (
+        w_df.crossJoin(F.broadcast(mx_df))
+        .select(
+            F.col("i").cast("long").alias("pos"),
+            F.when(F.col("mx") == F.lit(0), F.lit(0).cast("long"))
+            .otherwise(F.expr(f"CAST((w * {_PCA_SCALE}) div mx AS BIGINT)"))
+            .alias("comp_fp"),
+        )
+        .orderBy("pos")
+    )
+
+
+_HN_NQ = 20  # anchor panel size
+_HN_K = 5  # hard negatives per anchor
+
+_HN_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+p AS (
+    SELECT q.vec_id AS anchor_id, ql.label AS anchor_label,
+           c.vec_id AS neighbor_id, cl.label AS neighbor_label,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * {S.FP_SCALE}) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * {S.FP_SCALE}) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * {S.FP_SCALE}) AS BIGINT)) AS cc
+    FROM (SELECT * FROM ex WHERE vec_id < {_HN_NQ}) q
+    JOIN lab ql ON ql.vec_id = q.vec_id
+    JOIN ex c ON c.pos = q.pos
+    JOIN lab cl ON cl.vec_id = c.vec_id AND cl.label <> ql.label
+    GROUP BY 1, 2, 3, 4
+)
+SELECT anchor_id, anchor_label, neighbor_id, neighbor_label, cosine, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT anchor_id, anchor_label, neighbor_id, neighbor_label,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY anchor_id
+               ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                        neighbor_id
+           ) AS rk
+    FROM p
+) t
+WHERE rk <= {_HN_K}
+ORDER BY anchor_id, rk
+"""
+
+
+@register(
+    "hard_negative_mining",
+    tags=("ext", "llm", "similarity"),
+    oracle=_HN_ORACLE,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining: for each anchor in a bounded
+    panel, the top-5 most-cosine-similar vectors carrying a DIFFERENT
+    label — the hard negatives a dense-retriever / embedding-model
+    trainer pairs with each anchor (high similarity + wrong class =
+    maximal gradient signal). The label filter is what distinguishes
+    this from kNN: the nearest same-class neighbors are excluded
+    before ranking.
+
+    Plan shape: the knn_fast pattern — the anchor panel broadcasts
+    (parameter-sized, never grows with the corpus), one pass over the
+    candidate side with the in-row fixed-point cosine fold
+    (S.cosine_col_fp: per-element floor(x*y*2^40) BIGINT sums, no
+    explode, bit-identical to the relational oracle), partial top-k
+    under the per-anchor window. At 100 TB the candidate pass composes
+    with the IVF route (ivf_probe_ranks) exactly like ann queries do —
+    mine within the anchor's nprobe clusters, minus its label."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _HN_NQ).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    pairs = F.broadcast(q).join(c, F.col("anchor_label") != F.col("neighbor_label"))
+    scored = pairs.select(
+        "anchor_id",
+        "anchor_label",
+        "neighbor_id",
+        "neighbor_label",
+        S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _HN_K)
+        .select("anchor_id", "anchor_label", "neighbor_id", "neighbor_label", "cosine", "rk")
+        .orderBy("anchor_id", "rk")
+    )

@@ -65,3 +65,84 @@ def test_ann_staleness_audit_anchors(spark, sf_dir):
         assert seq == sorted(seq)
         cand = [by[(state, n)].n_candidates for n in (1, 2, 4, 8)]
         assert cand == sorted(cand)
+
+
+def test_pca_power_topcomp_is_the_principal_axis(spark, sf_dir):
+    """Oracle parity proves cross-engine identity; this proves the
+    answer is actually PCA — the fixed-point vector must align with
+    numpy's exact top eigenvector of the centered covariance."""
+    import numpy as np
+
+    rows = REGISTRY["pca_power_topcomp"].fn(spark, sf_dir).collect()
+    assert [r.pos for r in rows] == list(range(1, 65))
+    v = np.array([r.comp_fp for r in rows], dtype=np.float64)
+    # renormalized to |v|_inf = 2^20 every step, including the last
+    assert int(np.max(np.abs(v))) == 1 << 20
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    x = np.array([r.embedding for r in emb], dtype=np.float64)
+    xc = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(xc.T @ xc)
+    top = evecs[:, -1]
+    cos = abs(float(v @ top)) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.999, f"fixed-point component misaligned with numpy PCA: cos={cos}"
+
+
+def test_hard_negative_mining_matches_numpy(spark, sf_dir):
+    """Independent recompute: for every anchor, the mined negatives
+    must be exactly numpy's top-5 different-label vectors by cosine
+    (ties broken by neighbor_id, as the query pins)."""
+    import numpy as np
+
+    out = REGISTRY["hard_negative_mining"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in emb])
+    labels = np.array([r.label for r in emb])
+    x = np.array([r.embedding for r in emb], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    by_anchor: dict[int, list] = {}
+    for r in out:
+        assert r.anchor_label != r.neighbor_label
+        assert -1.0 <= r.cosine <= 1.0
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == set(range(20))
+    for aid, rows in by_anchor.items():
+        rows.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rows] == [1, 2, 3, 4, 5]
+        a = int(np.where(ids == aid)[0][0])
+        mask = labels != labels[a]
+        sims = xn[mask] @ xn[a]
+        cand_ids = ids[mask]
+        order = sorted(range(len(sims)), key=lambda i: (-sims[i], cand_ids[i]))[:5]
+        assert [r.neighbor_id for r in rows] == [int(cand_ids[i]) for i in order]
+
+
+def test_containment_dup_pairs_matches_bruteforce(spark, sf_dir):
+    """With the df cap not binding at test scale, prefix filtering must
+    lose nothing: the output equals the brute-force all-pairs
+    containment computed in Python sets."""
+    import re
+
+    out = REGISTRY["containment_dup_pairs"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    sh = {}
+    for r in docs:
+        toks = re.split(r"\s+", r.text.strip().lower())
+        if len(toks) >= 3:
+            sh[r.doc_id] = {"_".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expect = {}
+    for a, sa in sh.items():
+        if len(sa) < 8:
+            continue
+        for b, sb in sh.items():
+            if a == b:
+                continue
+            o = len(sa & sb)
+            if 2 * o >= len(sa):
+                expect[(a, b)] = (len(sa), o)
+    got = {(r.doc_a, r.doc_b): (r.n_a, r.overlap) for r in out}
+    assert got == expect
+    for r in out:
+        assert abs(r.containment - r.overlap / r.n_a) < 1e-12
+        assert r.containment >= 0.5
