@@ -71,6 +71,20 @@ _NEW_R8: list[str] = [
     "hard_negative_mining",
 ]
 
+# Round-8 additions that landed AFTER _NEW_R8 hit its 10-slot capacity
+# (the assert below is the guard that sent them here instead of
+# evicting a stale-evidence name). Each was oracle-verified locally at
+# sf0.001 AND sf0.01 on landing (tools/parity_sweep.py); they lead the
+# round-9 window per the rotation plan above.
+_NEW_R9: list[str] = [
+    "linkpred_copurchase_scores",
+    "seasonal_decompose_daily",
+    "dsir_importance_topk",
+    "hybrid_rrf_retrieval",
+    "bloom_prune_fpr_audit",
+    "token_gini_diversity",
+]
+
 _PRIORITY_R8 = [
     # the 40 r4-era names, in their CORRECTNESS_r04 window order
     "incremental_minhash_replay",

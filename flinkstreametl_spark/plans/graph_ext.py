@@ -316,3 +316,148 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_fp",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# --- link prediction ------------------------------------------------------
+# The fourth classic graph kernel over the same co-purchase projection:
+# score NON-edges by their common-neighborhood structure — the
+# recommender / knowledge-graph-completion primitive ("parts bought
+# with the same parts, never yet together"). Three standard indices at
+# once, all integer-exact:
+#   cn          = |N(u) ∩ N(v)|                 (common neighbors)
+#   jaccard_fp  = cn * FP div (deg_u + deg_v - cn)
+#   ra_fp       = SUM_{w in N(u) ∩ N(v)} FP div deg_w
+# RA (resource allocation, Zhou et al. 2009) is the log-free twin of
+# Adamic-Adar — 1/deg instead of 1/log(deg) — chosen BECAUSE it is
+# exact in integer fixed point (ln() differs across engines in the
+# last ulp; the suite\'s hash gate needs bit equality).
+#
+# Query shape & 100 TB judgment: ALL-pairs common-neighbor scoring is
+# sum_w C(deg_w, 2) wedges — measured 13.8M at sf0.01 and ~1.4B at sf1
+# (the co-purchase degree is ~constant in SF, so wedges grow linearly
+# with |V|) — and unlike triangles it cannot be degree-oriented away,
+# so the production query is per-SOURCE recommendation: score
+# candidates FOR a bounded panel of parts (here the _LP_PANEL
+# lowest-id nodes — the retrieval module\'s fixed-panel convention).
+# Wedge cost is then panel x deg^2, independent of corpus size. Two
+# spec\'d caps keep hubs from re-introducing the blow-up: wedge CENTERS
+# with deg > _LP_HUB are excluded (their RA contribution is <= FP/deg
+# noise anyway — the LSH hot-bucket-cap convention).
+_LP_PANEL = 100
+_LP_HUB = 1024
+_LP_FP = 1_000_000
+_LP_TOPK = 20
+
+_LINKPRED_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                    greatest(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS MATERIALIZED (
+    SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+deg AS MATERIALIZED (
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY a
+),
+panel AS (SELECT node FROM deg ORDER BY node LIMIT {_LP_PANEL}),
+wedge AS (
+    SELECT s1.a AS u, s2.b AS v, s1.b AS w
+    FROM sym s1
+    JOIN panel p ON p.node = s1.a
+    JOIN deg dw ON dw.node = s1.b AND dw.deg <= {_LP_HUB}
+    JOIN sym s2 ON s2.a = s1.b AND s2.b <> s1.a
+),
+cand AS (
+    SELECT w.u, w.v, CAST(COUNT(*) AS BIGINT) AS cn,
+           CAST(SUM({_LP_FP} // dw.deg) AS BIGINT) AS ra_fp
+    FROM wedge w JOIN deg dw ON dw.node = w.w
+    GROUP BY w.u, w.v
+),
+nonedge AS (
+    SELECT c.u, c.v, c.cn, c.ra_fp, du.deg AS deg_u, dv.deg AS deg_v,
+           c.cn * {_LP_FP} // (du.deg + dv.deg - c.cn) AS jaccard_fp
+    FROM cand c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    ANTI JOIN pairs p ON p.u = least(c.u, c.v) AND p.v = greatest(c.u, c.v)
+)
+SELECT u, v, cn, deg_u, deg_v, jaccard_fp, ra_fp, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY ra_fp DESC, u, v) AS rk FROM nonedge
+) r
+WHERE rk <= {_LP_TOPK}
+ORDER BY rk
+"""
+
+
+@register("linkpred_copurchase_scores", tags=("ext", "graph", "linkpred"), oracle=_LINKPRED_ORACLE)
+def linkpred_copurchase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-purchase graph: for the fixed
+    panel of the 100 lowest-id parts, the top-20 NOT-YET-ADJACENT
+    (panel part, candidate part) pairs by resource-allocation score,
+    with common-neighbor and Jaccard indices alongside (integer fixed
+    point — the module block above gives the three indices, why RA
+    replaces Adamic-Adar\'s log, and why the panel bound — not an
+    all-pairs sweep — is the shape that survives 100 TB).
+
+    Plan shape: the canonical edge list is pinned once (it feeds the
+    symmetric adjacency, the degree table, AND the final anti join).
+    The panel\'s neighbor rows (panel x deg — parameter-sized) come off
+    one broadcast-filtered pass of the adjacency and BROADCAST into
+    the wedge join against the full adjacency, so the corpus-sized
+    side never shuffles; hub centers are pre-filtered by the broadcast
+    degree table. The (u, v) aggregate output is panel-bounded;
+    degrees join back by broadcast; existing edges leave by ANTI join
+    on the canonical key; the global top-20 is TakeOrdered."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()  # feeds sym/deg AND the final anti join
+    )
+    sym = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    panel = deg.select("node").orderBy("node").limit(_LP_PANEL)
+    pn = (
+        sym.join(F.broadcast(panel), sym["a"] == panel["node"])
+        .join(
+            F.broadcast(deg.filter(F.col("deg") <= _LP_HUB).select(F.col("node").alias("wn"), F.col("deg").alias("deg_w"))),
+            F.col("wn") == sym["b"],
+        )
+        .select(F.col("a").alias("u"), F.col("b").alias("w"), "deg_w")
+    )
+    s2 = sym.select(F.col("a").alias("w"), F.col("b").alias("v"))
+    wedge = F.broadcast(pn).join(s2, "w").filter(F.col("v") != F.col("u"))
+    cand = wedge.groupBy("u", "v").agg(
+        F.count(F.lit(1)).alias("cn"),
+        F.sum(F.expr(f"{_LP_FP} div deg_w")).alias("ra_fp"),
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    nonedge = (
+        cand.join(
+            pairs,
+            (pairs["u"] == F.least(cand["u"], cand["v"]))
+            & (pairs["v"] == F.greatest(cand["u"], cand["v"])),
+            "left_anti",
+        )
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .withColumn("jaccard_fp", F.expr(f"cn * {_LP_FP} div (deg_u + deg_v - cn)"))
+    )
+    top = nonedge.orderBy(F.col("ra_fp").desc(), "u", "v").limit(_LP_TOPK)
+    w = Window.orderBy(F.col("ra_fp").desc(), "u", "v")
+    return top.select(
+        "u", "v", "cn", "deg_u", "deg_v", "jaccard_fp", "ra_fp",
+        F.row_number().over(w).cast("long").alias("rk"),
+    ).orderBy("rk")

@@ -283,3 +283,190 @@ def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((top2_frac <= _MAX_TOP2_FRAC) & (dup3_frac <= _MAX_DUP3_FRAC)).alias("keep"),
         )
     )
+
+
+# --- DSIR importance weights ----------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score raw
+# documents by how target-like their hashed n-gram features are, then
+# keep the top of the ranking. Features are bigrams hashed into
+# _DSIR_B buckets (the paper's hashed n-gram model); the target corpus
+# here is source = 'src0' (the suite's stand-in eval/benchmark slice,
+# the retrieval module's convention) and every other source is raw.
+#
+# Exactness: the paper scores log p_tgt(doc) - log p_raw(doc); ln()
+# is not bit-portable, so — like the BM25 module — this is a
+# documented LOG-FREE VARIANT: each bigram occurrence contributes the
+# add-one-smoothed probability RATIO in fixed point,
+#   ratio_fp[b] = ((tgt_cnt[b]+1) * FP div (raw_cnt[b]+1))
+#                 * (T_raw + B) div (T_tgt + B)
+# and a document's weight is the MEAN ratio over its occurrences
+# (score_fp div n_grams — the length normalization the log-sum gets
+# for free). FP = 10^4 keeps the widest intermediate,
+# (tgt_cnt+1)*FP*(T_raw+B), under 2^63 to ~10^9 raw bigram
+# occurrences; past that the spec re-scales FP or widens to
+# DECIMAL(38,0) — the plan shape is unchanged.
+_DSIR_B = 4096
+_DSIR_FP = 10_000
+_DSIR_K = 50
+_DSIR_TGT = "src0"
+# Engine-portable bucket: first 8 md5 hex chars of the bigram string.
+_DSIR_BUCKET_SQL = f"CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) % {_DSIR_B}"
+
+_DSIR_ORACLE = f"""
+WITH base AS MATERIALIZED (
+    SELECT doc_id, source, {_TOKS} AS toks FROM documents
+),
+grams AS MATERIALIZED (
+    SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS g
+        FROM base
+    )
+),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tgt_cnt FROM grams
+        WHERE source = '{_DSIR_TGT}' GROUP BY b),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS raw_cnt FROM grams
+        WHERE source <> '{_DSIR_TGT}' GROUP BY b),
+tot AS (SELECT CAST(SUM(CASE WHEN source = '{_DSIR_TGT}' THEN 1 ELSE 0 END) AS BIGINT) AS t_tgt,
+               CAST(SUM(CASE WHEN source <> '{_DSIR_TGT}' THEN 1 ELSE 0 END) AS BIGINT) AS t_raw
+        FROM grams),
+ratio AS (
+    SELECT b,
+           (COALESCE(t.tgt_cnt, 0) + 1) * {_DSIR_FP} // (COALESCE(r.raw_cnt, 0) + 1)
+               * (tot.t_raw + {_DSIR_B}) // (tot.t_tgt + {_DSIR_B}) AS ratio_fp
+    FROM tgt t FULL OUTER JOIN raw r USING (b), tot
+),
+scored AS (
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(ratio.ratio_fp) // COUNT(*) AS BIGINT) AS avg_ratio_fp
+    FROM grams g JOIN ratio USING (b)
+    WHERE g.source <> '{_DSIR_TGT}'
+    GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, avg_ratio_fp, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, row_number() OVER (ORDER BY avg_ratio_fp DESC, doc_id) AS rk
+    FROM scored
+) t
+WHERE rk <= {_DSIR_K}
+ORDER BY rk
+"""
+
+
+@register("dsir_importance_topk", tags=("ext", "llm", "selection"), oracle=_DSIR_ORACLE)
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection: the top-50 raw documents by
+    target-likeness under hashed-bigram importance ratios (see the
+    block comment for the exact log-free fixed-point spec). This is
+    the "make the pretraining mix look like the eval distribution"
+    operator — the quality gate's statistical cousin: gopher filters
+    on absolute signals, DSIR ranks against a target corpus.
+
+    Plan shape: ONE pass over the corpus explodes bigrams and hashes
+    them to _DSIR_B buckets; both bucket tables and the occurrence
+    totals are AT MOST B rows (bounded by the hash range, NOT the
+    corpus) so the ratio table broadcasts; scoring is a broadcast-hash
+    join on the bucket id plus one partial-aggregated exchange keyed
+    by doc_id; the final top-50 is TakeOrdered. Nothing but the two
+    doc-grain aggregates ever shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    bigram = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        "doc_id", "source", F.explode(bigram).alias("g")
+    ).select(
+        "doc_id",
+        "source",
+        (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias("b"),
+    ).localCheckpoint()  # one corpus pass feeds tgt/raw/tot AND the scoring join
+    is_tgt = F.col("source") == _DSIR_TGT
+    tgt = grams.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tgt_cnt"))
+    raw = grams.filter(~is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
+    tot = grams.agg(
+        F.sum(is_tgt.cast("long")).alias("t_tgt"),
+        F.sum((~is_tgt).cast("long")).alias("t_raw"),
+    )
+    ratio = (
+        tgt.join(raw, "b", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.expr(
+                f"(coalesce(tgt_cnt, 0) + 1) * {_DSIR_FP} div (coalesce(raw_cnt, 0) + 1)"
+                f" * (t_raw + {_DSIR_B}) div (t_tgt + {_DSIR_B})"
+            ).alias("ratio_fp"),
+        )
+    )
+    scored = (
+        grams.filter(~is_tgt)
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.expr("sum(ratio_fp) div count(*)").alias("avg_ratio_fp"),
+        )
+    )
+    top = scored.orderBy(F.col("avg_ratio_fp").desc(), "doc_id").limit(_DSIR_K)
+    w = Window.orderBy(F.col("avg_ratio_fp").desc(), "doc_id")
+    return top.select(
+        "doc_id", "n_grams", "avg_ratio_fp", F.row_number().over(w).cast("long").alias("rk")
+    ).orderBy("rk")
+
+
+# --- token Gini diversity ---------------------------------------------------
+# Lexical-diversity score that avoids entropy's ln(): Gini impurity of
+# the per-document token distribution, 1 - Σ_t (cnt_t / n)². Scaled by
+# FP it is exactly   gini_fp = FP - Σ cnt² * FP div n²   — pure BIGINT
+# (widest term Σcnt²·FP <= n²·FP: a 100k-token doc stays under 2^63
+# with FP = 10^6), so unlike a Shannon-entropy twin it hash-verifies
+# cross-engine. Low gini = the doc is a few tokens repeated (spam /
+# boilerplate); the gopher gate's distinct_frac is the 0/1 version of
+# the same signal, this is the smooth one a quality classifier feeds.
+_GINI_FP = 1_000_000
+
+_GINI_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST({_GINI_FP} - SUM(cnt * cnt) * {_GINI_FP} // (SUM(cnt) * SUM(cnt)) AS BIGINT) AS gini_fp
+FROM tc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("token_gini_diversity", tags=("ext", "llm", "quality"), oracle=_GINI_ORACLE)
+def token_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity as fixed-point Gini impurity of
+    the token histogram (exact spec in the block comment — the log-free
+    sibling of token entropy). Plan shape is the module's wordcount
+    discipline: one (doc_id, token) explode -> hash aggregate (partial
+    map-side), then the doc-grain re-aggregate — the integer Σcnt² and
+    Σcnt fold in the same exchange; nothing is O(len²) per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        tc.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.expr(f"CAST({_GINI_FP} - sum(cnt * cnt) * {_GINI_FP} div (sum(cnt) * sum(cnt)) AS BIGINT)").alias(
+                "gini_fp"
+            ),
+        )
+        .orderBy("doc_id")
+    )

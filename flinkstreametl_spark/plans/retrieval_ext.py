@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flinkstreametl_spark.operators import similarity as S
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
@@ -469,4 +470,139 @@ def bm25_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1_same",
         )
         .orderBy("query_id")
+    )
+
+
+# --- hybrid retrieval (RRF) -----------------------------------------------
+# Reciprocal-rank fusion (Cormack et al. 2009), the standard way
+# production search fuses a sparse (BM25) and a dense (embedding) list
+# without score calibration: each list contributes FP div (C + rank)
+# per document, C = 60, and only the RANKS matter — which makes RRF
+# exactly representable in integers (no score normalization, no
+# floats). The fixture link between the two modalities is the suite's
+# id convention: embeddings.vec_id == documents.doc_id (the embedding
+# OF that document — the convention semantic_dedup_pairs and
+# hard_negative_mining already rely on).
+_RRF_C = 60
+_RRF_FP = 1_000_000
+_RRF_LIST_K = 20  # per-modality candidate depth
+_RRF_K = 10  # fused output depth
+
+_RRF_ORACLE = (
+    _bm25_ctes(
+        "",
+        f"SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term"
+        f" FROM base WHERE doc_id < {_BM25_NQ}",
+        _RRF_LIST_K,
+    )
+    + f""",
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              unnest(embedding) AS val FROM embeddings),
+dense_sc AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+    FROM (SELECT * FROM ex WHERE vec_id < {_BM25_NQ}) q
+    JOIN ex c ON c.pos = q.pos
+    GROUP BY 1, 2
+),
+dense AS (
+    SELECT query_id, doc_id, rk AS dense_rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                                           doc_id) AS rk
+        FROM dense_sc
+    ) r WHERE rk <= {_RRF_LIST_K}
+),
+fused AS (
+    SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+           COALESCE(s.doc_id, d.doc_id) AS doc_id,
+           CAST(COALESCE(s.rk, 0) AS BIGINT) AS bm25_rk,
+           CAST(COALESCE(d.dense_rk, 0) AS BIGINT) AS dense_rk,
+           CAST(CASE WHEN s.rk IS NULL THEN 0 ELSE {_RRF_FP} // ({_RRF_C} + s.rk) END
+              + CASE WHEN d.dense_rk IS NULL THEN 0 ELSE {_RRF_FP} // ({_RRF_C} + d.dense_rk) END
+              AS BIGINT) AS rrf_fp
+    FROM topk s FULL OUTER JOIN dense d
+      ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, bm25_rk, dense_rk, rrf_fp, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rrf_fp DESC, doc_id) AS rk
+    FROM fused
+) f
+WHERE rk <= {_RRF_K}
+ORDER BY query_id, rk
+"""
+)
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    tags=("ext", "llm", "retrieval", "similarity"),
+    oracle=_RRF_ORACLE,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by reciprocal rank: for each
+    of the 3 standing query docs, the BM25 top-20 (fixed-point spec,
+    module docstring) and the dense cosine top-20 (the embedding of the
+    same doc_id — the suite's vec_id == doc_id convention) merge via
+    RRF_fp = Σ FP div (60 + rank), absent-from-list contributing 0; the
+    fused top-10 is returned with both per-modality ranks (0 = not in
+    that list). RRF is rank-only, hence integer-exact — the reason it
+    is THE production fusion when the two scores live on different
+    scales.
+
+    Plan shape: the sparse side is bm25_topk (one corpus scan, pinned
+    inverted index, broadcast query terms); the dense side is the
+    knn_fast pattern (broadcast query vectors, one candidate pass with
+    the in-row fixed-point cosine fold, per-query partial top-k). Both
+    lists are bounded (queries x 20 rows), so the fusion join, the RRF
+    arithmetic, and the final window all run on parameter-sized data —
+    at 100 TB the dense pass swaps in the IVF route exactly as ann
+    queries do."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = docs.filter(F.col("doc_id") < _BM25_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(X.tokens("text"))).alias("term"),
+    )
+    sparse = bm25_topk(docs.select("doc_id", "text"), qterms, _RRF_LIST_K).select(
+        "query_id", "doc_id", F.col("rk").alias("bm25_rk")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _BM25_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb"))
+    dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "doc_id", S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+        .withColumn("dense_rk", F.row_number().over(dw))
+        .filter(F.col("dense_rk") <= _RRF_LIST_K)
+        .select("query_id", "doc_id", "dense_rk")
+    )
+
+    rrf_term = lambda rk: F.when(  # noqa: E731
+        F.col(rk).isNull(), F.lit(0).cast("long")
+    ).otherwise(F.expr(f"{_RRF_FP} div ({_RRF_C} + {rk})"))
+    fused = (
+        sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (rrf_term("bm25_rk") + rrf_term("dense_rk")).alias("rrf_fp"),
+            F.coalesce("bm25_rk", F.lit(0)).cast("long").alias("bm25_rk"),
+            F.coalesce("dense_rk", F.lit(0)).cast("long").alias("dense_rk"),
+        )
+    )
+    fw = Window.partitionBy("query_id").orderBy(F.col("rrf_fp").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(fw).cast("long"))
+        .filter(F.col("rk") <= _RRF_K)
+        .select("query_id", "doc_id", "bm25_rk", "dense_rk", "rrf_fp", "rk")
+        .orderBy("query_id", "rk")
     )

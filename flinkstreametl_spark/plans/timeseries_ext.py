@@ -743,3 +743,103 @@ def dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dau").cast("double") / F.col("mau28").cast("double")).alias("stickiness"),
         )
     )
+
+
+# --- classic seasonal decomposition ---------------------------------------
+# Additive decomposition (the moving-average method behind STL's
+# ancestor, decompose() in every stats stack): per (event_type, day),
+#   trend_fp    = centered 7-day moving average (complete windows only)
+#   detrended   = s_fp - trend_fp
+#   seasonal_fp = per-(event_type, dow) mean of detrended
+#   remainder   = detrended - seasonal_fp
+# Everything stays in the fixed-point integers the daily grain already
+# carries; the two means use integer div (both engines truncate toward
+# zero — verified, -7 div 2 == -3 in Spark AND DuckDB, so negative
+# detrended values divide identically). A "complete" window means 7
+# ROWS *and* a 6-day span: a rows-frame spanning a gap in the calendar
+# is not a centered weekly average, so gap-adjacent days drop with the
+# series edges. dow = (day + 4) % 7, the module's engine-neutral
+# convention (1970-01-01 is a Thursday; day >= 0 so % is exact).
+_DECOMP_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+win AS (
+    SELECT event_type, day, s_fp,
+           SUM(s_fp)   OVER w AS w_sum,
+           COUNT(*)    OVER w AS w_n,
+           MAX(day)    OVER w - MIN(day) OVER w AS w_span
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT event_type, day, s_fp,
+           CAST(w_sum // 7 AS BIGINT) AS trend_fp,
+           CAST(s_fp - w_sum // 7 AS BIGINT) AS detrended_fp,
+           CAST((day + 4) % 7 AS BIGINT) AS dow
+    FROM win WHERE w_n = 7 AND w_span = 6
+),
+seas AS (
+    SELECT event_type, dow,
+           CAST(SUM(detrended_fp) // COUNT(*) AS BIGINT) AS seasonal_fp
+    FROM det GROUP BY event_type, dow
+)
+SELECT d.event_type, d.day, d.dow, d.s_fp, d.trend_fp, s.seasonal_fp,
+       CAST(d.detrended_fp - s.seasonal_fp AS BIGINT) AS remainder_fp
+FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+ORDER BY d.event_type, d.day
+"""
+
+
+@register("seasonal_decompose_daily", tags=("ext", "timeseries"), oracle=_DECOMP_ORACLE)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/remainder decomposition of the daily
+    value series per event_type (see the block comment above for the
+    exact integer spec). Answers the monitoring question the EWMA and
+    CUSUM queries bracket: "how much of today's level is trend, how
+    much is just Tuesday, and what is actually surprising?" — the
+    remainder is what an anomaly detector should consume (feeding it
+    raw values re-discovers the weekly cycle as 'anomalies').
+
+    Plan shape: one exchange to the daily grain (map-side partial
+    aggregation carries days, not events); the centered window and the
+    detrending run inside the per-key day series (calendar-bounded);
+    the seasonal profile is a 7-rows-per-key aggregate joined back by
+    BROADCAST. Nothing after the first shuffle scales with event
+    volume."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "event_type",
+        "day",
+        "s_fp",
+        F.sum("s_fp").over(w).alias("w_sum"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        (F.max("day").over(w) - F.min("day").over(w)).alias("w_span"),
+    )
+    det = (
+        win.filter((F.col("w_n") == 7) & (F.col("w_span") == 6))
+        .select(
+            "event_type",
+            "day",
+            "s_fp",
+            F.expr("w_sum div 7").alias("trend_fp"),
+            F.expr("s_fp - w_sum div 7").alias("detrended_fp"),
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"),
+        )
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.expr("sum(detrended_fp) div count(*)").alias("seasonal_fp")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "dow",
+            "s_fp",
+            "trend_fp",
+            "seasonal_fp",
+            (F.col("detrended_fp") - F.col("seasonal_fp")).alias("remainder_fp"),
+        )
+        .orderBy("event_type", "day")
+    )

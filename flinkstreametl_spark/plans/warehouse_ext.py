@@ -694,3 +694,129 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.*")
     return stacked.orderBy("col_name")
+
+
+# --- bloom-filter pruning audit --------------------------------------------
+# The measured twin of Spark's runtime bloom-filter join (AQE injects
+# one automatically — tests/test_runtime_filter.py pins that plan):
+# build an EXPLICIT m-bit / k=2 bloom filter over the selective dim
+# keys, probe the fact side through it, and report exactly how much
+# the filter would prune and how much slips through (the false-positive
+# rate that decides whether pushing the filter into the scan pays).
+# Everything is integer/md5 arithmetic, so the filter the oracle
+# builds is bit-identical: h_i(key) = md5(salt_i || key) first 8 hex
+# chars mod m, bit set = distinct hash values over the build keys.
+# At 100 TB the BUILD side stays dim-sized (the bit set is at most m
+# rows ~ the filter itself) and broadcasts; the probe side is one scan
+# with two broadcast lookups — the exact-membership comparison column
+# is the audit's point, not a production cost (production trusts the
+# bloom and re-checks on join).
+_BLOOM_M = 8192
+_BLOOM_SEG = "BUILDING"
+_BLOOM_FP = 1_000_000
+
+_BLOOM_H_SQL = {
+    1: f"CAST(concat('0x', substr(md5('a' || CAST({{k}} AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_M}",
+    2: f"CAST(concat('0x', substr(md5('b' || CAST({{k}} AS VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_M}",
+}
+
+_BLOOM_ORACLE = f"""
+WITH build AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'),
+bits AS MATERIALIZED (
+    SELECT DISTINCT b FROM (
+        SELECT {_BLOOM_H_SQL[1].format(k='c_custkey')} AS b FROM build
+        UNION ALL
+        SELECT {_BLOOM_H_SQL[2].format(k='c_custkey')} AS b FROM build
+    )
+),
+probe AS (
+    SELECT o.o_custkey,
+           {_BLOOM_H_SQL[1].format(k='o.o_custkey')} AS h1,
+           {_BLOOM_H_SQL[2].format(k='o.o_custkey')} AS h2,
+           (m.c_custkey IS NOT NULL) AS is_member
+    FROM orders o LEFT JOIN build m ON m.c_custkey = o.o_custkey
+),
+flags AS (
+    SELECT p.is_member,
+           (b1.b IS NOT NULL AND b2.b IS NOT NULL) AS bloom_pass
+    FROM probe p
+    LEFT JOIN bits b1 ON b1.b = p.h1
+    LEFT JOIN bits b2 ON b2.b = p.h2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_member,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN bloom_pass AND NOT is_member THEN 1 ELSE 0 END) * {_BLOOM_FP}
+            // SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT) AS fpr_fp,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set
+FROM flags
+"""
+
+
+@register("bloom_prune_fpr_audit", tags=("ext", "warehouse", "join", "audit"), oracle=_BLOOM_ORACLE)
+def bloom_prune_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter semi-join pruning with a measured
+    false-positive rate: an m=8192-bit, k=2 filter over the BUILDING-
+    segment customer keys probes every order — n_bloom_pass is what a
+    filter-pushed-to-the-scan would let through, n_false_pos / fpr_fp
+    is the price of the bits, n_member the truth. The md5-derived hash
+    positions make the filter itself oracle-verifiable, not just its
+    counts (see the block comment).
+
+    Plan shape: the build side is dim-sized; its bit set is AT MOST m
+    rows (bounded by the filter width, not the data) and broadcasts
+    twice onto the single fact scan; the exact-membership flag joins
+    the (broadcastable, dim-sized) key set the same way. One pass over
+    orders, no shuffle except the final 1-row aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    build = (
+        cust.filter(F.col("c_mktsegment") == _BLOOM_SEG).select("c_custkey").distinct()
+    ).localCheckpoint()  # feeds both hash projections AND the membership join
+
+    def _h(salt: str, key) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8), 16, 10)
+            .cast("long")
+            % _BLOOM_M
+        )
+
+    bits = (
+        build.select(_h("a", F.col("c_custkey")).alias("b"))
+        .unionByName(build.select(_h("b", F.col("c_custkey")).alias("b")))
+        .distinct()
+    )
+    probe = orders.select(
+        "o_custkey",
+        _h("a", F.col("o_custkey")).alias("h1"),
+        _h("b", F.col("o_custkey")).alias("h2"),
+    )
+    flags = (
+        probe.join(
+            F.broadcast(build.withColumnRenamed("c_custkey", "mk")),
+            F.col("mk") == F.col("o_custkey"),
+            "left",
+        )
+        .join(F.broadcast(bits.withColumnRenamed("b", "b1")), F.col("b1") == F.col("h1"), "left")
+        .join(F.broadcast(bits.withColumnRenamed("b", "b2")), F.col("b2") == F.col("h2"), "left")
+        .select(
+            F.col("mk").isNotNull().alias("is_member"),
+            (F.col("b1").isNotNull() & F.col("b2").isNotNull()).alias("bloom_pass"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("is_member").cast("long")).alias("n_member"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("long")).alias("n_false_pos"),
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return agg.crossJoin(F.broadcast(n_bits)).select(
+        "n_probe",
+        "n_member",
+        "n_bloom_pass",
+        "n_false_pos",
+        F.expr(f"n_false_pos * {_BLOOM_FP} div (n_probe - n_member)").alias("fpr_fp"),
+        "n_bits_set",
+    )

@@ -1,0 +1,134 @@
+"""Round-9-queue operator invariants (the laws oracle parity can't
+state): bloom filters never false-negative, the decomposition identity
+reassembles the series, RRF recomputes from its ranks, link-prediction
+candidates are genuinely non-adjacent, Gini hits its boundary cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans import REGISTRY
+
+
+def test_linkpred_candidates_are_nonadjacent_panel_pairs(spark, sf_dir):
+    rows = REGISTRY["linkpred_copurchase_scores"].fn(spark, sf_dir).collect()
+    assert rows and [r.rk for r in rows] == list(range(1, len(rows) + 1))
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .collect()
+    }
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    panel = set(nodes[:100])
+    for r in rows:
+        assert r.u in panel, "source side must come from the fixed panel"
+        assert (min(r.u, r.v), max(r.u, r.v)) not in edges, "candidate must be a NON-edge"
+        assert 1 <= r.cn <= min(r.deg_u, r.deg_v)
+        assert 0 < r.jaccard_fp <= 1_000_000
+        assert r.ra_fp > 0
+    # ranking is by RA descending
+    ras = [r.ra_fp for r in rows]
+    assert ras == sorted(ras, reverse=True)
+
+
+def test_seasonal_decomposition_identity(spark, sf_dir):
+    rows = REGISTRY["seasonal_decompose_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # additive identity: the three components reassemble the series
+        assert r.s_fp == r.trend_fp + r.seasonal_fp + r.remainder_fp
+        assert r.dow == (r.day + 4) % 7
+    # every weekday occurs for every event_type that survived edge-trim
+    by_et = {}
+    for r in rows:
+        by_et.setdefault(r.event_type, set()).add(r.dow)
+    for et, dows in by_et.items():
+        assert dows == set(range(7)), f"{et} missing weekdays {set(range(7)) - dows}"
+    # the seasonal component is the per-(event_type, dow) MEAN of the
+    # detrended series: constant across that dow's days and exactly
+    # sum(detrended) div count recomputed from the output itself
+    cell = {}
+    for r in rows:
+        key = (r.event_type, r.dow)
+        det = r.s_fp - r.trend_fp
+        s, n, vals = cell.get(key, (0, 0, set()))
+        cell[key] = (s + det, n + 1, vals | {r.seasonal_fp})
+    for key, (s, n, vals) in cell.items():
+        assert len(vals) == 1, f"{key}: seasonal must be constant per dow"
+        # integer div truncates toward zero in both engines
+        expect = abs(s) // n if s >= 0 else -(abs(s) // n)
+        assert vals == {expect}, f"{key}: seasonal {vals} != {expect}"
+
+
+def test_dsir_scores_rank_target_like_docs(spark, sf_dir):
+    out = REGISTRY["dsir_importance_topk"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw_ids = {r.doc_id for r in docs.filter(F.col("source") != "src0").collect()}
+    for r in rows:
+        assert r.doc_id in raw_ids, "only raw (non-target) docs are scored"
+        assert r.n_grams >= 1
+        assert r.avg_ratio_fp > 0
+    scores = [r.avg_ratio_fp for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_hybrid_rrf_recomputes_from_ranks(spark, sf_dir):
+    rows = REGISTRY["hybrid_rrf_retrieval"].fn(spark, sf_dir).collect()
+    assert rows
+    fp, c = 1_000_000, 60
+    seen_self = set()
+    for r in rows:
+        expect = (fp // (c + r.bm25_rk) if r.bm25_rk else 0) + (
+            fp // (c + r.dense_rk) if r.dense_rk else 0
+        )
+        assert r.rrf_fp == expect
+        assert r.rrf_fp > 0
+        assert 1 <= r.rk <= 10
+        if r.query_id == r.doc_id:
+            seen_self.add(r.query_id)
+    # each query doc retrieves itself (cosine self-sim = 1 -> dense rank 1)
+    assert seen_self == {r.query_id for r in rows}
+
+
+def test_bloom_filter_has_no_false_negatives(spark, sf_dir):
+    (r,) = REGISTRY["bloom_prune_fpr_audit"].fn(spark, sf_dir).collect()
+    # THE bloom property: every true member passes the filter
+    assert r.n_bloom_pass >= r.n_member
+    assert r.n_false_pos == r.n_bloom_pass - r.n_member
+    assert 0 <= r.fpr_fp <= 1_000_000
+    assert 0 < r.n_bits_set <= 8192
+    assert r.n_member < r.n_probe
+
+
+def test_token_gini_boundaries(spark, sf_dir):
+    rows = REGISTRY["token_gini_diversity"].fn(spark, sf_dir).collect()
+    docs = {r.doc_id: r.text for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    assert len(rows) == len(docs)
+    by_id = {r.doc_id: r for r in rows}
+    for r in rows:
+        assert 0 <= r.gini_fp < 1_000_000
+        assert 1 <= r.n_distinct <= r.n_tokens
+        if r.n_distinct == 1:
+            assert r.gini_fp == 0
+    # exact cross-check of one document against pure python
+    doc_id, text = sorted(docs.items())[0]
+    toks = text.strip().lower().split()
+    from collections import Counter
+
+    cnt = Counter(toks)
+    n = sum(cnt.values())
+    expect = 1_000_000 - sum(v * v for v in cnt.values()) * 1_000_000 // (n * n)
+    got = by_id[doc_id]
+    assert (got.n_tokens, got.n_distinct, got.gini_fp) == (n, len(cnt), expect)
