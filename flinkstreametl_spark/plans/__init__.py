@@ -83,6 +83,9 @@ _NEW_R9: list[str] = [
     "hybrid_rrf_retrieval",
     "bloom_prune_fpr_audit",
     "token_gini_diversity",
+    "mutual_knn_pairs",
+    "embedding_centroid_drift",
+    "quality_calibration_audit",
 ]
 
 _PRIORITY_R8 = [

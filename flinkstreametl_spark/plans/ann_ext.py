@@ -384,3 +384,199 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- mutual kNN -------------------------------------------------------------
+# Reciprocal nearest neighbors: pairs where EACH vector ranks the other
+# inside its top-_MKNN_K within the label block. The asymmetric kNN
+# graph has hub vectors that appear in thousands of neighbor lists
+# without reciprocating (the high-dimensional hubness pathology);
+# mutual-kNN is the standard cure — SemDeDup-family pipelines use it as
+# the high-precision pair stage because a one-directional high cosine
+# is often just a hub. Block shape and fixed-point cosine are the
+# embedding_neardup_pairs conventions; at 100 TB the blocks come from
+# the learned kmeans partition (semantic_dedup_pairs) or the IVF route.
+_MKNN_K = 3
+
+_MKNN_FOLD_SQ = (
+    "CAST(list_sum(list_transform({v}, v ->"
+    " CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT)"
+)
+
+_MKNN_ORACLE = f"""
+WITH p AS (
+    SELECT a.label, a.vec_id AS va, b.vec_id AS vb,
+           CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               x -> CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS dot,
+           {_MKNN_FOLD_SQ.format(v="a.embedding")} AS qq,
+           {_MKNN_FOLD_SQ.format(v="b.embedding")} AS cc
+    FROM embeddings a JOIN embeddings b
+      ON b.label = a.label AND b.vec_id <> a.vec_id
+),
+r AS (
+    SELECT label, va, vb,
+           CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine,
+           row_number() OVER (PARTITION BY va
+                              ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                                       vb) AS rn
+    FROM p
+),
+k AS (SELECT * FROM r WHERE rn <= {_MKNN_K})
+SELECT k1.label, k1.va AS vec_a, k1.vb AS vec_b, k1.cosine,
+       CAST(k1.rn AS BIGINT) AS rk_ab, CAST(k2.rn AS BIGINT) AS rk_ba
+FROM k k1 JOIN k k2 ON k2.va = k1.vb AND k2.vb = k1.va
+WHERE k1.va < k1.vb
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "mutual_knn_pairs",
+    tags=("ext", "llm", "similarity", "dedup"),
+    oracle=_MKNN_ORACLE,
+)
+def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs within label blocks: (a, b)
+    where b is in a's fixed-point-cosine top-3 AND a is in b's — the
+    hubness-robust pair stage (module block above). Reports both
+    directed ranks; cosine is symmetric so one column serves.
+
+    Plan shape: one blocked self-join on the label (array rows — the
+    |pairs| stream never explodes to |pairs| x dim), the in-row
+    fixed-point cosine fold, a per-source top-k window partitioned by
+    vec_id (never global), then the reciprocity SELF-JOIN of the
+    bounded kNN edge list (|V| x k rows) against its own reversal —
+    output-sized work after the window."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(
+        "label", F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("va") != F.col("vb")))
+    scored = pairs.select(
+        "label", "va", "vb", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+    )
+    w = Window.partitionBy("va").orderBy(F.col("cosine").desc(), "vb")
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MKNN_K)
+        .localCheckpoint()  # bounded |V| x k edge list; probed twice below
+    )
+    rev = knn.select(
+        F.col("va").alias("vb"), F.col("vb").alias("va"), F.col("rn").alias("rk_ba")
+    )
+    return (
+        knn.join(rev, ["va", "vb"])
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "label",
+            F.col("va").alias("vec_a"),
+            F.col("vb").alias("vec_b"),
+            "cosine",
+            F.col("rn").cast("long").alias("rk_ab"),
+            F.col("rk_ba").cast("long").alias("rk_ba"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+# --- centroid drift ---------------------------------------------------------
+# The distribution-shift audit underneath BOTH staleness audits: how
+# far has each label's centroid moved once the arrival stream (the
+# _ARRIVALS convention, every 5th vector) is folded in? The staleness
+# audits measure the SYMPTOM (recall/ranking decay); this measures the
+# CAUSE (centroid displacement), which is what a production re-fit
+# trigger actually monitors — per-partition, cheap, no queries needed.
+# Centroids are integer fixed-point means at 10^6 (element magnitudes
+# ~1, so products stay ~10^12 and the 64-dim dot is ~10^14 — int64-safe
+# by 4 orders); drift is the exact cosine between the two integer
+# centroid vectors.
+_DRIFT_FP = 1_000_000
+
+_DRIFT_ORACLE = f"""
+WITH ex AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings
+),
+g AS (
+    SELECT label, pos,
+           CAST(SUM(CASE WHEN NOT ({_ARRIVALS})
+                    THEN CAST(floor(CAST(val AS DOUBLE) * {_DRIFT_FP}) AS BIGINT) END) AS BIGINT) AS s_base,
+           CAST(SUM(CASE WHEN NOT ({_ARRIVALS}) THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {_DRIFT_FP}) AS BIGINT)) AS BIGINT) AS s_all,
+           CAST(COUNT(*) AS BIGINT) AS n_all
+    FROM ex GROUP BY label, pos
+),
+cent AS (
+    SELECT label, pos, s_base // n_base AS cb, s_all // n_all AS ca, n_base, n_all
+    FROM g WHERE n_base > 0
+)
+SELECT label, MAX(n_base) AS n_base, MAX(n_all) - MAX(n_base) AS n_arrivals,
+       CAST(SUM(cb * ca) AS DOUBLE)
+           / sqrt(CAST(SUM(cb * cb) AS DOUBLE) * CAST(SUM(ca * ca) AS DOUBLE)) AS drift_cosine
+FROM cent
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register(
+    "embedding_centroid_drift",
+    tags=("ext", "llm", "similarity", "audit", "streaming-twin"),
+    oracle=_DRIFT_ORACLE,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift once the arrival stream lands: cosine
+    between the base-only centroid (what the stale index was fit on)
+    and the full-corpus centroid — the re-fit trigger signal the
+    streaming ANN maintenance (streaming/ann_ingest.py) would watch
+    (exact integer spec in the block above). drift_cosine == 1.0 means
+    the arrivals changed nothing; the audit's value is the gap.
+
+    Plan shape: one explode -> ONE (label, pos) hash aggregate
+    computing both sums with conditional aggregation (the stale/refit
+    pair shares the scan — the bm25 staleness pattern); everything
+    after is label x dim rows (parameter-sized)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    is_base = ~F.expr(_ARRIVALS)
+    v_fp = F.floor(F.col("val").cast("double") * _DRIFT_FP).cast("long")
+    g = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.when(is_base, v_fp)).alias("s_base"),
+            F.sum(is_base.cast("long")).alias("n_base"),
+            F.sum(v_fp).alias("s_all"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+        .filter(F.col("n_base") > 0)
+    )
+    cent = g.select(
+        "label",
+        F.expr("s_base div n_base").alias("cb"),
+        F.expr("s_all div n_all").alias("ca"),
+        "n_base",
+        "n_all",
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.max("n_base").alias("n_base"),
+            (F.max("n_all") - F.max("n_base")).alias("n_arrivals"),
+            (
+                F.sum(F.col("cb") * F.col("ca")).cast("double")
+                / F.sqrt(
+                    F.sum(F.col("cb") * F.col("cb")).cast("double")
+                    * F.sum(F.col("ca") * F.col("ca")).cast("double")
+                )
+            ).alias("drift_cosine"),
+        )
+        .orderBy("label")
+    )

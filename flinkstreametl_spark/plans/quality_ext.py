@@ -470,3 +470,96 @@ def token_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- signal calibration audit ------------------------------------------------
+# Does the smooth diversity signal PREDICT the hard gate? Bucket every
+# document by its Gini diversity (ten fixed-width fixed-point bins —
+# map-side arithmetic, NOT a global ntile: a corpus-wide rank window
+# single-partitions at 100 TB, while bucket = min(gini*10 div FP, 9)
+# costs nothing) and report the gopher keep rate per bucket. A
+# monotone keep-rate curve validates using the cheap smooth score as a
+# pre-filter in front of the expensive gate; a flat one says the
+# signals are independent. This is the classifier-calibration shape
+# every model-based quality filter gets audited with before it is
+# trusted to pre-prune.
+_CAL_ORACLE = f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY doc_id, tok),
+sig AS (
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(cnt) AS BIGINT) AS top_tok_count,
+           CAST(SUM(len(tok) * cnt) AS BIGINT) AS n_word_chars,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS sum_cnt2
+    FROM tc GROUP BY doc_id
+),
+feat AS (
+    SELECT doc_id,
+           {_GINI_FP} - sum_cnt2 * {_GINI_FP} // (n_tokens * n_tokens) AS gini_fp,
+           (n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS})
+             AND CAST(n_distinct AS DOUBLE) / n_tokens >= {_MIN_DISTINCT_FRAC}
+             AND CAST(top_tok_count AS DOUBLE) / n_tokens <= {_MAX_TOP_FRAC}
+             AND CAST(n_word_chars AS DOUBLE) / n_tokens BETWEEN {_MIN_MEAN_WLEN} AND {_MAX_MEAN_WLEN}
+             AS keep
+    FROM sig
+)
+SELECT CAST(least(gini_fp * 10 // {_GINI_FP}, 9) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * {_GINI_FP} // COUNT(*) AS BIGINT) AS keep_rate_fp,
+       CAST(MIN(gini_fp) AS BIGINT) AS min_gini_fp,
+       CAST(MAX(gini_fp) AS BIGINT) AS max_gini_fp
+FROM feat
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+@register("quality_calibration_audit", tags=("ext", "llm", "quality", "audit"), oracle=_CAL_ORACLE)
+def quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the Gini diversity signal against the gopher
+    gate: per fixed-width gini bucket, document count and gate keep
+    rate (exact integer spec in the block above — note the deliberate
+    map-side bucketing instead of a corpus-rank ntile). Both signals
+    come from ONE (doc_id, token) aggregate: the gini Σcnt² and the
+    gate's four geometry signals fold in the same exchange, so the
+    audit costs exactly what the gate alone costs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sig = tc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_tok_count"),
+        F.sum(F.length("tok") * F.col("cnt")).alias("n_word_chars"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sum_cnt2"),
+    )
+    n = F.col("n_tokens")
+    keep = (
+        n.between(_MIN_TOKENS, _MAX_TOKENS)
+        & (F.col("n_distinct").cast("double") / n >= _MIN_DISTINCT_FRAC)
+        & (F.col("top_tok_count").cast("double") / n <= _MAX_TOP_FRAC)
+        & (F.col("n_word_chars").cast("double") / n).between(_MIN_MEAN_WLEN, _MAX_MEAN_WLEN)
+    )
+    feat = sig.select(
+        F.expr(f"{_GINI_FP} - sum_cnt2 * {_GINI_FP} div (n_tokens * n_tokens)").alias("gini_fp"),
+        keep.alias("keep"),
+    )
+    return (
+        feat.groupBy(
+            F.least(F.expr(f"gini_fp * 10 div {_GINI_FP}"), F.lit(9)).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.expr(f"sum(cast(keep as long)) * {_GINI_FP} div count(*)").alias("keep_rate_fp"),
+            F.min("gini_fp").alias("min_gini_fp"),
+            F.max("gini_fp").alias("max_gini_fp"),
+        )
+        .orderBy("bucket")
+    )

@@ -132,3 +132,47 @@ def test_token_gini_boundaries(spark, sf_dir):
     expect = 1_000_000 - sum(v * v for v in cnt.values()) * 1_000_000 // (n * n)
     got = by_id[doc_id]
     assert (got.n_tokens, got.n_distinct, got.gini_fp) == (n, len(cnt), expect)
+
+
+def test_mutual_knn_pairs_are_reciprocal_and_blocked(spark, sf_dir):
+    rows = REGISTRY["mutual_knn_pairs"].fn(spark, sf_dir).collect()
+    assert rows
+    emb = {r.vec_id: r.label for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    seen = set()
+    for r in rows:
+        assert r.vec_a < r.vec_b, "canonical orientation"
+        assert (r.vec_a, r.vec_b) not in seen
+        seen.add((r.vec_a, r.vec_b))
+        assert emb[r.vec_a] == emb[r.vec_b] == r.label, "pairs stay inside the label block"
+        assert 1 <= r.rk_ab <= 3 and 1 <= r.rk_ba <= 3
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_centroid_drift_counts_and_bounds(spark, sf_dir):
+    rows = REGISTRY["embedding_centroid_drift"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    from collections import Counter
+
+    n_all = Counter(r.label for r in emb)
+    n_arr = Counter(r.label for r in emb if r.vec_id % 5 == 0)
+    assert {r.label for r in rows} == set(n_all)
+    for r in rows:
+        assert r.n_base == n_all[r.label] - n_arr[r.label]
+        assert r.n_arrivals == n_arr[r.label]
+        assert -1.0 - 1e-9 <= r.drift_cosine <= 1.0 + 1e-9
+        # arrivals are a 20% same-distribution slice: centroids stay close
+        assert r.drift_cosine > 0.5
+
+
+def test_quality_calibration_reconciles_with_the_gate(spark, sf_dir):
+    rows = REGISTRY["quality_calibration_audit"].fn(spark, sf_dir).collect()
+    gate = REGISTRY["gopher_quality_gate"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == len(gate)
+    assert sum(r.n_keep for r in rows) == sum(1 for g in gate if g.keep)
+    for r in rows:
+        assert 0 <= r.bucket <= 9
+        assert 0 <= r.n_keep <= r.n_docs
+        assert r.keep_rate_fp == r.n_keep * 1_000_000 // r.n_docs
+        assert r.min_gini_fp <= r.max_gini_fp
+        if r.bucket < 9:
+            assert r.max_gini_fp < (r.bucket + 1) * 100_000
