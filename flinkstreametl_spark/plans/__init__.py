@@ -86,6 +86,11 @@ _NEW_R9: list[str] = [
     "mutual_knn_pairs",
     "embedding_centroid_drift",
     "quality_calibration_audit",
+    "kcore_peeling_profile",
+    "decontaminate_by_embedding",
+    "stratified_kfold_audit",
+    "theil_sen_trend_daily",
+    "join_key_skew_report",
 ]
 
 _PRIORITY_R8 = [

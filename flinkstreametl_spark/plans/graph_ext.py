@@ -461,3 +461,107 @@ def linkpred_copurchase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", "v", "cn", "deg_u", "deg_v", "jaccard_fp", "ra_fp",
         F.row_number().over(w).cast("long").alias("rk"),
     ).orderBy("rk")
+
+
+# --- k-core decomposition ---------------------------------------------------
+# Iterative peeling: repeatedly delete nodes with degree < k until the
+# fixpoint — what survives is the k-core, the standard "dense backbone"
+# extraction (community seeding, spam-graph trimming, visualization).
+# Like pagerank, the WHOLE trajectory is the verified output, not just
+# the final core: each round's (n_nodes, n_edges) after peeling is a
+# row, so the oracle hash-pins every intermediate peel. _KCORE_ROUNDS
+# is a fixed unroll (both engines run the same 8 peels; rounds after
+# the fixpoint repeat the fixpoint counts — deterministic, and the
+# fixture converges in <= 6, asserted in tests). Distributed shape per
+# round: one degree aggregate + two semi-joins of the edge list
+# against the (|V|-sized, broadcastable) survivor set — E-scale work
+# per round, the textbook distributed k-core.
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """e0 AS MATERIALIZED (
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                    greatest(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for i in range(1, _KCORE_ROUNDS + 1):
+        p = f"e{i - 1}"
+        ctes.append(
+            f"d{i} AS (SELECT node, COUNT(*) AS deg FROM ("
+            f"SELECT u AS node FROM {p} UNION ALL SELECT v FROM {p}) GROUP BY node)"
+        )
+        ctes.append(f"s{i} AS (SELECT node FROM d{i} WHERE deg >= {_KCORE_K})")
+        ctes.append(
+            f"e{i} AS MATERIALIZED (SELECT u, v FROM {p} "
+            f"SEMI JOIN s{i} su ON su.node = {p}.u "
+            f"SEMI JOIN s{i} sv ON sv.node = {p}.v)"
+        )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS round,"
+        f" (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM"
+        f" (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})) AS n_nodes,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges"
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows + "\nORDER BY round"
+
+
+@register("kcore_peeling_profile", tags=("ext", "graph", "iterative"), oracle=_kcore_oracle())
+def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling trajectory of the part co-purchase graph: after
+    each of 8 fixed peel rounds, the surviving (n_nodes, n_edges) —
+    round 0 is the full graph, the tail rows sit at the fixpoint (the
+    3-core itself). See the module block for why the trajectory, not
+    just the core, is the output, and the per-round distributed shape.
+
+    Plan shape: the canonical edge list is pinned once; each round
+    pins its peeled edge list (one degree hash-aggregate + two
+    broadcast-able semi-joins), so round i+1 consumes ROUND i's
+    materialization, never a replay of the whole chain — the pagerank
+    loop discipline (operators/graph.py)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _stats(e: DataFrame, rnd: int) -> DataFrame:
+        ends = e.select(F.col("u").alias("node")).unionByName(e.select(F.col("v").alias("node")))
+        return (
+            ends.agg(F.count_distinct("node").alias("n_nodes"))
+            .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+            .select(
+                F.lit(rnd).cast("long").alias("round"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                "n_edges",
+            )
+        )
+
+    out = _stats(edges, 0)
+    cur = edges
+    for i in range(1, _KCORE_ROUNDS + 1):
+        ends = cur.select(F.col("u").alias("node")).unionByName(
+            cur.select(F.col("v").alias("node"))
+        )
+        deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        cur = (
+            cur.join(F.broadcast(keep.withColumnRenamed("node", "u")), "u", "left_semi")
+            .join(F.broadcast(keep.withColumnRenamed("node", "v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        out = out.unionByName(_stats(cur, i))
+    return out.orderBy("round")

@@ -1047,3 +1047,78 @@ def domain_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- stratified k-fold -------------------------------------------------------
+# Cross-validation fold assignment at corpus scale: fold = md5 bucket
+# mod k (zero-shuffle, zero-coordination — every worker computes its
+# rows' folds independently, the coherent-sampling discipline), audited
+# for the property k-fold exists to provide: each fold's per-language
+# composition matches the corpus (a skewed fold biases every held-out
+# estimate). Output is the (fold, lang) grain with each cell's share of
+# its fold in integer basis points against the global language share —
+# the representativeness audit a CV harness runs before trusting folds.
+_KFOLD = 5
+_KF_BP = 10_000
+
+_KFOLD_ORACLE = f"""
+WITH f AS (
+    SELECT doc_id, lang,
+           CAST({_BUCKET_SQL} % {_KFOLD} AS BIGINT) AS fold
+    FROM documents
+),
+cell AS (SELECT fold, lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM f GROUP BY fold, lang),
+ftot AS (SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS fold_docs FROM cell GROUP BY fold),
+ltot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS lang_docs FROM cell GROUP BY lang),
+gtot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM cell)
+SELECT c.fold, c.lang, c.n_docs,
+       CAST(c.n_docs * {_KF_BP} // f.fold_docs AS BIGINT) AS fold_share_bp,
+       CAST(l.lang_docs * {_KF_BP} // g.total AS BIGINT) AS global_share_bp,
+       CAST(c.n_docs * {_KF_BP} // f.fold_docs
+            - l.lang_docs * {_KF_BP} // g.total AS BIGINT) AS skew_bp
+FROM cell c JOIN ftot f ON f.fold = c.fold
+JOIN ltot l ON l.lang = c.lang, gtot g
+ORDER BY c.fold, c.lang
+"""
+
+
+@register("stratified_kfold_audit", tags=("ext", "llm", "sampling", "audit"), oracle=_KFOLD_ORACLE)
+def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold assignment by md5 bucket with the per-language
+    representativeness audit (block comment above): each (fold, lang)
+    cell's share of its fold vs the language's global share, in exact
+    basis points — skew_bp near 0 everywhere is what licenses using
+    the folds. Plan shape: fold assignment is map-side arithmetic on
+    the hash the split family already uses; the audit is one
+    (fold, lang) aggregate plus three bounded re-aggregates of it
+    (folds x langs cells — parameter-sized, broadcast back)."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("int")
+            % 100
+            % _KFOLD
+        ).cast("long").alias("fold"),
+    )
+    cell = f.groupBy("fold", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    ftot = cell.groupBy("fold").agg(F.sum("n_docs").alias("fold_docs"))
+    ltot = cell.groupBy("lang").agg(F.sum("n_docs").alias("lang_docs"))
+    gtot = cell.agg(F.sum("n_docs").alias("total"))
+    return (
+        cell.join(F.broadcast(ftot), "fold")
+        .join(F.broadcast(ltot), "lang")
+        .crossJoin(F.broadcast(gtot))
+        .select(
+            "fold",
+            "lang",
+            "n_docs",
+            F.expr(f"n_docs * {_KF_BP} div fold_docs").alias("fold_share_bp"),
+            F.expr(f"lang_docs * {_KF_BP} div total").alias("global_share_bp"),
+            F.expr(
+                f"n_docs * {_KF_BP} div fold_docs - lang_docs * {_KF_BP} div total"
+            ).alias("skew_bp"),
+        )
+        .orderBy("fold", "lang")
+    )

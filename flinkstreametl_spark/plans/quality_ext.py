@@ -355,7 +355,7 @@ ORDER BY rk
 """
 
 
-@register("dsir_importance_topk", tags=("ext", "llm", "selection"), oracle=_DSIR_ORACLE)
+@register("dsir_importance_topk", tags=("ext", "llm", "selection", "bench"), oracle=_DSIR_ORACLE)
 def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data selection: the top-50 raw documents by
     target-likeness under hashed-bigram importance ratios (see the

@@ -541,7 +541,7 @@ ORDER BY query_id, rk
 
 @register(
     "hybrid_rrf_retrieval",
-    tags=("ext", "llm", "retrieval", "similarity"),
+    tags=("ext", "llm", "retrieval", "similarity", "bench"),
     oracle=_RRF_ORACLE,
 )
 def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,4 +605,130 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _RRF_K)
         .select("query_id", "doc_id", "bm25_rk", "dense_rk", "rrf_fp", "rk")
         .orderBy("query_id", "rk")
+    )
+
+
+# --- dense decontamination ---------------------------------------------------
+# The third decontamination modality, completing the triad:
+#   decontaminate_ngram_hits      — exact lexical overlap
+#   decontaminate_by_retrieval    — sparse (BM25) retrieval + confirm
+#   decontaminate_by_embedding    — dense retrieval + confirm (here)
+# Paraphrased benchmark leakage defeats both lexical signals (no
+# shared n-gram, low BM25) but not the embedding space — the published
+# recipe (e.g. the Phi/llm-decontaminator line) retrieves by embedding
+# similarity and confirms with a cheap exact signal. Same fixed-size
+# probe-panel model as the BM25 stage (benchmarks don't grow with the
+# corpus); the suite's vec_id == doc_id convention links modalities.
+_DEMB_K = 5
+_DEMB_PANEL = 100
+
+_DEMB_ORACLE = f"""
+WITH pn AS (SELECT doc_id FROM documents WHERE source = '{_PROBE_SOURCE}'
+            ORDER BY doc_id LIMIT {_DEMB_PANEL}),
+q AS (SELECT e.vec_id, e.embedding FROM embeddings e SEMI JOIN pn ON pn.doc_id = e.vec_id),
+c AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON d.doc_id = e.vec_id AND d.source <> '{_PROBE_SOURCE}'),
+sc AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding),
+               x -> CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS dot,
+           CAST(list_sum(list_transform(q.embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS qq,
+           CAST(list_sum(list_transform(c.embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS BIGINT) AS cc
+    FROM q, c
+),
+topk AS (
+    SELECT query_id, doc_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT query_id, doc_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                                           doc_id) AS rk
+        FROM sc
+    ) r WHERE rk <= {_DEMB_K}
+),
+pb AS (SELECT doc_id AS query_id, {X.sql_tokens("text")} AS ptoks
+       FROM documents WHERE doc_id IN (SELECT doc_id FROM pn)),
+pg AS (SELECT query_id, unnest({_TRI_SQL.format(c="ptoks")}) AS gram FROM pb),
+tb AS (SELECT doc_id, {X.sql_tokens("text")} AS ttoks FROM documents
+       WHERE doc_id IN (SELECT doc_id FROM topk)),
+tg AS (SELECT doc_id, unnest({_TRI_SQL.format(c="ttoks")}) AS gram FROM tb),
+sh AS (SELECT k.query_id, k.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       FROM topk k
+       JOIN pg ON pg.query_id = k.query_id
+       JOIN tg ON tg.doc_id = k.doc_id AND tg.gram = pg.gram
+       GROUP BY 1, 2)
+SELECT k.query_id, k.doc_id, k.cosine, k.rk,
+       COALESCE(sh.n_shared, 0) AS n_shared_trigrams
+FROM topk k LEFT JOIN sh ON sh.query_id = k.query_id AND sh.doc_id = k.doc_id
+"""
+
+
+@register(
+    "decontaminate_by_embedding",
+    tags=("ext", "llm", "retrieval", "decontamination", "similarity"),
+    oracle=_DEMB_ORACLE,
+)
+def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-retrieval decontamination: each probe in the fixed eval
+    panel retrieves its fixed-point-cosine top-5 from the TRAINING
+    side of the embedding space, and each retrieved pair is confirmed
+    by shared distinct word 3-grams — high cosine + zero trigrams is
+    the PARAPHRASE-leak signature the lexical modalities miss (module
+    block above: the triad this completes).
+
+    Plan shape: the probe panel is parameter-sized and broadcasts; one
+    pass over the candidate embeddings with the in-row fixed-point
+    cosine fold (at 100 TB: the IVF route, exactly like ann queries);
+    the confirm stage semi-joins the corpus down to the retrieved
+    doc_ids before any tokenization and broadcasts the pair/probe-gram
+    tables — the decontaminate_by_retrieval confirm, verbatim."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    panel = (
+        docs.filter(F.col("source") == _PROBE_SOURCE)
+        .orderBy("doc_id")
+        .limit(_DEMB_PANEL)
+        .select("doc_id")
+        .localCheckpoint()  # parameter-sized; feeds queries AND the confirm stage
+    )
+    q = emb.join(panel, emb["vec_id"] == panel["doc_id"], "left_semi").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    train_ids = docs.filter(F.col("source") != _PROBE_SOURCE).select("doc_id")
+    c = emb.join(train_ids, emb["vec_id"] == train_ids["doc_id"], "left_semi").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    topk = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "doc_id", S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _DEMB_K)
+        .localCheckpoint()  # bounded panel x k; ranking runs once
+    )
+
+    probes = docs.join(panel, "doc_id", "left_semi").select(
+        F.col("doc_id").alias("query_id"), X.tokens("text").alias("toks")
+    )
+    probe_grams = probes.select("query_id", F.explode(_trigrams(F.col("toks"))).alias("gram"))
+    cand = docs.join(topk.select("doc_id").distinct(), "doc_id", "left_semi")
+    train_grams = cand.select("doc_id", X.tokens("text").alias("toks")).select(
+        "doc_id", F.explode(_trigrams(F.col("toks"))).alias("gram")
+    )
+    shared = (
+        train_grams.join(
+            F.broadcast(topk.select("query_id", "doc_id").join(probe_grams, "query_id")),
+            ["doc_id", "gram"],
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return topk.join(F.broadcast(shared), ["query_id", "doc_id"], "left").select(
+        "query_id",
+        "doc_id",
+        "cosine",
+        "rk",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_trigrams"),
     )

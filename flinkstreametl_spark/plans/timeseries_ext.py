@@ -843,3 +843,90 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- Theil–Sen robust trend --------------------------------------------------
+# The robust complement to trend_fit_by_event_type's OLS: the median of
+# all pairwise slopes (s_j - s_i) / (j - i) over the daily series —
+# up to ~29% of the points can be corrupted before the estimate moves
+# (OLS breaks at one bad day). Selection is EXACT: slopes stay as
+# integer (dy, dx) rationals; the total order is the double quotient
+# (identical int64 inputs -> identical IEEE division in both engines)
+# tie-broken by (dy, dx); the reported element is the lower median
+# (rank (m+1) div 2). slope_fp = dy * FP div dx of that element — no
+# averaging, so no cross-engine rounding surface.
+#
+# 100 TB judgment: the pair set is C(n_days, 2) PER KEY — bounded by
+# the CALENDAR squared, not by event volume (a decade of days is ~7M
+# pairs), and the expensive exchange remains the one daily-grain
+# aggregate; the pair join runs inside each key's bounded series.
+_TS_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+pairs AS (
+    SELECT a.event_type,
+           b.s_fp - a.s_fp AS dy,
+           b.day - a.day AS dx
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.day > a.day
+),
+ranked AS (
+    SELECT event_type, dy, dx,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS m
+    FROM pairs
+)
+SELECT event_type,
+       CAST(m AS BIGINT) AS n_slopes,
+       CAST(dy AS BIGINT) AS med_dy,
+       CAST(dx AS BIGINT) AS med_dx,
+       CAST(dy * {_FP} // dx AS BIGINT) AS slope_fp
+FROM ranked
+WHERE rn = (m + 1) // 2
+ORDER BY event_type
+"""
+
+
+@register("theil_sen_trend_daily", tags=("ext", "timeseries", "robust"), oracle=_TS_ORACLE)
+def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event_type: the exact lower-median
+    pairwise slope of the daily value series, reported as the integer
+    rational it is plus its fixed-point quotient (spec in the block
+    above — selection, not averaging, so the answer is an actual data
+    slope and hash-exact).
+
+    Plan shape: ONE exchange to the daily grain; the pairwise-slope
+    join and the median-selection window both run inside the per-key
+    day series (calendar-bounded); output is one row per event_type."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type")) & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("b.s_fp") - F.col("a.s_fp")).alias("dy"),
+        (F.col("b.day") - F.col("a.day")).alias("dx"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("dy").cast("double") / F.col("dx"), "dy", "dx"
+    )
+    cw = Window.partitionBy("event_type")
+    ranked = pairs.select(
+        "event_type",
+        "dy",
+        "dx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("m"),
+    )
+    return (
+        ranked.filter(F.expr("rn = (m + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("m").cast("long").alias("n_slopes"),
+            F.col("dy").cast("long").alias("med_dy"),
+            F.col("dx").cast("long").alias("med_dx"),
+            F.expr(f"dy * {_FP} div dx").cast("long").alias("slope_fp"),
+        )
+        .orderBy("event_type")
+    )

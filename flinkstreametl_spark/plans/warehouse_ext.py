@@ -820,3 +820,74 @@ def bloom_prune_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"n_false_pos * {_BLOOM_FP} div (n_probe - n_member)").alias("fpr_fp"),
         "n_bits_set",
     )
+
+
+# --- join-key skew report ----------------------------------------------------
+# The diagnostic that decides WHEN the skew machinery (operators/
+# skew.py salting, AQE skew-join splits — tests/test_skew.py) is worth
+# its cost: per join key of the fact table, how heavy is the heaviest
+# key relative to a perfectly uniform spread? skew_ratio_fp =
+# max_rows * n_keys * FP div total_rows (1.0 == uniform). Production
+# runs this per fact/key pair on a schedule and alerts when the ratio
+# crosses the salting threshold — cheaper than discovering the skew as
+# a straggler task at 3 a.m. One hash aggregate on the key plus
+# bounded re-aggregates; the heavy-hitter list is TakeOrdered.
+_SKEW_FP = 1_000_000
+_SKEW_TOPK = 10
+
+_SKEW_ORACLE = f"""
+WITH per_key AS (
+    SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders GROUP BY o_custkey
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           CAST(MAX(n_rows) AS BIGINT) AS max_rows
+    FROM per_key
+)
+SELECT p.key, p.n_rows,
+       CAST(rk AS BIGINT) AS rk,
+       t.n_keys, t.total_rows,
+       CAST(p.n_rows * t.n_keys * {_SKEW_FP} // t.total_rows AS BIGINT) AS skew_ratio_fp
+FROM (
+    SELECT key, n_rows, row_number() OVER (ORDER BY n_rows DESC, key) AS rk
+    FROM per_key
+) p, tot t
+WHERE rk <= {_SKEW_TOPK}
+ORDER BY rk
+"""
+
+
+@register("join_key_skew_report", tags=("ext", "warehouse", "skew", "audit"), oracle=_SKEW_ORACLE)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter skew report for the orders→customer join key: the
+    top-10 heaviest o_custkey values with each key's skew ratio
+    against a uniform spread (block comment above — the trigger signal
+    for salted_hot_key_agg / AQE skew splits). Plan shape: one
+    map-side-partial aggregate on the key, a 1-row totals
+    re-aggregate broadcast back, TakeOrdered for the top-10."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_key = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    tot = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    top = per_key.orderBy(F.col("n_rows").desc(), "key").limit(_SKEW_TOPK)
+    w = Window.orderBy(F.col("n_rows").desc(), "key")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_rows",
+            "rk",
+            "n_keys",
+            "total_rows",
+            F.expr(f"n_rows * n_keys * {_SKEW_FP} div total_rows").alias("skew_ratio_fp"),
+        )
+        .orderBy("rk")
+    )

@@ -176,3 +176,84 @@ def test_quality_calibration_reconciles_with_the_gate(spark, sf_dir):
         assert r.min_gini_fp <= r.max_gini_fp
         if r.bucket < 9:
             assert r.max_gini_fp < (r.bucket + 1) * 100_000
+
+
+def test_kcore_trajectory_monotone_and_converged(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["kcore_peeling_profile"].fn(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in rows] == list(range(9))
+    nodes = [r.n_nodes for r in rows]
+    edges = [r.n_edges for r in rows]
+    assert nodes == sorted(nodes, reverse=True) and edges == sorted(edges, reverse=True)
+    # the fixed unroll must reach the fixpoint (else 8 rounds is too few)
+    assert (nodes[-1], edges[-1]) == (nodes[-2], edges[-2])
+    # a 3-core has min degree 3: |E| >= 3|V|/2 whenever non-empty
+    if nodes[-1]:
+        assert 2 * edges[-1] >= 3 * nodes[-1]
+
+
+def test_dense_decontamination_panel_and_confirm(spark, sf_dir):
+    rows = REGISTRY["decontaminate_by_embedding"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    src = {r.doc_id: r.source for r in docs}
+    probe_ids = sorted(d.doc_id for d in docs if d.source == "src0")[:100]
+    by_q = {}
+    for r in rows:
+        assert src[r.query_id] == "src0" and r.query_id in probe_ids
+        assert src[r.doc_id] != "src0", "retrieval must stay on the training side"
+        assert 1 <= r.rk <= 5
+        assert r.n_shared_trigrams >= 0
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, lst in by_q.items():
+        assert len(lst) == 5
+        cos = [r.cosine for r in sorted(lst, key=lambda r: r.rk)]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_kfold_audit_partitions_and_reconciles(spark, sf_dir):
+    rows = REGISTRY["stratified_kfold_audit"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs, "folds partition the corpus"
+    assert {r.fold for r in rows} == set(range(5))
+    for r in rows:
+        assert r.skew_bp == r.fold_share_bp - r.global_share_bp
+        assert 0 <= r.fold_share_bp <= 10_000 and 0 <= r.global_share_bp <= 10_000
+
+
+def test_theil_sen_selects_an_actual_pair_slope(spark, sf_dir):
+    rows = REGISTRY["theil_sen_trend_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    from flinkstreametl_spark.plans.timeseries_ext import _daily
+
+    daily = {}
+    for d in _daily(spark, sf_dir).collect():
+        daily.setdefault(d.event_type, []).append((d.day, d.s_fp))
+    for r in rows:
+        series = sorted(daily[r.event_type])
+        n = len(series)
+        assert r.n_slopes == n * (n - 1) // 2
+        slopes = sorted(
+            ((b[1] - a[1], b[0] - a[0]) for i, a in enumerate(series) for b in series[i + 1 :]),
+            key=lambda p: (p[0] / p[1], p[0], p[1]),
+        )
+        dy, dx = slopes[(r.n_slopes + 1) // 2 - 1]
+        assert (r.med_dy, r.med_dx) == (dy, dx)
+        q = abs(dy) * 1_000_000 // dx
+        assert r.slope_fp == (q if dy >= 0 else -q)
+
+
+def test_skew_report_matches_bruteforce(spark, sf_dir):
+    rows = REGISTRY["join_key_skew_report"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    counts = Counter(
+        r.o_custkey for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    )
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.key, r.n_rows) for r in rows] == expect
+    for r in rows:
+        assert r.n_keys == len(counts)
+        assert r.total_rows == sum(counts.values())
+        assert r.skew_ratio_fp == r.n_rows * r.n_keys * 1_000_000 // r.total_rows
