@@ -91,6 +91,9 @@ _NEW_R9: list[str] = [
     "stratified_kfold_audit",
     "theil_sen_trend_daily",
     "join_key_skew_report",
+    "rolling_median_7d",
+    "neardup_source_matrix",
+    "sq8_reconstruction_error",
 ]
 
 _PRIORITY_R8 = [

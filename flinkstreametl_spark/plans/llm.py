@@ -1134,3 +1134,57 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+# --- near-dup source matrix --------------------------------------------------
+# WHO copies from WHOM: the verified near-dup pair stream cross-
+# tabulated by source pair — the governance view a curation team reads
+# before deciding which feed to drop or down-weight (within-source
+# boilerplate vs cross-source scraping look identical in a flat pair
+# list and completely different here). Pure composition: the pairs are
+# minhash_lsh_pairs verbatim (same bands, cap, threshold), the matrix
+# is one bounded aggregate on top (|sources|² cells at most).
+_SRCMAT_ORACLE = f"""
+WITH pr AS ({_MINHASH_ORACLE}
+)
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END) AS BIGINT) AS n_within
+FROM pr
+JOIN documents da ON da.doc_id = pr.doc_a
+JOIN documents db ON db.doc_id = pr.doc_b
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("neardup_source_matrix", tags=("llm", "dedup", "audit"), oracle=_SRCMAT_ORACLE)
+def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate contamination matrix: verified MinHash pairs
+    (minhash_lsh_neardup's exact pipeline) counted per canonical
+    (source_a, source_b) cell, with the within-source count alongside
+    (block comment above). Plan shape: the pair stream is output-sized
+    by the banded/capped construction; the two source lookups join the
+    doc dimension (broadcastable source map at any scale — it is
+    |docs| rows but only (doc_id, source) wide, and at 100 TB lives
+    bucketed on doc_id like every doc-keyed join here); the matrix
+    aggregate is |sources|²-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+        .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+    )
+    return (
+        j.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("sa") == F.col("sb")).cast("long")).alias("n_within"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1452,3 +1452,82 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("anchor_id", "anchor_label", "neighbor_id", "neighbor_label", "cosine", "rk")
         .orderBy("anchor_id", "rk")
     )
+
+
+# --- SQ8 reconstruction error ------------------------------------------------
+# The per-vector half of the int8 story: int8_knn_recall measures what
+# SQ8 costs in RANKING; this measures what it costs each VECTOR — the
+# cosine between the float vector and its dequantized code. The scale
+# cancels (dequant = qv * s / 127), so the reconstruction cosine is
+# the mixed float x integer dot, computable exactly in the suite's
+# 2^40 fixed point: dot = Σ floor(val*qv*2^40) (|val*qv| <= 127 keeps
+# the 64-dim sum near 9e15, int64-safe), qq = the standard float fold,
+# cc = Σ qv² (plain integer), cos = dot / sqrt(qq * cc * 2^40). The
+# production read: vectors whose reconstruction cosine sits below the
+# fleet's floor are the ones an SQ8 index will misrank — re-encode
+# them at higher precision or exclude them from compression.
+_SQ8R_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+scales AS (
+    SELECT vec_id, MAX(abs(CAST(val AS DOUBLE))) AS s FROM ex GROUP BY vec_id
+),
+qz AS (
+    SELECT ex.vec_id, ex.pos, CAST(val AS DOUBLE) AS val,
+           CASE WHEN s = 0 THEN 0
+                ELSE CAST(floor((CAST(val AS DOUBLE) / s) * 127.0) AS BIGINT) END AS qv
+    FROM ex JOIN scales USING (vec_id)
+)
+SELECT vec_id,
+       CAST(SUM(CAST(floor(val * qv * 1099511627776.0) AS BIGINT)) AS BIGINT) AS dot_fp,
+       CAST(SUM(qv * qv) AS BIGINT) AS cc_q,
+       CAST(SUM(CAST(floor(val * val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+           / 1099511627776.0 AS qq,
+       CAST(SUM(CAST(floor(val * qv * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+           / sqrt(CAST(SUM(CAST(floor(val * val * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+                  * CAST(SUM(qv * qv) AS DOUBLE) * 1099511627776.0) AS recon_cosine
+FROM qz
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
+@register(
+    "sq8_reconstruction_error",
+    tags=("ext", "llm", "similarity", "quantization", "audit"),
+    oracle=_SQ8R_ORACLE,
+)
+def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector SQ8 reconstruction cosine (exact mixed fixed-point
+    spec in the block above) — the vector-level audit paired with
+    int8_knn_recall's ranking-level one. Plan shape: one explode, one
+    (vec_id)-keyed aggregate for the scales, one more for the three
+    sums — at 100 TB both are map-side-partial hash aggregates keyed
+    by the vector id, no joins wider than the scale lookup."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val")
+    )
+    scales = ex.groupBy("vec_id").agg(F.max(F.abs("val")).alias("s"))
+    qz = ex.join(scales, "vec_id").select(
+        "vec_id",
+        "val",
+        F.when(F.col("s") == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor((F.col("val") / F.col("s")) * 127.0).cast("long"))
+        .alias("qv"),
+    )
+    fp = 1099511627776.0
+    agg = qz.groupBy("vec_id").agg(
+        F.sum(F.floor(F.col("val") * F.col("qv") * fp).cast("long")).alias("dot_fp"),
+        F.sum(F.col("qv") * F.col("qv")).alias("cc_q"),
+        F.sum(F.floor(F.col("val") * F.col("val") * fp).cast("long")).alias("qq_fp"),
+    )
+    return agg.select(
+        "vec_id",
+        "dot_fp",
+        "cc_q",
+        (F.col("qq_fp").cast("double") / F.lit(fp)).alias("qq"),
+        (
+            F.col("dot_fp").cast("double")
+            / F.sqrt(F.col("qq_fp").cast("double") * F.col("cc_q").cast("double") * F.lit(fp))
+        ).alias("recon_cosine"),
+    ).orderBy("vec_id")

@@ -930,3 +930,58 @@ def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- rolling median ----------------------------------------------------------
+# The robust twin of daily_moving_avg_7d: a single corrupted day drags
+# a 7-day mean for a week; the rolling MEDIAN shrugs it off. Exact by
+# construction: the window's 7 integer values are sorted in-row and
+# the 4th is SELECTED (no interpolation, no averaging) — array_sort /
+# list_sort on BIGINTs is engine-identical. Same complete-window
+# convention as seasonal_decompose_daily (7 rows AND a 6-day span: a
+# rows-frame spanning a calendar gap is not a centered week).
+_RMED_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+win AS (
+    SELECT event_type, day, s_fp,
+           list(s_fp)  OVER w AS vals,
+           COUNT(*)    OVER w AS w_n,
+           MAX(day)    OVER w - MIN(day) OVER w AS w_span
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+)
+SELECT event_type, day, s_fp,
+       CAST(list_sort(vals)[4] AS BIGINT) AS med7_fp
+FROM win WHERE w_n = 7 AND w_span = 6
+ORDER BY event_type, day
+"""
+
+
+@register("rolling_median_7d", tags=("ext", "timeseries", "robust", "window"), oracle=_RMED_ORACLE)
+def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day rolling median of the daily value series per
+    event_type (exact rank selection — block comment above). Plan
+    shape: one exchange to the daily grain, then the window, the
+    in-row sort of 7 elements, and the element pick all run inside the
+    per-key day series; the 7-element array never leaves the row."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    win = daily.select(
+        "event_type",
+        "day",
+        "s_fp",
+        F.collect_list("s_fp").over(w).alias("vals"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        (F.max("day").over(w) - F.min("day").over(w)).alias("w_span"),
+    )
+    return (
+        win.filter((F.col("w_n") == 7) & (F.col("w_span") == 6))
+        .select(
+            "event_type",
+            "day",
+            "s_fp",
+            F.element_at(F.array_sort("vals"), 4).alias("med7_fp"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -257,3 +257,45 @@ def test_skew_report_matches_bruteforce(spark, sf_dir):
         assert r.n_keys == len(counts)
         assert r.total_rows == sum(counts.values())
         assert r.skew_ratio_fp == r.n_rows * r.n_keys * 1_000_000 // r.total_rows
+
+
+def test_rolling_median_matches_python(spark, sf_dir):
+    rows = REGISTRY["rolling_median_7d"].fn(spark, sf_dir).collect()
+    assert rows
+    from flinkstreametl_spark.plans.timeseries_ext import _daily
+
+    daily = {}
+    for d in _daily(spark, sf_dir).collect():
+        daily.setdefault(d.event_type, []).append((d.day, d.s_fp))
+    expect = {}
+    for et, series in daily.items():
+        series.sort()
+        for i in range(3, len(series) - 3):
+            win = series[i - 3 : i + 4]
+            if win[-1][0] - win[0][0] == 6:
+                expect[(et, series[i][0])] = sorted(v for _, v in win)[3]
+    got = {(r.event_type, r.day): r.med7_fp for r in rows}
+    assert got == expect
+
+
+def test_source_matrix_reconciles_with_pair_stream(spark, sf_dir):
+    rows = REGISTRY["neardup_source_matrix"].fn(spark, sf_dir).collect()
+    n_pairs = REGISTRY["minhash_lsh_neardup"].fn(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs, "every pair lands in exactly one cell"
+    for r in rows:
+        assert r.source_a <= r.source_b, "canonical cell orientation"
+        assert 0 <= r.n_within <= r.n_pairs
+        if r.source_a != r.source_b:
+            assert r.n_within == 0
+        else:
+            assert r.n_within == r.n_pairs
+
+
+def test_sq8_reconstruction_is_tight(spark, sf_dir):
+    rows = REGISTRY["sq8_reconstruction_error"].fn(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n
+    for r in rows:
+        # 8 bits per dim: reconstruction stays within a few percent
+        assert 0.95 < r.recon_cosine <= 1.0 + 1e-9
+        assert r.cc_q > 0 and r.qq > 0
