@@ -94,6 +94,8 @@ _NEW_R9: list[str] = [
     "rolling_median_7d",
     "neardup_source_matrix",
     "sq8_reconstruction_error",
+    "dedup_funnel_by_source",
+    "nucleus_sample_per_source",
 ]
 
 _PRIORITY_R8 = [

@@ -155,40 +155,52 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_keep_first(load_table(spark, sf_dir, "documents")).select("doc_id", "fp")
 
 
-_MINHASH_ORACLE = f"""
-WITH tok AS (
-    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
-), mh AS (
+def _minhash_ctes(src: str, p: str = "") -> str:
+    """The MinHash+LSH+verify pipeline as a reusable CTE list over any
+    document relation ``src`` (round 8: the dedup funnel re-runs the
+    chain on its gate-surviving subset). ``p`` prefixes every CTE name
+    so two chains can coexist in one statement. The final CTE,
+    ``{p}verified``, is the (doc_a, doc_b, jaccard >= 0.6) pair set —
+    byte-for-byte the semantics minhash_lsh_neardup has carried since
+    round 1."""
+    return f"""{p}tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM {src}
+), {p}mh AS (
     SELECT doc_id, j,
            MIN(md5(tok || ':' || CAST(j AS VARCHAR))) AS mh
-    FROM tok, (SELECT unnest(range({D.NUM_HASHES})) AS j) seeds
+    FROM {p}tok, (SELECT unnest(range({D.NUM_HASHES})) AS j) seeds
     GROUP BY doc_id, j
-), bands AS (
+), {p}bands AS (
     SELECT doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT) AS band,
            string_agg(mh, '|' ORDER BY j) AS band_key
-    FROM mh GROUP BY doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT)
-), kept AS (
+    FROM {p}mh GROUP BY doc_id, CAST(floor(j / {D.ROWS_PER_BAND}) AS INT)
+), {p}kept AS (
     SELECT doc_id, band, band_key,
            COUNT(*) OVER (PARTITION BY band, band_key) AS bn
-    FROM bands
+    FROM {p}bands
     QUALIFY bn <= {D.MAX_BUCKET_SIZE}
-), sets AS (
-    SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
-), cand AS (
+), {p}sets AS (
+    SELECT doc_id, list_distinct({_TOKS}) AS toks FROM {src}
+), {p}cand AS (
     SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
-    FROM kept b1
-    JOIN kept b2 ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+    FROM {p}kept b1
+    JOIN {p}kept b2 ON b1.band = b2.band AND b1.band_key = b2.band_key AND b1.doc_id < b2.doc_id
+), {p}verified AS (
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(s1.toks, s2.toks)) AS DOUBLE)
+                 / (len(s1.toks) + len(s2.toks) - len(list_intersect(s1.toks, s2.toks))) AS jaccard
+        FROM {p}cand c
+        JOIN {p}sets s1 ON c.doc_a = s1.doc_id
+        JOIN {p}sets s2 ON c.doc_b = s2.doc_id
+    ) v
+    WHERE jaccard >= 0.6
+)"""
+
+
+_MINHASH_ORACLE = (
+    "WITH " + _minhash_ctes("documents") + "\nSELECT doc_a, doc_b, jaccard FROM verified"
 )
-SELECT doc_a, doc_b, jaccard FROM (
-    SELECT c.doc_a, c.doc_b,
-           CAST(len(list_intersect(s1.toks, s2.toks)) AS DOUBLE)
-             / (len(s1.toks) + len(s2.toks) - len(list_intersect(s1.toks, s2.toks))) AS jaccard
-    FROM cand c
-    JOIN sets s1 ON c.doc_a = s1.doc_id
-    JOIN sets s2 ON c.doc_b = s2.doc_id
-) v
-WHERE jaccard >= 0.6
-"""
 
 
 # NOTE the synthetic corpus has a ~40-word vocabulary, so nearly every
@@ -1187,4 +1199,125 @@ def neardup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("sa") == F.col("sb")).cast("long")).alias("n_within"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# --- dedup funnel ------------------------------------------------------------
+# The end-to-end survivorship report per source: raw -> quality gate
+# (the integer-weight classifier, score >= 6) -> exact dedup (keep
+# min-id per fingerprint) -> near-dup dedup (drop a doc whose verified
+# MinHash pair has a smaller-id exact-kept partner — the one-hop
+# canonical rule; full clustering is cluster_canonical_docs' job).
+# Every stage is the PRODUCTION operator, re-run on the previous
+# stage's survivors — so the row "src7 keeps 61% at the gate, loses
+# another 30% to near-dups" is an executable claim, not a dashboard
+# estimate. The near-dup chain over the subset reuses _minhash_ctes.
+_FUNNEL_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, source, {_TOKS} AS toks, text FROM documents
+),
+sig AS (
+    SELECT doc_id, source, text,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           {X.sql_marker_hits("toks", X.EN_STOPWORDS)} AS n_stop,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+    FROM feat
+),
+gated AS (
+    SELECT doc_id, source, text FROM sig
+    WHERE 3 * CAST(n_tokens BETWEEN 10 AND 10000 AS BIGINT)
+        + 2 * CAST(n_distinct * 10 > n_tokens AS BIGINT)
+        + 2 * CAST(n_stop * 20 >= n_tokens AS BIGINT)
+        + 1 * CAST(n_chars BETWEEN n_tokens * 3 AND n_tokens * 13 AS BIGINT)
+        + 1 * CAST(n_punct * 10 <= n_chars AS BIGINT) >= 6
+),
+exact_kept AS (
+    SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               ROW_NUMBER() OVER (PARTITION BY {X.sql_fingerprint("text")}
+                                  ORDER BY doc_id) AS rn
+        FROM gated
+    ) t WHERE rn = 1
+),
+{_minhash_ctes("exact_kept", p="f_")},
+final_kept AS (
+    SELECT e.doc_id, e.source FROM exact_kept e
+    ANTI JOIN f_verified p ON p.doc_b = e.doc_id
+),
+raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw FROM documents GROUP BY source),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gated FROM gated GROUP BY source),
+e AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact_kept GROUP BY source),
+f AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final FROM final_kept GROUP BY source)
+SELECT r.source, r.n_raw,
+       COALESCE(g.n_gated, 0) AS n_gated,
+       COALESCE(e.n_exact, 0) AS n_exact,
+       COALESCE(f.n_final, 0) AS n_final,
+       CAST(COALESCE(f.n_final, 0) * 10000 // r.n_raw AS BIGINT) AS survival_bp
+FROM raw r
+LEFT JOIN g ON g.source = r.source
+LEFT JOIN e ON e.source = r.source
+LEFT JOIN f ON f.source = r.source
+ORDER BY r.source
+"""
+
+
+@register("dedup_funnel_by_source", tags=("llm", "dedup", "quality", "audit"), oracle=_FUNNEL_ORACLE)
+def dedup_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivorship through the production curation funnel:
+    raw -> classifier gate -> exact keep-first -> one-hop near-dup
+    canonical (block comment above), with the end-to-end survival rate
+    in basis points. The curation team's budget sheet: which feeds
+    actually contribute tokens after cleaning.
+
+    Plan shape: the gate is map-side; exact dedup is one shuffle keyed
+    by the md5 fingerprint; the near-dup stage is the banded/capped
+    MinHash operator re-run on the (already smaller) exact-kept subset
+    — output-sized candidates, never O(n²); the four stage counts are
+    source-grain aggregates LEFT-joined on the (|sources|-sized,
+    broadcast) dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = X.marker_hits(toks, X.EN_STOPWORDS)
+    n_chars = F.length("text")
+    n_punct = X.punct_count("text")
+    score = (
+        3 * n_tokens.between(10, 10000).cast("long")
+        + 2 * (n_distinct * 10 > n_tokens).cast("long")
+        + 2 * (n_stop * 20 >= n_tokens).cast("long")
+        + 1 * n_chars.between(n_tokens * 3, n_tokens * 13).cast("long")
+        + 1 * (n_punct * 10 <= n_chars).cast("long")
+    )
+    gated = docs.filter(score >= 6).select("doc_id", "source", "text")
+    w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
+    exact_kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+        .localCheckpoint()  # feeds the pair chain AND three stage counts
+    )
+    pairs = D.minhash_lsh_pairs(exact_kept, threshold=0.6)
+    final_kept = exact_kept.join(
+        pairs.select(F.col("doc_b").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    g = gated.groupBy("source").agg(F.count(F.lit(1)).alias("n_gated"))
+    e = exact_kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_exact"))
+    fk = final_kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_final"))
+    return (
+        raw.join(F.broadcast(g), "source", "left")
+        .join(F.broadcast(e), "source", "left")
+        .join(F.broadcast(fk), "source", "left")
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce("n_gated", F.lit(0)).alias("n_gated"),
+            F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.expr("coalesce(n_final, 0) * 10000 div n_raw").alias("survival_bp"),
+        )
+        .orderBy("source")
     )

@@ -1125,3 +1125,136 @@ def stratified_kfold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold", "lang")
     )
+
+
+# --- nucleus (top-p) source sampling -----------------------------------------
+# Top-p selection transplanted from decoding to data curation: per
+# source, keep the smallest prefix of highest-quality documents whose
+# cumulative TOKEN mass reaches p = 0.7 of the source — spend the
+# training budget on each feed's best tokens instead of a flat rate.
+# Ordering is (classifier score DESC, doc_id) — the integer-weight
+# gate's 0..9 score, total-order tie-broken; the crossing document is
+# INCLUDED (keep iff tokens-before < ceil(7T/10), all integer: thr =
+# (7*T + 9) div 10).
+#
+# 100 TB note: the per-source ordered cumulative sum is a window over
+# that source's documents — fine while no single source dominates a
+# partition range; a celebrity source swaps in the two-phase global
+# prefix sum (per-bucket running sums + broadcast bucket offsets) the
+# token-balanced shard writer already implements. The output is the
+# source-grain summary either way.
+_NUC_NUM, _NUC_DEN = 7, 10  # p = 0.7
+_NUC_BP = 10_000
+
+_NUC_ORACLE = f"""
+WITH feat AS (
+    SELECT doc_id, source, {{toks}} AS toks, text FROM documents
+),
+sig AS (
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           3 * CAST(len(toks) BETWEEN 10 AND 10000 AS BIGINT)
+         + 2 * CAST(len(list_distinct(toks)) * 10 > len(toks) AS BIGINT)
+         + 2 * CAST({{stop}} * 20 >= len(toks) AS BIGINT)
+         + 1 * CAST(length(text) BETWEEN len(toks) * 3 AND len(toks) * 13 AS BIGINT)
+         + 1 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) * 10
+                    <= length(text) AS BIGINT) AS score
+    FROM feat
+),
+cum AS (
+    SELECT source, n_tokens, score,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY score DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+    FROM sig
+),
+tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sig GROUP BY source),
+k AS (
+    SELECT c.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_kept
+    FROM cum c JOIN tot ON tot.source = c.source
+    WHERE c.c - c.n_tokens < ({_NUC_NUM} * tot.t + {_NUC_DEN} - 1) // {_NUC_DEN}
+    GROUP BY c.source
+)
+SELECT t.source, t.n_docs, k.n_kept, t.t AS tokens_total, k.tokens_kept,
+       CAST(k.tokens_kept * {_NUC_BP} // t.t AS BIGINT) AS kept_share_bp
+FROM tot t JOIN k ON k.source = t.source
+ORDER BY t.source
+"""
+
+
+def _nuc_oracle() -> str:
+    from flinkstreametl_spark.operators import text as _X
+
+    return _NUC_ORACLE.format(
+        toks=_X.sql_tokens("text"),
+        stop=_X.sql_marker_hits("toks", _X.EN_STOPWORDS),
+    )
+
+
+@register("nucleus_sample_per_source", tags=("ext", "llm", "sampling"), oracle=_nuc_oracle())
+def nucleus_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (p = 0.7) token-budget selection per source: keep each
+    feed's highest-classifier-score documents until 70% of its token
+    mass is covered (exact integer spec and the 100 TB window note in
+    the block above); reports per source how many documents that
+    nucleus needs — a concentrated source covers 70% of tokens with
+    few docs, a flat one needs most of them.
+
+    Plan shape: one map-side scan computes tokens+score; the ordered
+    cumulative sum runs inside each source partition; totals are a
+    source-grain aggregate joined back by broadcast; output is
+    |sources| rows."""
+    from flinkstreametl_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = X.marker_hits(toks, X.EN_STOPWORDS)
+    n_chars = F.length("text")
+    n_punct = X.punct_count("text")
+    score = (
+        3 * F.size(toks).between(10, 10000).cast("long")
+        + 2 * (n_distinct * 10 > F.size(toks)).cast("long")
+        + 2 * (n_stop * 20 >= F.size(toks)).cast("long")
+        + 1 * n_chars.between(F.size(toks) * 3, F.size(toks) * 13).cast("long")
+        + 1 * (n_punct * 10 <= n_chars).cast("long")
+    )
+    sig = docs.select(
+        "doc_id", "source", n_tokens.alias("n_tokens"), score.alias("score")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sig.select("source", "n_tokens", F.sum("n_tokens").over(w).alias("c"))
+    tot = sig.groupBy("source").agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n_docs")
+    )
+    k = (
+        cum.join(F.broadcast(tot.select("source", "t")), "source")
+        .filter(
+            F.expr(f"c - n_tokens < ({_NUC_NUM} * t + {_NUC_DEN} - 1) div {_NUC_DEN}")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+        )
+    )
+    return (
+        tot.join(k, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.col("t").alias("tokens_total"),
+            "tokens_kept",
+            F.expr(f"tokens_kept * {_NUC_BP} div t").alias("kept_share_bp"),
+        )
+        .orderBy("source")
+    )
