@@ -96,6 +96,8 @@ _NEW_R9: list[str] = [
     "sq8_reconstruction_error",
     "dedup_funnel_by_source",
     "nucleus_sample_per_source",
+    "trigram_novelty_curve",
+    "knn_label_disagreement",
 ]
 
 _PRIORITY_R8 = [

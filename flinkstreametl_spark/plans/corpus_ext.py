@@ -1197,3 +1197,93 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("overlap") * _CONT_TAU_DEN >= F.col("n_a") * _CONT_TAU_NUM)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- trigram novelty curve ---------------------------------------------------
+# Vocabulary-growth over ARRIVAL order: split the corpus into 10
+# id-ordered batches (the fixture's doc_id is arrival order) and
+# measure, per batch, how many of its distinct word trigrams were
+# never seen in any earlier batch. The production read is a freshness
+# monitor for continuous ingest: novelty_bp collapsing toward 0 means
+# the feed has gone stale/repetitive (crawl loop, boilerplate flood);
+# a jump means a new domain came online. The batch index is map-side
+# integer arithmetic on doc_id against the broadcast corpus count —
+# deliberately NOT a global ntile (corpus-rank windows single-
+# partition; the quality_calibration_audit precedent).
+_NOV_BATCHES = 10
+_NOV_BP = 10_000
+
+_NOV_TRI_SQL = (
+    "list_distinct(list_transform(range(1, len(toks) - 1),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+
+_NOV_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+base AS (
+    SELECT least(CAST(doc_id * {_NOV_BATCHES} // n.n_docs AS BIGINT), {_NOV_BATCHES - 1}) AS batch,
+           {_TOKS} AS toks
+    FROM documents, n
+),
+g AS (
+    SELECT DISTINCT batch, unnest({_NOV_TRI_SQL}) AS gram
+    FROM base WHERE len(toks) >= 3
+),
+firstb AS (SELECT gram, MIN(batch) AS fb FROM g GROUP BY gram)
+SELECT g.batch,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN f.fb = g.batch THEN 1 ELSE 0 END) AS BIGINT) AS n_new_grams,
+       CAST(SUM(CASE WHEN f.fb = g.batch THEN 1 ELSE 0 END) * {_NOV_BP} // COUNT(*) AS BIGINT)
+           AS novelty_bp
+FROM g JOIN firstb f ON f.gram = g.gram
+GROUP BY g.batch
+ORDER BY g.batch
+"""
+
+
+@register("trigram_novelty_curve", tags=("ext", "llm", "text", "audit", "streaming-twin"), oracle=_NOV_ORACLE)
+def trigram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arrival-batch trigram novelty: of each batch's distinct word
+    3-grams, the share never seen in an earlier batch, in exact basis
+    points (the freshness monitor — block comment above; batch 0 is
+    100% new by construction, the tail is the signal).
+
+    Plan shape: one tokenize pass fans into (batch, gram) pairs
+    deduped by ONE hash aggregate; first-appearance is a gram-keyed
+    re-aggregate of that (vocabulary-sized); the novelty join is
+    gram-keyed and collocates with it. Nothing shuffles twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = X.tokens("text")
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    base = (
+        docs.crossJoin(F.broadcast(n))
+        .filter(F.size(toks) >= 3)
+        .select(
+            F.least(
+                F.expr(f"doc_id * {_NOV_BATCHES} div n_docs"), F.lit(_NOV_BATCHES - 1)
+            ).cast("long").alias("batch"),
+            F.explode(tri).alias("gram"),
+        )
+    )
+    g = base.distinct().localCheckpoint()  # one (batch, gram) universe; probed twice
+    firstb = g.groupBy("gram").agg(F.min("batch").alias("fb"))
+    return (
+        g.join(firstb, "gram")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum((F.col("fb") == F.col("batch")).cast("long")).alias("n_new_grams"),
+            F.expr(
+                f"sum(cast(fb = batch as long)) * {_NOV_BP} div count(*)"
+            ).alias("novelty_bp"),
+        )
+        .orderBy("batch")
+    )

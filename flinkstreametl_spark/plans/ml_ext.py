@@ -1531,3 +1531,127 @@ def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("qq_fp").cast("double") * F.col("cc_q").cast("double") * F.lit(fp))
         ).alias("recon_cosine"),
     ).orderBy("vec_id")
+
+
+# --- kNN label disagreement --------------------------------------------------
+# Label-noise detection, the kNN way (Confident Learning's cheap
+# cousin): a vector whose nearest neighbors overwhelmingly carry a
+# DIFFERENT label is either mislabeled or sits on a class boundary —
+# either way it is what a label-audit queue should surface first.
+# For the standing 50-vector panel, the top-5 cosine neighbors come
+# from the FULL corpus (no label blocking — the disagreement IS the
+# signal), majority label by count with min-label tie-break.
+_LND_NQ = 50
+_LND_K = 5
+
+_LND_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+p AS (
+    SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * {S.FP_SCALE}) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * {S.FP_SCALE}) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * {S.FP_SCALE}) AS BIGINT)) AS cc
+    FROM (SELECT * FROM ex WHERE vec_id < {_LND_NQ}) q
+    JOIN ex c ON c.pos = q.pos AND c.vec_id <> q.vec_id
+    GROUP BY 1, 2
+),
+knn AS (
+    SELECT anchor_id, neighbor_id FROM (
+        SELECT anchor_id, neighbor_id,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                                           neighbor_id) AS rk
+        FROM p
+    ) r WHERE rk <= {_LND_K}
+),
+votes AS (
+    SELECT k.anchor_id, nl.label AS nlabel, CAST(COUNT(*) AS BIGINT) AS votes
+    FROM knn k JOIN lab nl ON nl.vec_id = k.neighbor_id
+    GROUP BY 1, 2
+),
+maj AS (
+    SELECT anchor_id, nlabel AS majority_label FROM (
+        SELECT anchor_id, nlabel,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY votes DESC, nlabel) AS rn
+        FROM votes
+    ) m WHERE rn = 1
+),
+dis AS (
+    SELECT k.anchor_id, al.label,
+           CAST(SUM(CASE WHEN nl.label <> al.label THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+    FROM knn k
+    JOIN lab al ON al.vec_id = k.anchor_id
+    JOIN lab nl ON nl.vec_id = k.neighbor_id
+    GROUP BY 1, 2
+)
+SELECT d.anchor_id, d.label, d.n_disagree, m.majority_label,
+       (m.majority_label <> d.label AND d.n_disagree * 2 > {_LND_K}) AS flagged
+FROM dis d JOIN maj m ON m.anchor_id = d.anchor_id
+ORDER BY d.anchor_id
+"""
+
+
+@register(
+    "knn_label_disagreement",
+    tags=("ext", "llm", "similarity", "quality", "audit"),
+    oracle=_LND_ORACLE,
+)
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit for the 50-vector panel: per anchor, how many
+    of its full-corpus top-5 cosine neighbors disagree with its label,
+    the neighborhood's majority label (count-desc, min-label
+    tie-break), and the flag (majority differs AND a strict majority
+    disagrees). Spec + rationale in the block above.
+
+    Plan shape: the knn_fast pattern — broadcast anchor panel, one
+    candidate pass with the in-row fixed-point cosine fold, per-anchor
+    partial top-k; the vote/majority stages run on the bounded
+    panel x k edge list. At 100 TB the candidate pass composes with
+    the IVF route exactly like hard_negative_mining."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < _LND_NQ).select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("alabel"),
+        F.col("embedding").alias("q_emb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"),
+        F.col("embedding").alias("c_emb"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    knn = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id", "alabel", "neighbor_id", "nlabel",
+            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _LND_K)
+        .localCheckpoint()  # bounded panel x k; votes + disagreement reuse it
+    )
+    votes = knn.groupBy("anchor_id", "nlabel").agg(F.count(F.lit(1)).alias("votes"))
+    mw = Window.partitionBy("anchor_id").orderBy(F.col("votes").desc(), "nlabel")
+    maj = (
+        votes.withColumn("rn", F.row_number().over(mw))
+        .filter(F.col("rn") == 1)
+        .select("anchor_id", F.col("nlabel").alias("majority_label"))
+    )
+    dis = knn.groupBy("anchor_id", F.col("alabel").alias("label")).agg(
+        F.sum((F.col("nlabel") != F.col("alabel")).cast("long")).alias("n_disagree")
+    )
+    return (
+        dis.join(F.broadcast(maj), "anchor_id")
+        .select(
+            "anchor_id",
+            "label",
+            "n_disagree",
+            "majority_label",
+            (
+                (F.col("majority_label") != F.col("label"))
+                & (F.col("n_disagree") * 2 > F.lit(_LND_K))
+            ).alias("flagged"),
+        )
+        .orderBy("anchor_id")
+    )

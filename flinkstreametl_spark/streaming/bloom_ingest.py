@@ -50,10 +50,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.streaming.neardup_ingest import (
+    _compact_parquet,
+    _recover_compaction,
+)
 
 BITS_SUBDIR = "bits"
 HISTORY_SUBDIR = "history"
 ACCEPTED_SUBDIR = "accepted"
+
+#: Compact the probed state every N micro-batches (the neardup_ingest
+#: rationale: append-only state costs one file set per batch, and at a
+#: deep horizon the per-batch cost is FILE COUNT, not rows). Both
+#: rewrites use the crash-recoverable ._old swap shared with the
+#: near-dup loop, run AFTER the batch's commit point.
+DEFAULT_COMPACT_EVERY = 10
 
 #: Filter width in bits. Sized for the test horizon; production sizes
 #: m ~ 10-15 bits per expected key for a low-single-digit-percent FPR
@@ -83,9 +94,23 @@ def bloom_positions(fps: DataFrame) -> DataFrame:
 
 
 def _load_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    # Pre-batch recovery: a crash mid-compaction must restore, never
+    # silently read as empty (neardup_ingest._recover_compaction).
+    _recover_compaction(path)
     if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
         return spark.read.schema(schema).parquet(path)
     return spark.createDataFrame([], schema)
+
+
+def compact_state(spark: SparkSession, state_dir: str, *, n_files: int = 8) -> None:
+    """Compact the two probed state tables: bits (<= BLOOM_M rows —
+    one file is plenty) and the history fingerprints (clustered on fp
+    so the anti-join's hash layout survives the rewrite). The accepted
+    output is a SINK — downstream's file count, not this loop's."""
+    _compact_parquet(spark, os.path.join(state_dir, BITS_SUBDIR), "b LONG", 1)
+    _compact_parquet(
+        spark, os.path.join(state_dir, HISTORY_SUBDIR), "fp STRING", n_files, "fp"
+    )
 
 
 def process_batch(
@@ -94,6 +119,7 @@ def process_batch(
     state_dir: str,
     *,
     batch_id: int | None = None,
+    compact_every: int | None = DEFAULT_COMPACT_EVERY,
 ) -> dict[str, int]:
     """One micro-batch of bloom-fronted exact dedup against on-disk
     state; called from ``foreachBatch`` (or directly for replay tests).
@@ -136,6 +162,9 @@ def process_batch(
     new_bits = bloom_positions(new.select("fp")).join(bits, "b", "left_anti")
     new_bits.write.mode("append").parquet(bits_path)
     new.select("fp").write.mode("append").parquet(history_path)
+
+    if compact_every and batch_id is not None and (batch_id + 1) % compact_every == 0:
+        compact_state(spark, state_dir)
 
     return {
         "n_batch": batch.count(),

@@ -143,3 +143,29 @@ def test_crash_between_appends_recovers_without_duplicates(spark, sf_dir, tmp_pa
     # documented at-least-once contract — key set still exact
     accepted = spark.read.parquet(os.path.join(state, ACCEPTED_SUBDIR))
     assert {r.fp for r in accepted.collect()} == _fps(spark, rows)
+
+
+def test_compaction_preserves_state_and_dedup(spark, sf_dir, tmp_path):
+    from flinkstreametl_spark.streaming.bloom_ingest import compact_state
+
+    rows = _docs_rows(spark, sf_dir, n=90)
+    state = str(tmp_path / "state")
+    for i, lo in enumerate(range(0, 90, 30)):
+        process_batch(spark, spark.createDataFrame(rows[lo : lo + 30]), state, batch_id=i)
+    hist_before = {r.fp for r in spark.read.parquet(os.path.join(state, HISTORY_SUBDIR)).collect()}
+    bits_before = {r.b for r in spark.read.parquet(os.path.join(state, BITS_SUBDIR)).collect()}
+
+    compact_state(spark, state)
+    assert {
+        r.fp for r in spark.read.parquet(os.path.join(state, HISTORY_SUBDIR)).collect()
+    } == hist_before
+    assert {
+        r.b for r in spark.read.parquet(os.path.join(state, BITS_SUBDIR)).collect()
+    } == bits_before
+    import glob
+
+    assert len(glob.glob(os.path.join(state, BITS_SUBDIR, "*.parquet"))) == 1
+
+    # the compacted state still dedups: full redelivery is a no-op
+    s = process_batch(spark, spark.createDataFrame(rows), state, batch_id=99)
+    assert s["n_new"] == 0 and s["n_probed"] == s["n_batch"]
