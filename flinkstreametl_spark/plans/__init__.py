@@ -98,6 +98,9 @@ _NEW_R9: list[str] = [
     "nucleus_sample_per_source",
     "trigram_novelty_curve",
     "knn_label_disagreement",
+    "multitouch_attribution_daily",
+    "time_weighted_avg_daily",
+    "lsh_band_sweep_audit",
 ]
 
 _PRIORITY_R8 = [

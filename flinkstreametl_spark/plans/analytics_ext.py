@@ -1231,3 +1231,107 @@ def click_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_delay").cast("double") / F.lit(1_000_000.0) / F.col("n_attributed").cast("double"),
         ).alias("avg_delay_seconds"),
     )
+
+
+# --- linear multi-touch attribution ------------------------------------------
+# The multi-touch complement to click_purchase_attribution's
+# first-touch-forward model: each purchase's fixed-point value is
+# split EQUALLY across the user's clicks in the 30 minutes strictly
+# before it, integer-exactly — share = v div n per click, and the
+# division remainder v - n*(v div n) goes to the EARLIEST click
+# ((ts, event_id) total order), so attributed credit conserves the
+# purchase value to the unit (the law the tests pin). Rollup is by the
+# CLICK's day: "how much revenue did Tuesday's touches eventually
+# drive" — the marketing read.
+_MT_WINDOW_US = 30 * 60 * 1_000_000
+_MT_FP = 1_000_000
+
+_MT_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+           CAST(floor(value * {_MT_FP}) AS BIGINT) AS v
+    FROM events
+),
+c AS (SELECT event_id AS cid, user_id, us AS cus FROM ev WHERE event_type = 'click'),
+p AS (SELECT event_id AS pid, user_id, us AS pus, v FROM ev WHERE event_type = 'purchase'),
+touch AS (
+    SELECT p.pid, p.v, c.cid, c.cus,
+           COUNT(*) OVER (PARTITION BY p.pid) AS n,
+           row_number() OVER (PARTITION BY p.pid ORDER BY c.cus, c.cid) AS rn
+    FROM p JOIN c ON c.user_id = p.user_id
+        AND c.cus < p.pus AND c.cus >= p.pus - {_MT_WINDOW_US}
+),
+credit AS (
+    SELECT cid, cus,
+           v // n + CASE WHEN rn = 1 THEN v - n * (v // n) ELSE 0 END AS credit_fp
+    FROM touch
+)
+SELECT CAST(cus // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clicks,
+       CAST(SUM(credit_fp) AS BIGINT) AS value_fp_received
+FROM credit
+GROUP BY 1
+ORDER BY day
+"""
+
+
+@register("multitouch_attribution_daily", tags=("ext", "attribution", "window"), oracle=_MT_ORACLE)
+def multitouch_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution rolled up by touch day: per day,
+    how many (click, purchase) credit edges landed on its clicks, how
+    many distinct clicks were paid, and the exact fixed-point value
+    they received (integer split + earliest-click remainder — spec in
+    the block above; credit conserves each attributed purchase's value
+    to the unit).
+
+    Plan shape: one scan splits the fact into clicks/purchases; the
+    touch join is user-keyed with the window as a join-time range
+    predicate — ONE user_id shuffle, hot users cost O(their pairs);
+    the per-purchase count/first-click windows run inside the purchase
+    partition; the rollup is a day-grain aggregate. At 100 TB a
+    time-bucketed join key (user_id, us div window) bounds the range
+    probe; the fixture's per-user streams are small enough that the
+    equi-join's pair set IS the touch set."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        F.floor(F.col("value") * _MT_FP).cast("long").alias("v"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("us").alias("cus")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("us").alias("pus"), "v"
+    )
+    touch = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("cus") >= F.col("pus") - _MT_WINDOW_US),
+    )
+    nw = Window.partitionBy("pid")
+    rw = Window.partitionBy("pid").orderBy("cus", "cid")
+    credit = touch.select(
+        "cid",
+        "cus",
+        "v",
+        F.count(F.lit(1)).over(nw).alias("n"),
+        F.row_number().over(rw).alias("rn"),
+    ).select(
+        "cid",
+        "cus",
+        F.expr("v div n + CASE WHEN rn = 1 THEN v - n * (v div n) ELSE 0 END").alias("credit_fp"),
+    )
+    return (
+        credit.groupBy(F.expr("cus div 86400000000").cast("long").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("cid").alias("n_clicks"),
+            F.sum("credit_fp").alias("value_fp_received"),
+        )
+        .orderBy("day")
+    )

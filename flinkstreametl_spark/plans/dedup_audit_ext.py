@@ -415,3 +415,180 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.crossJoin(F.broadcast(crossed)).select(
         "split", "n_docs", "n_clusters", "n_cross_pairs"
     )
+
+
+# --- band-parameter sweep ----------------------------------------------------
+# The tuning curve lsh_precision_recall_audit samples at ONE point:
+# the same 8-hash MinHash signature banded every way the hash count
+# allows (rows_per_band r in {1, 2, 4, 8} -> 8/4/2/1 bands), each
+# config's candidate precision/recall measured against the same exact
+# ground truth in the id-band universe. The S-curve this traces
+# (P[candidate] = 1 - (1 - j^r)^b) is the published LSH design tool —
+# this query turns it from a formula into a measurement on the actual
+# corpus, which is how a pipeline owner PICKS (b, r) before committing
+# a 100 TB dedup run. The signature is computed ONCE (pinned); each
+# banding re-slices the same arrays in-row, so the sweep costs one
+# signature pass + 4 output-sized candidate joins, not 4 pipelines.
+_SWEEP_RS = (1, 2, 4, 8)
+
+
+def _sweep_oracle() -> str:
+    per = []
+    for r in _SWEEP_RS:
+        per.append(f"""bands_{r} AS (
+    SELECT doc_id, CAST(floor(j / {r}) AS INT) AS band,
+           string_agg(mh, '|' ORDER BY j) AS band_key
+    FROM mh GROUP BY doc_id, CAST(floor(j / {r}) AS INT)
+), kept_{r} AS (
+    SELECT doc_id, band, band_key,
+           COUNT(*) OVER (PARTITION BY band, band_key) AS bn
+    FROM bands_{r}
+    QUALIFY bn <= {D.MAX_BUCKET_SIZE}
+), cand_{r} AS (
+    SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b
+    FROM kept_{r} b1
+    JOIN kept_{r} b2 ON b1.band = b2.band AND b1.band_key = b2.band_key
+                    AND b1.doc_id < b2.doc_id AND b2.doc_id - b1.doc_id <= {_AUD_BAND}
+), m_{r} AS (
+    SELECT CAST({r} AS BIGINT) AS rows_per_band,
+           CAST({-(-D.NUM_HASHES // r)} AS BIGINT) AS n_bands,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           CAST(COUNT(*) AS BIGINT) AS n_cand,
+           CAST(COALESCE(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+    FROM cand_{r} c LEFT JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)""")
+    rows = "\nUNION ALL\n".join(
+        f"SELECT rows_per_band, n_bands, n_truth, n_cand, n_hit,"
+        f" (10000 * n_hit) // greatest(n_cand, 1) AS precision_bp,"
+        f" (10000 * n_hit) // greatest(n_truth, 1) AS recall_bp FROM m_{r}"
+        for r in _SWEEP_RS
+    )
+    return f"""
+WITH sets AS MATERIALIZED (
+    SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+),
+truth AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                 / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        FROM sets a JOIN sets b
+          ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {_AUD_BAND}
+    ) v WHERE jaccard >= 0.6
+),
+tok AS (
+    SELECT doc_id, unnest(toks) AS tok FROM sets
+), mh AS MATERIALIZED (
+    SELECT doc_id, j,
+           MIN(md5(tok || ':' || CAST(j AS VARCHAR))) AS mh
+    FROM tok, (SELECT unnest(range({D.NUM_HASHES})) AS j) seeds
+    GROUP BY doc_id, j
+),
+{",".join(per)}
+{rows}
+ORDER BY rows_per_band
+"""
+
+
+@register(
+    "lsh_band_sweep_audit",
+    tags=("ext", "llm", "dedup", "audit"),
+    oracle=_sweep_oracle(),
+)
+def lsh_band_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall of EVERY banding of the 8-hash MinHash
+    signature (rows_per_band 1/2/4/8) against one exact ground truth —
+    the measured LSH tuning curve (block comment above): more rows per
+    band = fewer, stricter bands = higher precision, lower recall; the
+    production config (r=2) should sit on the knee, and this audit
+    checks that ON THE CORPUS rather than trusting the closed form.
+
+    Plan shape: token sets and the 8 min-hashes are computed once and
+    pinned (the signature pass is the only corpus-sized tokenize);
+    each banding re-slices the pinned signature per-row and runs the
+    banded self-join inside the id-band universe (output-sized,
+    hot-bucket-capped); truth is the one bucketed all-pairs join the
+    single-config audit already bounds. Four configs = four bounded
+    joins over one materialization."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = D.token_sets(docs).filter(F.size("toks") > 0)
+    sig = sets.select("doc_id", D._sig_array(D.NUM_HASHES).alias("sig")).localCheckpoint()
+
+    bucket = F.floor(F.col("doc_id") / _AUD_BAND)
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("id_bucket"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), bucket.alias("id_bucket")
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    jac = inter.cast("double") / (F.size("toks_a") + F.size("toks_b") - inter).cast("double")
+    truth = (
+        a.join(b, "id_bucket")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") <= _AUD_BAND))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()  # one truth set; probed by all four configs
+    )
+    n_truth = truth.count()
+
+    out = None
+    for r in _SWEEP_RS:
+        n_bands = -(-D.NUM_HASHES // r)
+        band_structs = F.array(
+            [
+                F.struct(
+                    F.lit(bi).alias("band"),
+                    F.array_join(F.slice("sig", bi * r + 1, r), "|").alias("band_key"),
+                )
+                for bi in range(n_bands)
+            ]
+        )
+        bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+        )
+        wb = Window.partitionBy("band", "band_key")
+        kept = (
+            bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_bn") <= D.MAX_BUCKET_SIZE)
+            .drop("_bn")
+        )
+        b1 = kept.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+        b2 = kept.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+        cand = (
+            b1.join(b2, ["band", "band_key"])
+            .filter(
+                (F.col("doc_a") < F.col("doc_b"))
+                & (F.col("doc_b") - F.col("doc_a") <= _AUD_BAND)
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        m = (
+            cand.join(
+                truth.select("doc_a", "doc_b", F.lit(1).alias("in_truth")),
+                ["doc_a", "doc_b"],
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_cand"),
+                F.coalesce(F.sum("in_truth"), F.lit(0)).cast("long").alias("n_hit"),
+            )
+            .select(
+                F.lit(r).cast("long").alias("rows_per_band"),
+                F.lit(n_bands).cast("long").alias("n_bands"),
+                F.lit(n_truth).cast("long").alias("n_truth"),
+                "n_cand",
+                "n_hit",
+                F.expr("(10000 * n_hit) div greatest(n_cand, 1L)").alias("precision_bp"),
+                F.expr(f"(10000 * n_hit) div greatest({n_truth}, 1)").cast("long").alias(
+                    "recall_bp"
+                ),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("rows_per_band")

@@ -985,3 +985,74 @@ def rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- time-weighted average ---------------------------------------------------
+# TWAP, the mean that respects HOW LONG each level held: every event's
+# value is weighted by the microseconds until the next event of the
+# same (event_type, day) series (the last event holds to day end), so
+# a spike that lasted 100 ms stops dominating a day the way it does in
+# the arithmetic daily mean. Exactness: values at 10^3 fixed point
+# (floor(value*1000) — Σ v3·gap_us stays ≤ ~5e16 at the fixture's
+# value range, int64-safe; at larger value domains the products widen
+# to DECIMAL(38,0), the cusum precedent), gaps in integer µs, and
+# twap_fp3 = Σ(v3·gap) div covered — one integer division at the end.
+_TWAP_FP3 = 1_000
+
+_TWAP_ORACLE = f"""
+WITH ev AS (
+    SELECT event_type, event_id,
+           epoch_us(ts) AS us,
+           CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day,
+           CAST(floor(value * {_TWAP_FP3}) AS BIGINT) AS v3
+    FROM events
+),
+gaps AS (
+    SELECT event_type, day, v3,
+           COALESCE(lead(us) OVER w, (day + 1) * {_US_PER_DAY}) - us AS gap_us
+    FROM ev
+    WINDOW w AS (PARTITION BY event_type, day ORDER BY us, event_id)
+)
+SELECT event_type, day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(gap_us) AS BIGINT) AS covered_us,
+       CAST(SUM(v3 * gap_us) // SUM(gap_us) AS BIGINT) AS twap_fp3
+FROM gaps
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
+@register("time_weighted_avg_daily", tags=("ext", "timeseries", "window"), oracle=_TWAP_ORACLE)
+def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily time-weighted average value per event_type (exact integer
+    spec in the block above) — the level metric for irregularly-spaced
+    series, where the plain daily mean over-counts bursts. Plan shape:
+    one (event_type, day)-partitioned lead() window in event-time
+    order, then the same-keyed aggregate — the window and the group-by
+    share one exchange; nothing else shuffles."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        "event_id",
+        epoch_micros(events, "ts").alias("us"),
+        F.floor(F.col("value") * _TWAP_FP3).cast("long").alias("v3"),
+    ).withColumn("day", F.expr(f"us div {_US_PER_DAY}").cast("long"))
+    w = Window.partitionBy("event_type", "day").orderBy("us", "event_id")
+    gaps = ev.select(
+        "event_type",
+        "day",
+        "v3",
+        (
+            F.coalesce(F.lead("us").over(w), (F.col("day") + 1) * _US_PER_DAY) - F.col("us")
+        ).alias("gap_us"),
+    )
+    return (
+        gaps.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("gap_us").alias("covered_us"),
+            F.expr("sum(v3 * gap_us) div sum(gap_us)").alias("twap_fp3"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -368,3 +368,84 @@ def test_label_disagreement_flags_are_consistent(spark, sf_dir):
     # the audit WORKING, and exactly what it would report about a
     # mislabeled corpus
     assert sum(1 for r in rows if r.flagged) > 25
+
+
+def test_multitouch_credit_conserves_purchase_value(spark, sf_dir):
+    rows = REGISTRY["multitouch_attribution_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import datetime as _dt
+
+    def us(ts):
+        return int(ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+
+    import math
+
+    clicks = sorted(
+        (us(e.ts), e.event_id, e.user_id) for e in ev if e.event_type == "click"
+    )
+    by_user = {}
+    for cus, cid, u in clicks:
+        by_user.setdefault(u, []).append((cus, cid))
+    attributed_total = 0
+    for e in ev:
+        if e.event_type != "purchase":
+            continue
+        pus = us(e.ts)
+        v = math.floor(e.value * 1_000_000)
+        touches = [
+            (cus, cid)
+            for cus, cid in by_user.get(e.user_id, [])
+            if pus - 30 * 60 * 1_000_000 <= cus < pus
+        ]
+        if touches:
+            attributed_total += v
+    assert sum(r.value_fp_received for r in rows) == attributed_total, (
+        "credit must conserve attributed purchase value to the unit"
+    )
+    for r in rows:
+        assert r.n_clicks <= r.n_touches
+
+
+def test_twap_bounded_by_day_extremes(spark, sf_dir):
+    rows = REGISTRY["time_weighted_avg_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    import datetime as _dt
+    import math
+
+    vals = {}
+    for e in ev:
+        us = int(e.ts.replace(tzinfo=_dt.timezone.utc).timestamp() * 1_000_000)
+        day = us // 86_400_000_000
+        vals.setdefault((e.event_type, day), []).append(
+            (us, math.floor(e.value * 1_000))
+        )
+    for r in rows:
+        series = sorted(vals[(r.event_type, r.day)])
+        assert r.n_events == len(series)
+        day_end = (r.day + 1) * 86_400_000_000
+        assert r.covered_us == day_end - series[0][0]
+        v3s = [v for _, v in series]
+        assert min(v3s) - 1 <= r.twap_fp3 <= max(v3s)
+
+
+def test_band_sweep_r2_matches_single_config_audit(spark, sf_dir):
+    sweep = {r.rows_per_band: r for r in REGISTRY["lsh_band_sweep_audit"].fn(spark, sf_dir).collect()}
+    assert set(sweep) == {1, 2, 4, 8}
+    (single,) = REGISTRY["lsh_precision_recall_audit"].fn(spark, sf_dir).collect()
+    r2 = sweep[2]
+    # the production config's sweep row IS the standing audit's row
+    assert (r2.n_truth, r2.n_cand, r2.n_hit) == (single.n_truth, single.n_cand, single.n_hit)
+    assert (r2.precision_bp, r2.recall_bp) == (single.precision_bp, single.recall_bp)
+    for r in sweep.values():
+        assert r.n_hit <= min(r.n_cand, r.n_truth)
+        assert r.precision_bp == 10_000 * r.n_hit // max(r.n_cand, 1)
+        assert r.recall_bp == 10_000 * r.n_hit // max(r.n_truth, 1)
+    # NOTE candidate counts are NOT monotone in r here: banding nests
+    # (an r=4 match implies both constituent r=2 matches), but the
+    # hot-bucket cap breaks the nest — r=4's two mega-buckets on this
+    # near-dup-heavy fixture blow past MAX_BUCKET_SIZE and drop, while
+    # r=8's stricter single band stays under it (measured: 1,028 vs
+    # 3,147 candidates). That interaction is exactly what the sweep
+    # exists to expose before a production (b, r) pick.
