@@ -101,6 +101,7 @@ _NEW_R9: list[str] = [
     "multitouch_attribution_daily",
     "time_weighted_avg_daily",
     "lsh_band_sweep_audit",
+    "quality_score_drift",
 ]
 
 _PRIORITY_R8 = [

@@ -563,3 +563,99 @@ def quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- quality-score drift (batch twin) ----------------------------------------
+# The oracle-verified twin of the streaming drift monitor
+# (streaming/drift_monitor.py): the corpus's arrival halves (doc_id
+# order — the fixture's arrival proxy, the trigram_novelty convention)
+# are histogrammed on the SAME 0..9 classifier score the ingest gate
+# filters on, normalized to integer parts-per-FP shares, and compared
+# by the monitor's squared-L2 statistic d_fp = Σ(share_a - share_b)²
+# div FP. On a stationary fixture d_fp ~ 0 — the baseline-noise number
+# a deployment turns into its alert threshold.
+_DRIFT_FP = 1_000_000
+
+_DRIFT_Q_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+sig AS (
+    SELECT CASE WHEN doc_id * 2 < n.n_docs THEN 0 ELSE 1 END AS half,
+           3 * CAST(len({_TOKS}) BETWEEN 10 AND 10000 AS BIGINT)
+         + 2 * CAST(len(list_distinct({_TOKS})) * 10 > len({_TOKS}) AS BIGINT)
+         + 2 * CAST({X.sql_marker_hits(_TOKS, X.EN_STOPWORDS)} * 20 >= len({_TOKS}) AS BIGINT)
+         + 1 * CAST(length(text) BETWEEN len({_TOKS}) * 3 AND len({_TOKS}) * 13 AS BIGINT)
+         + 1 * CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) * 10
+                    <= length(text) AS BIGINT) AS bucket
+    FROM documents, n
+),
+h AS (SELECT half, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM sig GROUP BY half, bucket),
+t AS (SELECT half, CAST(SUM(cnt) AS BIGINT) AS tot FROM h GROUP BY half),
+sh AS (
+    SELECT COALESCE(a.bucket, b.bucket) AS bucket,
+           COALESCE(a.cnt, 0) * {_DRIFT_FP} // ta.tot AS sa,
+           COALESCE(b.cnt, 0) * {_DRIFT_FP} // tb.tot AS sb
+    FROM (SELECT * FROM h WHERE half = 0) a
+    FULL OUTER JOIN (SELECT * FROM h WHERE half = 1) b ON b.bucket = a.bucket,
+    (SELECT tot FROM t WHERE half = 0) ta,
+    (SELECT tot FROM t WHERE half = 1) tb
+)
+SELECT (SELECT tot FROM t WHERE half = 0) AS n_first,
+       (SELECT tot FROM t WHERE half = 1) AS n_second,
+       CAST(SUM((sa - sb) * (sa - sb)) // {_DRIFT_FP} AS BIGINT) AS d_fp
+FROM sh
+"""
+
+
+@register("quality_score_drift", tags=("ext", "llm", "quality", "audit", "streaming-twin"), oracle=_DRIFT_Q_ORACLE)
+def quality_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-L2 drift between the arrival halves' quality-score
+    histograms, in exact integer fixed point — the batch twin of the
+    streaming drift monitor's statistic (block comment above). Plan
+    shape: one map-side scan scores every doc, one (half, bucket)
+    aggregate (<= 20 cells), and all remaining arithmetic on the
+    bounded cells."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = X.tokens("text")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = X.marker_hits(toks, X.EN_STOPWORDS)
+    n_chars = F.length("text")
+    n_punct = X.punct_count("text")
+    score = (
+        3 * n_tokens.between(10, 10000).cast("long")
+        + 2 * (n_distinct * 10 > n_tokens).cast("long")
+        + 2 * (n_stop * 20 >= n_tokens).cast("long")
+        + 1 * n_chars.between(n_tokens * 3, n_tokens * 13).cast("long")
+        + 1 * (n_punct * 10 <= n_chars).cast("long")
+    )
+    h = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            F.when(F.col("doc_id") * 2 < F.col("n_docs"), F.lit(0)).otherwise(F.lit(1)).alias("half"),
+            score.alias("bucket"),
+        )
+        .groupBy("half", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # <= 20 cells; totals and shares reuse it
+    )
+    t = h.groupBy("half").agg(F.sum("cnt").alias("tot"))
+    a = h.filter(F.col("half") == 0).select("bucket", F.col("cnt").alias("ca"))
+    b = h.filter(F.col("half") == 1).select(F.col("bucket").alias("bucket_b"), F.col("cnt").alias("cb"))
+    ta = t.filter(F.col("half") == 0).select(F.col("tot").alias("ta"))
+    tb = t.filter(F.col("half") == 1).select(F.col("tot").alias("tb"))
+    sh = (
+        a.join(b, a["bucket"] == b["bucket_b"], "full_outer")
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.expr(f"coalesce(ca, 0) * {_DRIFT_FP} div ta").alias("sa"),
+            F.expr(f"coalesce(cb, 0) * {_DRIFT_FP} div tb").alias("sb"),
+        )
+    )
+    return (
+        sh.agg(F.expr(f"CAST(sum((sa - sb) * (sa - sb)) div {_DRIFT_FP} AS BIGINT)").alias("d_fp"))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(F.col("ta").alias("n_first"), F.col("tb").alias("n_second"), "d_fp")
+    )

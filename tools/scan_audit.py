@@ -14,11 +14,16 @@ as diffs against the table below.
 
 Usage: python tools/scan_audit.py  [writes nothing; prints the table]
 
-Expected state (round 6 wave 3) — all deliberate multi-pass designs:
+Expected state (round 8 close) — all deliberate multi-pass designs
+(each extra scan is a narrow column-pruned pass judged cheaper than a
+materialization):
   ann_ivf_topk 3, cluster_safe_split 3, dedup_method_agreement 8,
-  embedding_srp_pairs 4, equidepth_totalprice_bounds 5,
-  incremental_minhash_multibatch 4, lsh_precision_recall_audit 4,
-  minhash_lsh_neardup 4, pareto_frontier_parts 3,
+  domain_budget_allocation 8, embedding_srp_pairs 4,
+  equidepth_totalprice_bounds 5, incremental_minhash_multibatch 4,
+  lsh_precision_recall_audit 4, minhash_lsh_neardup 4,
+  neardup_source_matrix 6 (the minhash chain's 4 + two (doc_id, source)
+  dimension lookups), ngram_repetition_stats 3,
+  nucleus_sample_per_source 3, pareto_frontier_parts 3,
   resample_ffill_hourly 3, temperature_mix_sample 3, tfidf_top_terms 3.
 """
 
