@@ -51,12 +51,19 @@ from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
 # AUDIT_REGISTRY — queries() stays 100% oracle-backed.
 #
-# ROUND-9 ROTATION PLAN: if CORRECTNESS_r08 comes back 50/50 green,
-# the oldest tier becomes the r5-era names minus whatever _BACKFILL_R8
-# re-verified. Round 9 window = _NEW_R9 (round-9 additions, same
-# day-they-land cadence) + the remaining r5-era names in r5 window
-# order, backfilled from r6-era, capped at 50. If any r8 window name
-# fails, it leads the round-9 window after repair.
+# ROUND-9 ROTATION PLAN (updated for the late-round-8 build wave): the
+# round-8 flywheel produced 25 post-window additions — they live in
+# _NEW_R9 below, each oracle-verified locally at sf0.001 AND sf0.01 on
+# landing (tools/verify_contract.py re-run green over the whole
+# registry before every commit). If CORRECTNESS_r08 comes back 50/50
+# green, the stale backlog is the 42 r5-era names _BACKFILL_R8 didn't
+# reach. Round 9 window = _NEW_R9 (25, never driver-checked — they
+# lead) + the first 25 r5-era names in their r5 window order; the
+# remaining r5-era names lead round 10's window (a two-round refresh
+# of the r5 tier — the additions-vs-staleness trade is explicit here
+# rather than enforced by the 10-slot cap, which exists to stop
+# SILENT eviction, not a planned split). If any r8 window name fails,
+# it jumps the queue after repair.
 _NEW_R8: list[str] = [
     # Round-8 additions, appended the day each lands.
     "bm25_topk_docs",

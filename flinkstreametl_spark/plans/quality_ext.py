@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.registry import register
-from flinkstreametl_spark.sources.parquet import load_table
+from flinkstreametl_spark.sources.parquet import ensure_parallelism, load_table
 
 _TOKS = X.sql_tokens("text")
 
@@ -371,7 +371,11 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the bucket id plus one partial-aggregated exchange keyed
     by doc_id; the final top-50 is TakeOrdered. Nothing but the two
     doc-grain aggregates ever shuffles."""
-    docs = load_table(spark, sf_dir, "documents")
+    # per-bigram md5 hashing is the CPU-heavy map stage; a single-row-
+    # group parquet file is ONE split, so spread it first (measured at
+    # sf0.1: 14-21s on one core -> ~2s on 32; the ensure_parallelism
+    # rationale, sources/parquet.py)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     bigram = F.when(
         F.size(toks) >= 2,
