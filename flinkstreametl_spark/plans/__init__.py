@@ -109,6 +109,7 @@ _NEW_R9: list[str] = [
     "time_weighted_avg_daily",
     "lsh_band_sweep_audit",
     "quality_score_drift",
+    "langid_confusion_matrix",
 ]
 
 _PRIORITY_R8 = [

@@ -1321,3 +1321,69 @@ def dedup_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- langid confusion matrix -------------------------------------------------
+# Classifier evaluation for the marker-stopword language ID: the
+# (labeled, predicted) confusion matrix with per-cell share of the
+# true-label row in exact basis points — the standard eval artifact a
+# curation team reads before trusting a cheap in-pipeline classifier
+# to route documents (which languages leak into which, and how much
+# lands in 'und'). Completes the eval family: calibration
+# (quality_calibration_audit) for scores, confusion for classes.
+_CONF_ORACLE = f"""
+WITH pred AS (
+    SELECT lang AS labeled_lang,
+           {X.sql_predicted_lang(_HITS_SQL)} AS predicted_lang
+    FROM documents
+),
+cell AS (
+    SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+),
+rowt AS (
+    SELECT labeled_lang, CAST(SUM(n_docs) AS BIGINT) AS row_total
+    FROM cell GROUP BY 1
+)
+SELECT c.labeled_lang, c.predicted_lang, c.n_docs, r.row_total,
+       CAST(c.n_docs * 10000 // r.row_total AS BIGINT) AS row_share_bp,
+       (c.labeled_lang = c.predicted_lang) AS is_correct
+FROM cell c JOIN rowt r ON r.labeled_lang = c.labeled_lang
+ORDER BY c.labeled_lang, c.predicted_lang
+"""
+
+
+@register("langid_confusion_matrix", tags=("llm", "text", "audit"), oracle=_CONF_ORACLE)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the langid heuristic against the labeled
+    lang column, each cell's share of its true-label row in exact
+    basis points (block comment above — the per-class eval the flat
+    accuracy number hides). Plan shape: one map-side scan emits the
+    (labeled, predicted) pair per doc; the matrix is a
+    |langs|²-bounded aggregate; row totals re-aggregate the cells and
+    broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    hits = {lang: X.marker_hits(toks, words) for lang, words in X.LANG_MARKERS.items()}
+    pred = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        X.predicted_lang(hits).alias("predicted_lang"),
+    )
+    cell = (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint()  # |langs|² cells; row totals re-aggregate it
+    )
+    rowt = cell.groupBy("labeled_lang").agg(F.sum("n_docs").alias("row_total"))
+    return (
+        cell.join(F.broadcast(rowt), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n_docs",
+            "row_total",
+            F.expr("n_docs * 10000 div row_total").alias("row_share_bp"),
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias("is_correct"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

@@ -449,3 +449,20 @@ def test_band_sweep_r2_matches_single_config_audit(spark, sf_dir):
     # r=8's stricter single band stays under it (measured: 1,028 vs
     # 3,147 candidates). That interaction is exactly what the sweep
     # exists to expose before a production (b, r) pick.
+
+
+def test_langid_confusion_reconciles_with_heuristic(spark, sf_dir):
+    rows = REGISTRY["langid_confusion_matrix"].fn(spark, sf_dir).collect()
+    pred = REGISTRY["langid_heuristic"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    expect = Counter((p.labeled_lang, p.predicted_lang) for p in pred)
+    got = {(r.labeled_lang, r.predicted_lang): r.n_docs for r in rows}
+    assert got == dict(expect), "matrix must be the exact pair census"
+    row_tot = Counter(p.labeled_lang for p in pred)
+    for r in rows:
+        assert r.row_total == row_tot[r.labeled_lang]
+        assert r.row_share_bp == r.n_docs * 10_000 // r.row_total
+        assert r.is_correct == (r.labeled_lang == r.predicted_lang)
+    # every labeled language appears as a row
+    assert {r.labeled_lang for r in rows} == set(row_tot)
