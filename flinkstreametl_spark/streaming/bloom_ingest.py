@@ -66,11 +66,15 @@ ACCEPTED_SUBDIR = "accepted"
 #: near-dup loop, run AFTER the batch's commit point.
 DEFAULT_COMPACT_EVERY = 10
 
-#: Filter width in bits. Sized for the test horizon; production sizes
-#: m ~ 10-15 bits per expected key for a low-single-digit-percent FPR
-#: and rebuilds a wider filter from the history table when the key
-#: count outgrows it (the bits table is derivable state).
-BLOOM_M = 1 << 16
+#: Filter width in bits. 2^20 bits = 20 bits/key at the sf1 corpus
+#: (50k docs) — comfortably inside the ~10+ bits/key a low-percent FPR
+#: needs (measured: at 2^16 the sf1 probe column grew ~linearly as the
+#: filter saturated past 1.3 bits/key; at 2^20 it tracks the true
+#: duplicates). The bit-position table is still AT MOST m rows
+#: (~128 KiB of longs) — broadcastable forever. Production re-sizes by
+#: rebuilding from the history table when keys outgrow the width (the
+#: bits are derivable state).
+BLOOM_M = 1 << 20
 
 
 def _h(salt: str, col: F.Column) -> F.Column:

@@ -102,8 +102,8 @@ def test_probe_side_is_bounded_by_dups_plus_fpr(spark, sf_dir, tmp_path):
     s = process_batch(
         spark, spark.createDataFrame(rows[40:]), state, batch_id=1
     )  # 20 dups, 60 new
-    # 60 history keys in a 65536-bit / k=2 filter: fpr ~ (120/65536)^2
-    # ~ 3e-6 — the probe side is the duplicates, maybe +1 straggler
+    # 60 history keys in a 2^20-bit / k=2 filter: fpr is negligible —
+    # the probe side is the duplicates, maybe +1 straggler
     assert s["n_probed"] <= 20 + 2
     assert s["n_bloom_miss"] >= 58
 
