@@ -110,6 +110,8 @@ _NEW_R9: list[str] = [
     "lsh_band_sweep_audit",
     "quality_score_drift",
     "langid_confusion_matrix",
+    "orders_reconciliation_audit",
+    "simhash_hamming_histogram",
 ]
 
 _PRIORITY_R8 = [

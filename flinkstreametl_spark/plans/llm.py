@@ -1387,3 +1387,67 @@ def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+# --- simhash hamming histogram ------------------------------------------------
+# Signature-space health check for the SimHash family: the pairwise
+# hamming-distance distribution inside the id-band universe (|doc_b -
+# doc_a| <= 25 — the lsh_precision_recall_audit ground-truth bound,
+# linear in corpus size). A healthy 16-bit signature shows the bimodal
+# shape — near-dups piled at distance 0-2, unrelated pairs humped
+# around 8 — while a degenerate hash (bit bias, token-set collapse)
+# flattens it; simhash_near_pairs' pigeonhole recall depends on that
+# gap existing. Pure integer arithmetic: xor + bit_count on BIGINTs.
+_HAM_BAND = 25
+
+_HAM_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+), bits AS (
+    SELECT doc_id, i,
+           SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), 1 + CAST(floor(i / 4) AS INT), 1)) - 1)
+                          & (1 << CAST(i % 4 AS INT))) > 0 THEN 1 ELSE -1 END) AS s
+    FROM tok, (SELECT unnest(range(16)) AS i) bb
+    GROUP BY doc_id, i
+), sh AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+)
+SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM sh a JOIN sh b
+  ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= {_HAM_BAND}
+GROUP BY 1
+ORDER BY hamming
+"""
+
+
+@register("simhash_hamming_histogram", tags=("llm", "dedup", "audit"), oracle=_HAM_ORACLE)
+def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise hamming-distance histogram of the production 16-bit
+    SimHash inside the id-band universe (block comment above — the
+    bimodality this shows is what licenses the pigeonhole near-pair
+    search). Plan shape: signatures from the production operator (one
+    tokenize + per-doc aggregate), then the bucketed id-band self-join
+    (the ngram_jaccard blocking — the distance bound lives in the join
+    key) and a 17-bucket aggregate; integer xor/bit_count end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = D.simhash(docs).localCheckpoint()  # both join sides reuse one signature pass
+    bucket = F.floor(F.col("doc_id") / _HAM_BAND)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sh_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("id_bucket"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), bucket.alias("id_bucket")
+    )
+    return (
+        a.join(b, "id_bucket")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("doc_b") - F.col("doc_a") <= _HAM_BAND))
+        .select(F.bit_count(F.expr("sh_a ^ sh_b")).cast("long").alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )

@@ -891,3 +891,98 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- order/lineitem reconciliation -------------------------------------------
+# The dbt-style cross-table RECONCILIATION audit dq_violation_counts
+# doesn't cover: does the order header's total actually equal the sum
+# of its lines' charges (extendedprice * (1-discount) * (1+tax))? On
+# real warehouses this identity breaks constantly (rounding regimes,
+# partial loads, currency passes) — the audit reports the relative
+# mismatch DISTRIBUTION, not a boolean, so a slow drift is visible
+# before it is material. (This synthetic fixture fails the identity
+# for every order — independently useful: the audit proves it measures
+# rather than assumes.) Exactness: the q1 decimal discipline — every
+# money term through DECIMAL casts, the per-order diff surfaced as its
+# exact unscaled integer (scale 10), and the relative error in integer
+# bp via staged division.
+_RECON_ORACLE = """
+WITH derived AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(6,4)))
+               * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS charge
+    FROM lineitem GROUP BY l_orderkey
+),
+per_order AS (
+    SELECT CAST((CAST(o.o_totalprice AS DECIMAL(12,2)) - d.charge)
+                * 10000000000 AS BIGINT) AS diff_u,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 10000000000 AS BIGINT) AS total_u
+    FROM orders o JOIN derived d ON d.l_orderkey = o.o_orderkey
+),
+rel AS (
+    SELECT abs(diff_u) // greatest(total_u // 10000, 1) AS rel_bp FROM per_order
+)
+SELECT CASE WHEN rel_bp = 0 THEN 'exact'
+            WHEN rel_bp <= 10 THEN '<=0.1%'
+            WHEN rel_bp <= 100 THEN '<=1%'
+            WHEN rel_bp <= 1000 THEN '<=10%'
+            ELSE '>10%' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(rel_bp) AS BIGINT) AS min_rel_bp,
+       CAST(MAX(rel_bp) AS BIGINT) AS max_rel_bp
+FROM rel
+GROUP BY 1
+ORDER BY min_rel_bp
+"""
+
+
+@register(
+    "orders_reconciliation_audit",
+    tags=("ext", "warehouse", "quality", "audit"),
+    oracle=_RECON_ORACLE,
+)
+def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation of o_totalprice against the
+    lines' derived charge, reported as a relative-mismatch histogram in
+    integer basis points (exact decimal spec in the block above).
+
+    Plan shape: ONE orderkey-grain aggregate of lineitem (map-side
+    partial), an orderkey equi-join against the header (co-partitioned
+    — both sides key on the same column), per-order integer arithmetic,
+    and a 5-bucket final aggregate. Nothing shuffles twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    charge = (
+        dec("l_extendedprice", 12, 2)
+        * (F.lit(1) - dec("l_discount", 6, 4))
+        * (F.lit(1) + dec("l_tax", 6, 4))
+    )
+    derived = li.groupBy("l_orderkey").agg(F.sum(charge).alias("charge"))
+    per_order = orders.join(
+        derived, orders["o_orderkey"] == derived["l_orderkey"]
+    ).select(
+        ((dec("o_totalprice", 12, 2) - F.col("charge")) * F.lit(10_000_000_000))
+        .cast("long")
+        .alias("diff_u"),
+        (dec("o_totalprice", 12, 2) * F.lit(10_000_000_000)).cast("long").alias("total_u"),
+    )
+    rel = per_order.select(
+        F.expr("abs(diff_u) div greatest(total_u div 10000, 1L)").alias("rel_bp")
+    )
+    bucket = (
+        F.when(F.col("rel_bp") == 0, "exact")
+        .when(F.col("rel_bp") <= 10, "<=0.1%")
+        .when(F.col("rel_bp") <= 100, "<=1%")
+        .when(F.col("rel_bp") <= 1000, "<=10%")
+        .otherwise(">10%")
+    )
+    return (
+        rel.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("rel_bp").alias("min_rel_bp"),
+            F.max("rel_bp").alias("max_rel_bp"),
+        )
+        .orderBy("min_rel_bp")
+    )
