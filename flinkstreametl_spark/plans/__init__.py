@@ -112,6 +112,7 @@ _NEW_R9: list[str] = [
     "langid_confusion_matrix",
     "orders_reconciliation_audit",
     "simhash_hamming_histogram",
+    "label_separation_audit",
 ]
 
 _PRIORITY_R8 = [

@@ -1655,3 +1655,136 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# --- label separation audit --------------------------------------------------
+# Silhouette-lite for a labeled embedding space: per label, the mean
+# fixed-point cosine of its members to their OWN centroid vs to the
+# nearest OTHER centroid, and the margin between the two. The
+# embedding-quality gate for classification corpora — a collapsed
+# margin means the labels are unlearnable in this space (and indeed
+# THIS fixture's labels don't track cosine geometry — the audit's
+# honest output, consistent with ivf label-block recall ~0.08 and the
+# kNN disagreement audit). Centroids are the drift audit's 10^6
+# fixed-point integer means; member-to-centroid cosines use the
+# mixed fold (dot of float member x integer centroid at 2^20 — the
+# SQ8 pattern, int64-safe at any corpus size since the centroid side
+# is bounded by 10^6).
+_SEP_FP = 1_000_000
+_SEP_C2 = 1_048_576.0  # 2^20 — member x centroid quantization
+
+_SEP_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+lab AS (SELECT vec_id, label FROM embeddings),
+g AS (
+    SELECT l.label, e.pos,
+           CAST(SUM(CAST(floor(CAST(e.val AS DOUBLE) * {_SEP_FP}) AS BIGINT)) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ex e JOIN lab l ON l.vec_id = e.vec_id
+    GROUP BY l.label, e.pos
+),
+cent AS (SELECT label, pos, s // n AS c FROM g),
+mc AS (
+    SELECT e.vec_id, l.label AS mlabel, c.label AS clabel,
+           CAST(SUM(CAST(floor(CAST(e.val AS DOUBLE) * c.c * {_SEP_C2}) AS BIGINT)) AS BIGINT) AS dot,
+           CAST(SUM(CAST(floor(CAST(e.val AS DOUBLE) * CAST(e.val AS DOUBLE) * {_SEP_C2}) AS BIGINT)) AS BIGINT) AS vv,
+           CAST(SUM(c.c * c.c) AS BIGINT) AS cc
+    FROM ex e
+    JOIN lab l ON l.vec_id = e.vec_id
+    JOIN cent c ON c.pos = e.pos
+    GROUP BY 1, 2, 3
+),
+cosr AS (
+    SELECT vec_id, mlabel, clabel,
+           CAST(dot AS DOUBLE) / sqrt(CAST(vv AS DOUBLE) * CAST(cc AS DOUBLE) * {_SEP_C2}) AS cosine
+    FROM mc
+),
+own AS (SELECT vec_id, mlabel,
+               CAST(floor(cosine * 1000000.0) AS BIGINT) AS own_fp
+        FROM cosr WHERE clabel = mlabel),
+best_other AS (
+    SELECT vec_id, CAST(floor(MAX(cosine) * 1000000.0) AS BIGINT) AS other_fp
+    FROM cosr WHERE clabel <> mlabel GROUP BY vec_id
+)
+SELECT o.mlabel AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(o.own_fp) // COUNT(*) AS BIGINT) AS mean_own_fp,
+       CAST(SUM(b.other_fp) // COUNT(*) AS BIGINT) AS mean_best_other_fp,
+       CAST((SUM(o.own_fp) - SUM(b.other_fp)) // CAST(COUNT(*) AS BIGINT) AS BIGINT) AS mean_margin_fp,
+       CAST(SUM(CASE WHEN o.own_fp > b.other_fp THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
+FROM own o JOIN best_other b ON b.vec_id = o.vec_id
+GROUP BY 1
+ORDER BY label
+"""
+
+
+@register(
+    "label_separation_audit",
+    tags=("ext", "llm", "similarity", "audit"),
+    oracle=_SEP_ORACLE,
+)
+def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label cosine separation: members' mean cosine to their own
+    centroid vs the best other centroid, the margin, and how many
+    members actually sit closer to home (exact mixed fixed-point spec
+    in the block above). Plan shape: centroids are one (label, pos)
+    aggregate (parameter-sized, broadcast); the member-x-centroid
+    scoring is one pass over the exploded embeddings joined to the
+    k x dim centroid table; everything after is per-vector rows.
+
+    Mean cosines are reported in 10^6 fixed point: each per-vector
+    cosine (identical double in both engines) is floor-quantized FIRST,
+    then integer-summed — partition-order independent, so the means are
+    hash-exact (the suite's standard answer to double-sum ordering)."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("pos0", "val")).select(
+        "vec_id", "label", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val")
+    )
+    g = ex.groupBy(F.col("label").alias("clabel"), "pos").agg(
+        F.expr(f"CAST(sum(CAST(floor(val * {_SEP_FP}) AS BIGINT)) AS BIGINT)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cent = g.select("clabel", "pos", F.expr("s div n").alias("c"))
+    mc = (
+        ex.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", F.col("label").alias("mlabel"), "clabel")
+        .agg(
+            F.sum(F.floor(F.col("val") * F.col("c") * _SEP_C2).cast("long")).alias("dot"),
+            F.sum(F.floor(F.col("val") * F.col("val") * _SEP_C2).cast("long")).alias("vv"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+    )
+    cosr = mc.select(
+        "vec_id",
+        "mlabel",
+        "clabel",
+        (
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("vv").cast("double") * F.col("cc").cast("double") * F.lit(_SEP_C2))
+        ).alias("cosine"),
+    ).localCheckpoint()  # per-vector x k rows; own/other both reuse it
+    own = cosr.filter(F.col("clabel") == F.col("mlabel")).select(
+        "vec_id", "mlabel", F.col("cosine").alias("own_cos")
+    )
+    other = (
+        cosr.filter(F.col("clabel") != F.col("mlabel"))
+        .groupBy("vec_id")
+        .agg(F.max("cosine").alias("other_cos"))
+    )
+    j = own.select(
+        "vec_id", "mlabel", F.floor(F.col("own_cos") * 1_000_000.0).cast("long").alias("own_fp")
+    ).join(
+        other.select("vec_id", F.floor(F.col("other_cos") * 1_000_000.0).cast("long").alias("other_fp")),
+        "vec_id",
+    )
+    return (
+        j.groupBy(F.col("mlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("sum(own_fp) div count(*)").alias("mean_own_fp"),
+            F.expr("sum(other_fp) div count(*)").alias("mean_best_other_fp"),
+            F.expr("(sum(own_fp) - sum(other_fp)) div count(*)").alias("mean_margin_fp"),
+            F.sum((F.col("own_fp") > F.col("other_fp")).cast("long")).alias("n_separated"),
+        )
+        .orderBy("label")
+    )

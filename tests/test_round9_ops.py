@@ -466,3 +466,62 @@ def test_langid_confusion_reconciles_with_heuristic(spark, sf_dir):
         assert r.is_correct == (r.labeled_lang == r.predicted_lang)
     # every labeled language appears as a row
     assert {r.labeled_lang for r in rows} == set(row_tot)
+
+
+def test_reconciliation_covers_every_matched_order(spark, sf_dir):
+    rows = REGISTRY["orders_reconciliation_audit"].fn(spark, sf_dir).collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_matched = (
+        orders.join(li.select("l_orderkey").distinct(), orders.o_orderkey == li.l_orderkey)
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_matched, "every joined order lands in one bucket"
+    order = {"exact": 0, "<=0.1%": 1, "<=1%": 2, "<=10%": 3, ">10%": 4}
+    seen = sorted(rows, key=lambda r: order[r.bucket])
+    for r in seen:
+        assert r.min_rel_bp <= r.max_rel_bp
+    # buckets are disjoint ranges: maxima strictly below the next minimum
+    for a, b in zip(seen, seen[1:]):
+        assert a.max_rel_bp < b.min_rel_bp
+
+
+def test_simhash_histogram_is_a_pair_census(spark, sf_dir):
+    rows = REGISTRY["simhash_hamming_histogram"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # universe size: pairs with 1 <= doc_b - doc_a <= 25 over dense ids
+    expect_pairs = sum(min(25, n_docs - 1 - i) for i in range(n_docs))
+    assert sum(r.n_pairs for r in rows) == expect_pairs
+    for r in rows:
+        assert 0 <= r.hamming <= 16
+        assert r.n_pairs > 0
+    # the near-dup fixture guarantees some distance<=2 mass AND a body
+    # of unrelated pairs farther out — the bimodal gap the pigeonhole
+    # search needs
+    close = sum(r.n_pairs for r in rows if r.hamming <= 2)
+    far = sum(r.n_pairs for r in rows if r.hamming >= 6)
+    assert close > 0 and far > 0
+
+
+def test_label_separation_counts_and_margin(spark, sf_dir):
+    rows = REGISTRY["label_separation_audit"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    labels = Counter(
+        r.label for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    )
+    assert {r.label for r in rows} == set(labels)
+    for r in rows:
+        assert r.n_members == labels[r.label]
+        assert -1_000_001 <= r.mean_own_fp <= 1_000_000
+        assert -1_000_001 <= r.mean_best_other_fp <= 1_000_000
+        # margin is the mean of (own - other): within integer-div slack
+        # of the difference of the two means
+        assert abs(r.mean_margin_fp - (r.mean_own_fp - r.mean_best_other_fp)) <= 2
+        assert 0 <= r.n_separated <= r.n_members
+    # the fixture's labels don't track cosine geometry — the audit must
+    # report weak-to-negative margins (best-of-9-others selection bias
+    # pushes the other side up; measured ~-0.02..-0.07), never a strong
+    # positive separation it would take real label structure to earn
+    assert all(-200_000 < r.mean_margin_fp < 50_000 for r in rows)
+    assert all(r.n_separated < r.n_members for r in rows)
