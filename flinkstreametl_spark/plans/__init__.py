@@ -113,6 +113,8 @@ _NEW_R9: list[str] = [
     "orders_reconciliation_audit",
     "simhash_hamming_histogram",
     "label_separation_audit",
+    "error_burn_rate_daily",
+    "value_ks_drift",
 ]
 
 _PRIORITY_R8 = [

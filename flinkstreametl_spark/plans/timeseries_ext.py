@@ -1056,3 +1056,194 @@ def time_weighted_avg_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- error burn rate ---------------------------------------------------------
+# SRE-style SLO burn: per day, the error share of all events in exact
+# basis points, plus the 7-day trailing share, and the BURN RATIO
+# (short window over long window, fixed point) — the multiwindow
+# alert rule from the SRE workbook: ratio >> 1 means the budget is
+# burning faster than the trailing norm. Integer end to end: shares
+# are count ratios in bp; the ratio of ratios is staged integer
+# division (numerators cross-multiplied to avoid dividing two small
+# bp values).
+_BURN_FP = 1_000_000
+
+_BURN_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(epoch_us(ts) // {_US_PER_DAY} AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+    FROM events GROUP BY 1
+),
+win AS (
+    SELECT day, n_events, n_errors,
+           SUM(n_events) OVER w AS n_events_7d,
+           SUM(n_errors) OVER w AS n_errors_7d,
+           COUNT(*) OVER w AS w_n
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, n_events, n_errors,
+       CAST(n_errors * 10000 // n_events AS BIGINT) AS error_bp,
+       CAST(n_errors_7d * 10000 // n_events_7d AS BIGINT) AS error_bp_7d,
+       CAST(n_errors * n_events_7d * {_BURN_FP} // greatest(n_events * n_errors_7d, 1) AS BIGINT)
+           AS burn_ratio_fp
+FROM win
+WHERE w_n = 7
+ORDER BY day
+"""
+
+
+@register("error_burn_rate_daily", tags=("ext", "timeseries", "sre", "window"), oracle=_BURN_ORACLE)
+def error_burn_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error budget burn: today's error share vs the 7-day
+    trailing share, and their fixed-point ratio (exact spec in the
+    block above — note the cross-multiplied ratio: n_err·N_7d div
+    (N·n_err_7d), never a division of two rounded shares). The single
+    global day series makes the unpartitioned trailing window safe —
+    its input is calendar-sized, not event-sized; the one event-scale
+    exchange is the daily aggregate (map-side partial)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.select(
+            (epoch_micros(events, "ts") / F.lit(_US_PER_DAY)).cast("long").alias("day"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("is_err").alias("n_errors"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    win = daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w).alias("n_events_7d"),
+        F.sum("n_errors").over(w).alias("n_errors_7d"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    return (
+        win.filter(F.col("w_n") == 7)
+        .select(
+            "day",
+            "n_events",
+            "n_errors",
+            F.expr("n_errors * 10000 div n_events").alias("error_bp"),
+            F.expr("n_errors_7d * 10000 div n_events_7d").alias("error_bp_7d"),
+            F.expr(
+                f"n_errors * n_events_7d * {_BURN_FP} div greatest(n_events * n_errors_7d, 1L)"
+            ).alias("burn_ratio_fp"),
+        )
+        .orderBy("day")
+    )
+
+
+# --- value-distribution drift (KS on a fixed grid) ---------------------------
+# The continuous companion to quality_score_drift's categorical L2:
+# a Kolmogorov–Smirnov-style statistic between the arrival halves'
+# VALUE distributions, evaluated on a 20-bin equal-width grid over the
+# global [min, max] (grid edges from the data, integer arithmetic —
+# the classic KS sup over all reals is approximated by the grid sup,
+# which is exact, deterministic, and engine-portable; an exact-rank KS
+# would need a corpus-wide sort). ks_bp = max over grid prefixes of
+# |cdfA - cdfB| in basis points, with the arg-max bin reported.
+_KS_BINS = 20
+
+def _ks_oracle() -> str:
+    # The cdf-per-half join above is easier stated as two scalar
+    # prefix aggregations; build it cleanly here instead.
+    return f"""
+WITH ev AS (
+    SELECT event_id, CAST(floor(value * 1000000) AS BIGINT) AS v FROM events
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, CAST(MIN(v) AS BIGINT) AS lo,
+             CAST(MAX(v) AS BIGINT) AS hi FROM ev),
+halves AS (
+    SELECT CASE WHEN e.event_id * 2 < n.n_all THEN 0 ELSE 1 END AS half,
+           least((e.v - n.lo) * {_KS_BINS} // greatest(n.hi - n.lo + 1, 1), {_KS_BINS - 1}) AS bin
+    FROM ev e, n
+),
+h AS (SELECT half, bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM halves GROUP BY 1, 2),
+t AS (SELECT half, CAST(SUM(cnt) AS BIGINT) AS tot FROM h GROUP BY half),
+cum AS (
+    SELECT bin,
+           CAST(SUM(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS BIGINT) AS cb
+    FROM h GROUP BY bin
+),
+cdf AS (
+    SELECT bin,
+           SUM(ca) OVER (ORDER BY bin) * 10000 // (SELECT tot FROM t WHERE half = 0) AS cdf_a,
+           SUM(cb) OVER (ORDER BY bin) * 10000 // (SELECT tot FROM t WHERE half = 1) AS cdf_b
+    FROM cum
+),
+gap AS (SELECT bin, abs(cdf_a - cdf_b) AS g FROM cdf)
+SELECT (SELECT tot FROM t WHERE half = 0) AS n_first,
+       (SELECT tot FROM t WHERE half = 1) AS n_second,
+       CAST(MAX(g) AS BIGINT) AS ks_bp,
+       CAST(MIN(CASE WHEN g = (SELECT MAX(g) FROM gap) THEN bin END) AS BIGINT) AS argmax_bin
+FROM gap
+"""
+
+
+@register("value_ks_drift", tags=("ext", "timeseries", "audit", "streaming-twin"), oracle=_ks_oracle())
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-KS drift between the arrival halves' event-value
+    distributions: max CDF gap in basis points over a 20-bin
+    equal-width grid plus the bin where it peaks (exact integer spec
+    in the block above). Completes the drift family: categorical
+    (quality_score_drift), continuous (here). Plan shape: one scan
+    bins every event map-side against broadcast global min/max; the
+    (half, bin) histogram is <= 40 cells; all CDF arithmetic runs on
+    the cells."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("event_id", F.floor(F.col("value") * 1_000_000).cast("long").alias("v"))
+    n = ev.agg(
+        F.count(F.lit(1)).alias("n_all"), F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    halves = ev.crossJoin(F.broadcast(n)).select(
+        F.when(F.col("event_id") * 2 < F.col("n_all"), F.lit(0)).otherwise(F.lit(1)).alias("half"),
+        F.least(
+            F.expr(f"(v - lo) * {_KS_BINS} div greatest(hi - lo + 1, 1L)"),
+            F.lit(_KS_BINS - 1),
+        ).alias("bin"),
+    )
+    h = halves.groupBy("half", "bin").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
+    t = h.groupBy("half").agg(F.sum("cnt").alias("tot"))
+    ta = t.filter(F.col("half") == 0).select(F.col("tot").alias("ta"))
+    tb = t.filter(F.col("half") == 1).select(F.col("tot").alias("tb"))
+    cum = h.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("cnt")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, F.col("cnt")).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("bin")  # <= 20 rows: the single partition is the point
+    cdf = (
+        cum.crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "bin",
+            F.expr("sum(ca) over (order by bin) * 10000").cast("long").alias("pa"),
+            F.expr("sum(cb) over (order by bin) * 10000").cast("long").alias("pb"),
+            "ta",
+            "tb",
+        )
+        .select("bin", F.expr("pa div ta").alias("cdf_a"), F.expr("pb div tb").alias("cdf_b"))
+    )
+    gap = cdf.select("bin", F.abs(F.col("cdf_a") - F.col("cdf_b")).alias("g")).localCheckpoint()
+    mx = gap.agg(F.max("g").alias("ks_bp"))
+    arg = (
+        gap.crossJoin(F.broadcast(mx))
+        .filter(F.col("g") == F.col("ks_bp"))
+        .agg(F.min("bin").alias("argmax_bin"))
+    )
+    return (
+        mx.crossJoin(F.broadcast(arg))
+        .crossJoin(F.broadcast(ta))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("ta").alias("n_first"),
+            F.col("tb").alias("n_second"),
+            "ks_bp",
+            F.col("argmax_bin").cast("long").alias("argmax_bin"),
+        )
+    )

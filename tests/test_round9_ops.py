@@ -525,3 +525,29 @@ def test_label_separation_counts_and_margin(spark, sf_dir):
     # positive separation it would take real label structure to earn
     assert all(-200_000 < r.mean_margin_fp < 50_000 for r in rows)
     assert all(r.n_separated < r.n_members for r in rows)
+
+
+def test_error_burn_rate_identities(spark, sf_dir):
+    rows = REGISTRY["error_burn_rate_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_errors <= r.n_events
+        assert r.error_bp == r.n_errors * 10_000 // r.n_events
+        assert 0 <= r.error_bp <= 10_000
+        # burn ratio ~ error_bp / error_bp_7d (cross-multiplied exact form)
+        if r.error_bp_7d > 0 and r.error_bp > 0:
+            approx = r.error_bp * 1_000_000 / r.error_bp_7d
+            assert abs(r.burn_ratio_fp - approx) < 0.01 * approx + 2_000
+    days = [r.day for r in rows]
+    assert days == sorted(days)
+
+
+def test_value_ks_drift_bounds(spark, sf_dir):
+    (r,) = REGISTRY["value_ks_drift"].fn(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert r.n_first + r.n_second == n
+    assert abs(r.n_first - r.n_second) <= 1
+    assert 0 <= r.ks_bp <= 10_000
+    assert 0 <= r.argmax_bin <= 19
+    # stationary fixture: the halves share one distribution
+    assert r.ks_bp < 1_000
