@@ -1451,3 +1451,64 @@ def simhash_hamming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("hamming")
     )
+
+
+# --- cluster size distribution ------------------------------------------------
+# The governance summary over the connected components: how big do
+# near-dup clusters get? Singleton mass tells you how much of the
+# corpus is genuinely unique; a fat tail (one cluster holding
+# thousands) is the boilerplate/template signature that deserves a
+# source-level fix rather than per-pair dedup. Composes the production
+# pipeline end to end: pairs -> CC labels -> size census -> size
+# histogram (two bounded aggregates on top of the cluster assignment).
+_CSIZE_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{_MINHASH_ORACLE}
+), edges AS MATERIALIZED (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+    WHERE r.label < e.v
+), m AS (
+    SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node
+),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size FROM m GROUP BY cluster_id)
+SELECT size AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(COUNT(*) * size AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY size
+ORDER BY cluster_size
+"""
+
+
+@register("neardup_cluster_size_histogram", tags=("llm", "dedup", "audit"), oracle=_CSIZE_ORACLE)
+def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size census: for each component size, how many
+    clusters have it and how many documents they hold (block comment
+    above — the singleton row is the unique-corpus mass, the tail is
+    the template signature). Plan shape: the production pair + CC
+    pipeline, then a cluster-grain size aggregate and a size-grain
+    histogram — both bounded by the cluster census, which is at most
+    |docs| rows and shrinks with duplication."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    labels = D.neardup_clusters(pairs)
+    assigned = docs.join(labels, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy(F.col("size").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("n_clusters") * F.col("cluster_size")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

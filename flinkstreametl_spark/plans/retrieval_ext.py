@@ -732,3 +732,158 @@ def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rk",
         F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared_trigrams"),
     )
+
+
+# --- pseudo-relevance feedback -------------------------------------------------
+# RM3-lite query expansion, the classic IR relevance-feedback loop:
+# retrieve BM25 top-_PRF_FB docs per query, mine their top-_PRF_TERMS
+# most-frequent terms NOT already in the query (plain feedback tf —
+# the log-free stand-in for RM3's relevance-model weights, rank-exact
+# in integers), append them to the query bag, and re-rank to the final
+# top-10. The part worth copying at 100 TB: the (doc, term) tf
+# aggregate — the inverted index — is computed ONCE and pinned; both
+# retrieval rounds and the term-mining stage are broadcast joins and
+# bounded windows over that single corpus-sized materialization, so
+# feedback costs one extra posting join, not a second index build.
+_PRF_FB = 3  # feedback depth
+_PRF_TERMS = 3  # expansion terms per query
+_PRF_K = 10  # final depth
+
+_PRF_ORACLE = f"""
+WITH base AS (SELECT doc_id, {X.sql_tokens("text")} AS toks FROM documents),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM base),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf,
+              CAST(max(dl) AS BIGINT) AS dl
+       FROM tok GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id) dls),
+q1 AS (SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+       FROM base WHERE doc_id < {_BM25_NQ}),
+sc1 AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(SUM(
+               (((2 * t.n - 2 * d.df + 1) * {_FP}) // (2 * d.df + 1))
+               * ((22 * tf.tf * t.s * {_FP}) // (10 * tf.tf * t.s + 3 * t.s + 9 * tf.dl * t.n))
+               // {_FP}
+           ) AS BIGINT) AS score_fp
+    FROM q1 q JOIN tf ON tf.term = q.term JOIN dfq d ON d.term = q.term, tot t
+    GROUP BY 1, 2
+),
+fb AS (
+    SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score_fp DESC, doc_id) AS rk
+        FROM sc1
+    ) r WHERE rk <= {_PRF_FB}
+),
+exp AS (
+    SELECT query_id, term FROM (
+        SELECT f.query_id, tf.term, SUM(tf.tf) AS fb_tf,
+               row_number() OVER (PARTITION BY f.query_id
+                                  ORDER BY SUM(tf.tf) DESC, tf.term) AS rk
+        FROM fb f
+        JOIN tf ON tf.doc_id = f.doc_id
+        ANTI JOIN q1 ON q1.query_id = f.query_id AND q1.term = tf.term
+        GROUP BY f.query_id, tf.term
+    ) r WHERE rk <= {_PRF_TERMS}
+),
+q2 AS (SELECT query_id, term FROM q1 UNION SELECT query_id, term FROM exp),
+sc2 AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(SUM(
+               (((2 * t.n - 2 * d.df + 1) * {_FP}) // (2 * d.df + 1))
+               * ((22 * tf.tf * t.s * {_FP}) // (10 * tf.tf * t.s + 3 * t.s + 9 * tf.dl * t.n))
+               // {_FP}
+           ) AS BIGINT) AS score_fp
+    FROM q2 q JOIN tf ON tf.term = q.term JOIN dfq d ON d.term = q.term, tot t
+    GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score_fp, CAST(rk AS BIGINT) AS rk
+FROM (
+    SELECT query_id, doc_id, score_fp,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score_fp DESC, doc_id) AS rk
+    FROM sc2
+) r WHERE rk <= {_PRF_K}
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "prf_expanded_retrieval",
+    tags=("ext", "llm", "retrieval"),
+    oracle=_PRF_ORACLE,
+)
+def prf_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-round BM25 with pseudo-relevance feedback: the standing 3
+    query docs retrieve their top-3, the feedback docs' top-3 unseen
+    terms join the query bag, and the expanded queries re-rank to the
+    final top-10 (exact integer spec in the block above).
+
+    Plan shape: ONE corpus scan into the pinned (doc, term) tf index;
+    df and the totals re-aggregate it (vocabulary/1-row-sized,
+    broadcast); both scoring rounds are broadcast posting joins against
+    the pin; feedback-term mining touches only the bounded
+    (queries x 3) doc set's postings. The second round adds zero
+    corpus-sized work — the property that makes PRF affordable."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.tokens("text").alias("toks"))
+    sized = base.select(
+        "doc_id", F.size("toks").cast("long").alias("dl"), F.explode("toks").alias("term")
+    )
+    tf = (
+        sized.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint()  # the index: both rounds + term mining reuse it
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = (
+        tf.groupBy("doc_id")
+        .agg(F.max("dl").alias("dl2"))
+        .agg(F.sum("dl2").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    term_fp = F.expr(
+        f"(((2 * n - 2 * df + 1) * {_FP}) div (2 * df + 1))"
+        f" * ((22 * tf * s * {_FP}) div (10 * tf * s + 3 * s + 9 * dl * n))"
+        f" div {_FP}"
+    )
+
+    def _score(qterms: DataFrame, k: int) -> DataFrame:
+        sc = (
+            tf.join(F.broadcast(qterms), "term")
+            .join(F.broadcast(dfq), "term")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(term_fp).cast("long").alias("score_fp"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("score_fp").desc(), "doc_id")
+        return (
+            sc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "doc_id", "score_fp", F.col("rk").cast("long").alias("rk"))
+        )
+
+    q1 = (
+        base.filter(F.col("doc_id") < _BM25_NQ)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct("toks")).alias("term"),
+        )
+        .localCheckpoint()  # parameter-sized; both rounds + the anti-join reuse it
+    )
+    fb = _score(q1, _PRF_FB).select("query_id", "doc_id")
+    ew = Window.partitionBy("query_id").orderBy(F.col("fb_tf").desc(), "term")
+    exp = (
+        F.broadcast(fb)
+        .join(tf, "doc_id")
+        .join(q1, ["query_id", "term"], "left_anti")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("fb_tf"))
+        .withColumn("rk", F.row_number().over(ew))
+        .filter(F.col("rk") <= _PRF_TERMS)
+        .select("query_id", "term")
+    )
+    q2 = q1.select("query_id", "term").unionByName(exp).distinct()
+    return _score(q2, _PRF_K).orderBy("query_id", "rk")

@@ -551,3 +551,35 @@ def test_value_ks_drift_bounds(spark, sf_dir):
     assert 0 <= r.argmax_bin <= 19
     # stationary fixture: the halves share one distribution
     assert r.ks_bp < 1_000
+
+
+def test_cluster_size_histogram_is_a_partition(spark, sf_dir):
+    rows = REGISTRY["neardup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs, "clusters partition the corpus"
+    assign = REGISTRY["neardup_cluster_assign"].fn(spark, sf_dir).collect()
+    from collections import Counter
+
+    sizes = Counter(Counter(a.cluster_id for a in assign).values())
+    assert {r.cluster_size: r.n_clusters for r in rows} == dict(sizes)
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_prf_expansion_changes_and_anchors_retrieval(spark, sf_dir):
+    prf = REGISTRY["prf_expanded_retrieval"].fn(spark, sf_dir).collect()
+    base = REGISTRY["bm25_topk_docs"].fn(spark, sf_dir).collect()
+    by_q_prf = {}
+    for r in prf:
+        assert 1 <= r.rk <= 10 and r.score_fp > 0
+        by_q_prf.setdefault(r.query_id, set()).add(r.doc_id)
+    by_q_base = {}
+    for r in base:
+        by_q_base.setdefault(r.query_id, set()).add(r.doc_id)
+    assert set(by_q_prf) == set(by_q_base)
+    for q in by_q_prf:
+        assert len(by_q_prf[q]) == 10
+        # expansion keeps the query anchored: substantial overlap with
+        # the unexpanded top-10, but the expanded terms may legitimately
+        # reorder/replace the tail
+        assert len(by_q_prf[q] & by_q_base[q]) >= 5
