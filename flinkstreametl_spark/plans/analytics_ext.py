@@ -1335,3 +1335,70 @@ def multitouch_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- sessionization gap sensitivity -------------------------------------------
+# The "pick the timeout" audit for every sessionizer in the suite: how
+# many sessions does each candidate inactivity gap produce, how many
+# events does the median-ish session hold? A session count that still
+# moves steeply between 10 and 60 minutes means the corpus has no
+# natural gap and the timeout is a policy choice to be documented, not
+# discovered. One pass: the per-user lag() gap is computed once; each
+# candidate threshold turns it into a 0/1 boundary indicator — session
+# count = users + boundary count, all integers.
+_GAPS_US = (600_000_000, 1_800_000_000, 3_600_000_000)  # 10m / 30m / 60m
+
+_GAPSENS_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us FROM events
+),
+gaps AS (
+    SELECT user_id,
+           us - lag(us) OVER (PARTITION BY user_id ORDER BY us) AS gap
+    FROM ev
+),
+users AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+                 CAST(COUNT(*) AS BIGINT) AS n_events FROM ev)
+SELECT g.gap_us, u.n_events,
+       CAST(u.n_users + (SELECT COUNT(*) FROM gaps WHERE gap > g.gap_us) AS BIGINT) AS n_sessions,
+       CAST(u.n_events * 1000 // (u.n_users + (SELECT COUNT(*) FROM gaps WHERE gap > g.gap_us)) AS BIGINT)
+           AS mean_events_per_session_milli
+FROM (SELECT unnest(ARRAY{list(_GAPS_US)}) AS gap_us) g, users u
+ORDER BY g.gap_us
+"""
+
+
+@register("session_gap_sensitivity", tags=("ext", "timeseries", "sessionize", "audit"), oracle=_GAPSENS_ORACLE)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session counts under three candidate inactivity gaps (10/30/60
+    minutes) from ONE pass over the per-user event-time lags — session
+    count = users + over-gap boundaries; mean session length in exact
+    milli-events (block comment above). Plan shape: one user-keyed
+    window for the lags, one 1-row totals aggregate, and per-threshold
+    boundary counts over the pinned lag column — thresholds multiply
+    the bounded reread, never the exchange."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select("user_id", epoch_micros(events, "ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = ev.select(
+        "user_id", (F.col("us") - F.lag("us").over(w)).alias("gap")
+    ).localCheckpoint()  # one lag pass; all three thresholds reuse it
+    users = ev.agg(
+        F.count_distinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )
+    out = None
+    for g in _GAPS_US:
+        b = gaps.agg(F.sum((F.col("gap") > g).cast("long")).alias("n_bounds"))
+        m = (
+            b.crossJoin(F.broadcast(users))
+            .select(
+                F.lit(g).cast("long").alias("gap_us"),
+                "n_events",
+                (F.col("n_users") + F.col("n_bounds")).alias("n_sessions"),
+                F.expr("n_events * 1000 div (n_users + n_bounds)").alias(
+                    "mean_events_per_session_milli"
+                ),
+            )
+        )
+        out = m if out is None else out.unionByName(m)
+    return out.orderBy("gap_us")

@@ -1788,3 +1788,75 @@ def label_separation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- semantic cosine histogram --------------------------------------------------
+# The threshold-tuning curve for semantic_dedup_pairs: the full
+# distribution of within-cluster pair cosines, bucketed at 0.05 width
+# (floor(cos*20), clamped) — where the production θ = 0.3 cut sits on
+# the actual corpus. The published SemDeDup recipe picks θ by staring
+# at exactly this histogram: a valley between the topical hump and the
+# near-dup spike is a safe θ; no valley means the threshold trades
+# precision for recall smoothly and needs downstream validation. Same
+# learned blocks, same in-row fixed-point cosine, NO threshold filter
+# — the aggregate replaces it.
+_SCH_ORACLE = (
+    _kmeans_ctes(_KM_K, _KM_ITERS)
+    + f""",
+p AS (
+    SELECT CAST(least(greatest(CAST(floor(
+               (CAST(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                   x -> CAST(floor(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS DOUBLE)
+                / sqrt(CAST(list_sum(list_transform(a.embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS DOUBLE)
+                     * CAST(list_sum(list_transform(b.embedding,
+                      v -> CAST(floor(CAST(v AS DOUBLE) * CAST(v AS DOUBLE) * 1099511627776.0) AS BIGINT))) AS DOUBLE)))
+               * 20) AS BIGINT), -20), 19) AS BIGINT) AS bucket
+    FROM a{_KM_ITERS + 1} aa
+    JOIN a{_KM_ITERS + 1} bb ON bb.cluster = aa.cluster AND aa.vec_id < bb.vec_id
+    JOIN embeddings a ON a.vec_id = aa.vec_id
+    JOIN embeddings b ON b.vec_id = bb.vec_id
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY bucket ORDER BY bucket
+"""
+)
+
+
+@register(
+    "semantic_cosine_histogram",
+    tags=("ext", "llm", "dedup", "similarity", "iterative", "audit"),
+    oracle=_SCH_ORACLE,
+)
+def semantic_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster cosine distribution at 0.05 resolution — the
+    histogram the SemDeDup threshold is picked from (block comment
+    above; bucket = clamp(floor(cos·20), -20, 19), exact on identical
+    doubles). Plan shape: semantic_dedup_pairs' exact plan with the
+    θ filter replaced by a 40-cell aggregate — learned blocks bound the
+    pair set, the in-row fold never explodes to |pairs| × dim."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    _cents, assign_df = kmeans_fit(emb)
+    assigned = assign_df(emb).select("vec_id", "embedding", "cluster")
+    a = assigned.select(
+        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")))
+    bucket = F.least(
+        F.greatest(
+            F.floor(S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")) * 20).cast("long"),
+            F.lit(-20),
+        ),
+        F.lit(19),
+    )
+    return (
+        pairs.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("bucket")
+    )

@@ -583,3 +583,31 @@ def test_prf_expansion_changes_and_anchors_retrieval(spark, sf_dir):
         # the unexpanded top-10, but the expanded terms may legitimately
         # reorder/replace the tail
         assert len(by_q_prf[q] & by_q_base[q]) >= 5
+
+
+def test_gap_sensitivity_monotone(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["session_gap_sensitivity"].fn(spark, sf_dir).collect(), key=lambda r: r.gap_us
+    )
+    assert [r.gap_us for r in rows] == [600_000_000, 1_800_000_000, 3_600_000_000]
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id").distinct().count()
+    )
+    # longer gap -> fewer (or equal) sessions, never below one per user
+    sessions = [r.n_sessions for r in rows]
+    assert sessions == sorted(sessions, reverse=True)
+    for r in rows:
+        assert r.n_sessions >= n_users
+        assert r.mean_events_per_session_milli == r.n_events * 1000 // r.n_sessions
+
+
+def test_semantic_histogram_reconciles_with_dedup_pairs(spark, sf_dir):
+    rows = REGISTRY["semantic_cosine_histogram"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -20 <= r.bucket <= 19 and r.n_pairs > 0
+    # mass at cosine >= 0.3 must equal the production θ=0.3 pair count
+    # (bucket floor(cos*20) >= 6 <=> cos >= 0.3)
+    above = sum(r.n_pairs for r in rows if r.bucket >= 6)
+    n_dedup = REGISTRY["semantic_dedup_pairs"].fn(spark, sf_dir).count()
+    assert above == n_dedup
