@@ -1860,3 +1860,70 @@ def semantic_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+# --- embedding dimension stats -------------------------------------------------
+# Per-dimension health audit for the embedding space: exact fixed-point
+# mean and variance, extremes, and a dead-dimension flag. Dead dims
+# (variance ~ 0) waste index width and silently break cosine-based
+# whitening; exploding dims dominate dot products and are the usual
+# suspect when recall collapses after a model swap. Variance is the
+# exact integer form n·Σx² − (Σx)² over 10^6 fixed point, divided once
+# (x_fp ≤ ~10^6, Σx_fp² ≤ n·10^12 — int64-safe to ~10^6 vectors; past
+# that the two sums widen to DECIMAL(38,0), the cusum precedent).
+_DIM_FP = 1_000_000
+
+_DIMSTATS_ORACLE = f"""
+WITH ex AS ({_EMB_EXPLODE_SQL}),
+q AS (
+    SELECT pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {_DIM_FP}) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(floor(CAST(val AS DOUBLE) * {_DIM_FP}) AS BIGINT)
+                    * CAST(floor(CAST(val AS DOUBLE) * {_DIM_FP}) AS BIGINT)) AS BIGINT) AS s2,
+           CAST(MIN(CAST(floor(CAST(val AS DOUBLE) * {_DIM_FP}) AS BIGINT)) AS BIGINT) AS min_fp,
+           CAST(MAX(CAST(floor(CAST(val AS DOUBLE) * {_DIM_FP}) AS BIGINT)) AS BIGINT) AS max_fp
+    FROM ex GROUP BY pos
+)
+SELECT CAST(pos AS BIGINT) AS pos, n,
+       CAST(s1 // n AS BIGINT) AS mean_fp,
+       CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_fp2,
+       min_fp, max_fp,
+       ((n * s2 - s1 * s1) // (n * n)) < 1000000 AS is_dead
+FROM q
+ORDER BY pos
+"""
+
+
+@register(
+    "embedding_dim_stats",
+    tags=("ext", "llm", "similarity", "audit"),
+    oracle=_DIMSTATS_ORACLE,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics — exact fixed-point mean,
+    variance (units of 10^-12: the fp² scale), extremes, and the dead-
+    dimension flag (var < 10^-6) — the index-width and whitening
+    pre-flight (block comment above). Plan shape: one explode into ONE
+    (pos)-keyed map-side-partial aggregate; output is dim-sized."""
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    ex = emb.select(F.posexplode("embedding").alias("pos0", "val")).select(
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.floor(F.col("val").cast("double") * _DIM_FP).cast("long").alias("x"),
+    )
+    q = ex.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.min("x").alias("min_fp"),
+        F.max("x").alias("max_fp"),
+    )
+    return q.select(
+        "pos",
+        "n",
+        F.expr("s1 div n").alias("mean_fp"),
+        F.expr("(n * s2 - s1 * s1) div (n * n)").alias("var_fp2"),
+        "min_fp",
+        "max_fp",
+        (F.expr("(n * s2 - s1 * s1) div (n * n)") < 1_000_000).alias("is_dead"),
+    ).orderBy("pos")

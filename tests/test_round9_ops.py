@@ -611,3 +611,30 @@ def test_semantic_histogram_reconciles_with_dedup_pairs(spark, sf_dir):
     above = sum(r.n_pairs for r in rows if r.bucket >= 6)
     n_dedup = REGISTRY["semantic_dedup_pairs"].fn(spark, sf_dir).count()
     assert above == n_dedup
+
+
+def test_embedding_dim_stats_match_numpy(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["embedding_dim_stats"].fn(spark, sf_dir).collect(), key=lambda r: r.pos
+    )
+    import math
+
+    import numpy as np
+
+    embs = np.array(
+        [r.embedding for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    assert len(rows) == embs.shape[1]
+    for r in rows:
+        col = embs[:, r.pos - 1]
+        x = np.array([math.floor(v * 1_000_000) for v in col], dtype=object)
+        n = len(x)
+        assert r.n == n
+        s1, s2 = int(sum(x)), int(sum(v * v for v in x))
+        assert r.mean_fp == (abs(s1) // n if s1 >= 0 else -(abs(s1) // n))
+        assert r.var_fp2 == (n * s2 - s1 * s1) // (n * n)
+        assert r.min_fp == min(x) and r.max_fp == max(x)
+        assert r.is_dead == (r.var_fp2 < 1_000_000)
+    # a healthy random-ish embedding space has no dead dims
+    assert not any(r.is_dead for r in rows)
