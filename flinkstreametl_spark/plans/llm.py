@@ -1512,3 +1512,73 @@ def neardup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("cluster_size")
     )
+
+
+# --- source vocabulary overlap ---------------------------------------------
+# The lexical cousin of neardup_source_matrix: pairwise Jaccard of the
+# per-source VOCABULARIES (distinct token sets) in exact basis points.
+# Two sources can share zero near-dup documents yet write in the same
+# register — vocabulary overlap is the cheaper, earlier signal of feed
+# redundancy, and a sudden overlap jump between previously-disjoint
+# feeds is a scraping-chain tell. The pair grain is |sources|² and the
+# sets are vocabulary-sized, so everything after the one (source,
+# token) distinct aggregate is parameter-scale.
+_SVJ_ORACLE = f"""
+WITH st AS (SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_toks FROM st GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b, CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM st a JOIN st b ON b.tok = a.tok AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.n_common,
+       sa.n_toks AS n_toks_a, sb.n_toks AS n_toks_b,
+       CAST(i.n_common * 10000 // (sa.n_toks + sb.n_toks - i.n_common) AS BIGINT) AS jaccard_bp
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+ORDER BY i.source_a, i.source_b
+"""
+
+
+@register("source_vocab_overlap", tags=("llm", "text", "audit"), oracle=_SVJ_ORACLE)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard in exact basis points (block
+    comment above — the early feed-redundancy signal). Plan shape: one
+    tokenize into a (source, token) DISTINCT aggregate (vocabulary x
+    sources rows, pinned); the pair join, set sizes, and Jaccard all
+    run on that bounded relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .distinct()
+        .localCheckpoint()  # vocab x sources rows; sizes + pair join reuse it
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_toks"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_a").withColumnRenamed("n_toks", "n_toks_a")),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("source", "source_b").withColumnRenamed("n_toks", "n_toks_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_toks_a",
+            "n_toks_b",
+            F.expr("n_common * 10000 div (n_toks_a + n_toks_b - n_common)").alias("jaccard_bp"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -986,3 +986,73 @@ def orders_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_rel_bp")
     )
+
+
+# --- revenue concentration ----------------------------------------------------
+# How concentrated is revenue in the best-selling parts? The top-10
+# parts by exact decimal revenue with each part's cumulative share of
+# TOTAL revenue in basis points — the 80/20 readout that decides
+# whether part-level optimizations (caching, placement, skew salting)
+# are worth building. Revenue uses the q1 decimal discipline; shares
+# are integer bp over unscaled cents, so the whole row is hash-exact.
+_RCONC_TOPK = 10
+
+_RCONC_ORACLE = f"""
+WITH rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) * 10000 AS BIGINT) AS rev_u
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev_u) AS BIGINT) AS total_u FROM rev),
+top AS (
+    SELECT l_partkey, rev_u,
+           row_number() OVER (ORDER BY rev_u DESC, l_partkey) AS rk
+    FROM rev QUALIFY rk <= {_RCONC_TOPK}
+)
+SELECT CAST(t.rk AS BIGINT) AS rk, t.l_partkey AS part, t.rev_u,
+       CAST(t.rev_u * 10000 // o.total_u AS BIGINT) AS share_bp,
+       CAST(SUM(t.rev_u) OVER (ORDER BY t.rk) * 10000 // o.total_u AS BIGINT) AS cum_share_bp
+FROM top t, tot o
+ORDER BY rk
+"""
+
+
+@register("revenue_topk_concentration", tags=("ext", "warehouse", "aggregate"), oracle=_RCONC_ORACLE)
+def revenue_topk_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by exact discounted revenue with per-part and
+    cumulative shares of total revenue in integer basis points (block
+    comment above). Plan shape: one part-keyed aggregate (map-side
+    partial) of lineitem, a 1-row total broadcast back, TakeOrdered
+    for the top-10, and the cumulative window on the 10-row frame —
+    all share arithmetic is integer div over unscaled cents·100."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = dec("l_extendedprice", 12, 2) * (F.lit(1) - dec("l_discount", 6, 4))
+    rev = (
+        li.groupBy("l_partkey")
+        .agg((F.sum(charge) * 10_000).cast("long").alias("rev_u"))
+        .localCheckpoint()  # feeds the total AND the top-k
+    )
+    tot = rev.agg(F.sum("rev_u").alias("total_u"))
+    top = rev.orderBy(F.col("rev_u").desc(), "l_partkey").limit(_RCONC_TOPK)
+    w = Window.orderBy(F.col("rev_u").desc(), "l_partkey")
+    cw = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).cast("long").alias("rk"),
+            F.col("l_partkey").alias("part"),
+            "rev_u",
+            F.expr("rev_u * 10000 div total_u").alias("share_bp"),
+            F.expr("total_u").alias("total_u"),
+            F.sum("rev_u").over(cw).alias("cum_u"),
+        )
+        .select(
+            "rk",
+            "part",
+            "rev_u",
+            "share_bp",
+            F.expr("cum_u * 10000 div total_u").alias("cum_share_bp"),
+        )
+        .orderBy("rk")
+    )

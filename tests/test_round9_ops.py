@@ -638,3 +638,32 @@ def test_embedding_dim_stats_match_numpy(spark, sf_dir):
         assert r.is_dead == (r.var_fp2 < 1_000_000)
     # a healthy random-ish embedding space has no dead dims
     assert not any(r.is_dead for r in rows)
+
+
+def test_source_vocab_overlap_census(spark, sf_dir):
+    rows = REGISTRY["source_vocab_overlap"].fn(spark, sf_dir).collect()
+    n_sources = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources * (n_sources - 1) // 2, "every unordered pair once"
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 < r.n_common <= min(r.n_toks_a, r.n_toks_b)
+        union = r.n_toks_a + r.n_toks_b - r.n_common
+        assert r.jaccard_bp == r.n_common * 10_000 // union
+        assert 0 < r.jaccard_bp <= 10_000
+
+
+def test_revenue_concentration_laws(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["revenue_topk_concentration"].fn(spark, sf_dir).collect(), key=lambda r: r.rk
+    )
+    assert [r.rk for r in rows] == list(range(1, 11))
+    revs = [r.rev_u for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for r in rows:
+        assert 0 <= r.share_bp <= 10_000
+        assert r.cum_share_bp >= r.share_bp
+    shares = [r.cum_share_bp for r in rows]
+    assert shares == sorted(shares), "cumulative share is non-decreasing"
+    assert shares[-1] <= 10_000
