@@ -1247,3 +1247,96 @@ def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("argmax_bin").cast("long").alias("argmax_bin"),
         )
     )
+
+
+# --- MAD anomaly days ----------------------------------------------------------
+# The composed robust anomaly gate: zscore_tail_events flags on
+# mean/σ (one bad week drags both), mad_robust_price computes the
+# robust location/scale on a static dimension — this puts them
+# together ON THE TIME SERIES: a day is anomalous when its level sits
+# more than _MAD_K MADs from the per-type MEDIAN day, all quantities
+# exact-rank-selected integers, the comparison cross-multiplied so no
+# division happens at all (|x - med| > K·MAD over int64 fp). MAD = 0
+# (constant series) flags any deviation, matching the statistic's
+# definition.
+_MAD_K = 3
+
+_MADANOM_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+ranked AS (
+    SELECT event_type, day, s_fp,
+           row_number() OVER (PARTITION BY event_type ORDER BY s_fp, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM daily
+),
+med AS (
+    SELECT event_type, MAX(n) AS n,
+           MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN s_fp END) AS med_fp
+    FROM ranked GROUP BY event_type
+),
+dev AS (
+    SELECT r.event_type, r.day, r.s_fp, m.med_fp,
+           abs(r.s_fp - m.med_fp) AS d,
+           row_number() OVER (PARTITION BY r.event_type
+                              ORDER BY abs(r.s_fp - m.med_fp), r.day) AS drn,
+           m.n
+    FROM ranked r JOIN med m ON m.event_type = r.event_type
+),
+mad AS (
+    SELECT event_type,
+           MAX(CASE WHEN drn = CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS mad_fp
+    FROM dev GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.s_fp, d.med_fp, m.mad_fp,
+       CAST(d.d AS BIGINT) AS abs_dev_fp
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE d.d > {_MAD_K} * m.mad_fp
+ORDER BY d.event_type, d.day
+"""
+
+
+@register("mad_anomaly_days", tags=("ext", "timeseries", "robust", "audit"), oracle=_MADANOM_ORACLE)
+def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose level sits more than 3 MADs from the per-type median
+    day — the robust anomaly list (exact integer spec in the block
+    above; zero divisions, so zero rounding surface). Plan shape: one
+    exchange to the daily grain, two rank windows on the per-key
+    calendar-bounded series, and the flag predicate — the
+    mad_robust_price machinery pointed at time."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    byk = Window.partitionBy("event_type")
+    rw = byk.orderBy("s_fp", "day")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        "s_fp",
+        F.row_number().over(rw).alias("rn"),
+        F.count(F.lit(1)).over(byk).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("s_fp"))
+        ).alias("med_fp"),
+    )
+    dev = ranked.join(F.broadcast(med.select("event_type", "med_fp")), "event_type").select(
+        "event_type",
+        "day",
+        "s_fp",
+        "med_fp",
+        F.abs(F.col("s_fp") - F.col("med_fp")).alias("d"),
+        "n",
+    )
+    dw = Window.partitionBy("event_type").orderBy("d", "day")
+    dev2 = dev.withColumn("drn", F.row_number().over(dw)).localCheckpoint()
+    mad = dev2.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("drn") == F.ceil(0.5 * F.col("n")).cast("long"), F.col("d"))
+        ).alias("mad_fp")
+    )
+    return (
+        dev2.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > _MAD_K * F.col("mad_fp"))
+        .select("event_type", "day", "s_fp", "med_fp", "mad_fp", F.col("d").alias("abs_dev_fp"))
+        .orderBy("event_type", "day")
+    )

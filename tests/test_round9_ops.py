@@ -667,3 +667,28 @@ def test_revenue_concentration_laws(spark, sf_dir):
     shares = [r.cum_share_bp for r in rows]
     assert shares == sorted(shares), "cumulative share is non-decreasing"
     assert shares[-1] <= 10_000
+
+
+def test_mad_anomaly_days_match_python(spark, sf_dir):
+    rows = REGISTRY["mad_anomaly_days"].fn(spark, sf_dir).collect()
+    from flinkstreametl_spark.plans.timeseries_ext import _daily
+
+    series = {}
+    for d in _daily(spark, sf_dir).collect():
+        series.setdefault(d.event_type, []).append((d.day, d.s_fp))
+    import math
+
+    expect = set()
+    for et, pts in series.items():
+        vals = sorted(v for _, v in pts)
+        n = len(vals)
+        med = sorted((v, day) for day, v in pts)[math.ceil(0.5 * n) - 1][0]
+        devs = sorted(abs(v - med) for _, v in pts)
+        mad = devs[math.ceil(0.5 * n) - 1]
+        for day, v in pts:
+            if abs(v - med) > 3 * mad:
+                expect.add((et, day))
+    assert {(r.event_type, r.day) for r in rows} == expect
+    for r in rows:
+        assert r.abs_dev_fp == abs(r.s_fp - r.med_fp)
+        assert r.abs_dev_fp > 3 * r.mad_fp
