@@ -52,14 +52,14 @@ from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
 # AUDIT_REGISTRY — queries() stays 100% oracle-backed.
 #
 # ROUND-9 ROTATION PLAN (updated for the late-round-8 build wave): the
-# round-8 flywheel produced 39 post-window additions — they live in
+# round-8 flywheel produced 40 post-window additions — they live in
 # _NEW_R9 below, each oracle-verified locally at sf0.001 AND sf0.01 on
 # landing (tools/verify_contract.py re-run green over the whole
-# registry before every commit — seventeen runs this round) and ALL 39
+# registry before every commit — eighteen runs this round) and ALL 40
 # re-verified at sf1 (docs/ROUND8.md). If CORRECTNESS_r08 comes back
 # 50/50 green, the stale backlog is the 42 r5-era names _BACKFILL_R8
-# didn't reach. Round 9 window = _NEW_R9 (39, never driver-checked —
-# they lead) + the first 11 r5-era names in their r5 window order; the
+# didn't reach. Round 9 window = _NEW_R9 (40, never driver-checked —
+# they lead) + the first 10 r5-era names in their r5 window order; the
 # remaining r5-era names lead round 10's window (a two-round refresh
 # of the r5 tier — the additions-vs-staleness trade is explicit here
 # rather than enforced by the 10-slot cap, which exists to stop
@@ -124,6 +124,7 @@ _NEW_R9: list[str] = [
     "source_vocab_overlap",
     "revenue_topk_concentration",
     "mad_anomaly_days",
+    "pagerank_weighted_copurchase",
 ]
 
 _PRIORITY_R8 = [

@@ -565,3 +565,95 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(_stats(cur, i))
     return out.orderBy("round")
+
+
+# --- weighted PageRank --------------------------------------------------------
+# The co-purchase graph is genuinely WEIGHTED — two parts that share
+# fifty orders are more related than two that share one — and the
+# unweighted kernel throws that signal away. pagerank_weighted
+# distributes each node's rank in proportion to edge weight
+# (contribution = (rank·w) div Σw — still pure integers), so the
+# ranking rewards strength of association, not just breadth. Same
+# unrolled-CTE verification: all six weighted updates hash-checked.
+_PRW_ITER = 6
+_PRW_TOPK = 20
+
+
+def _pagerank_weighted_oracle() -> str:
+    steps = []
+    for i in range(1, _PRW_ITER + 1):
+        steps.append(
+            f"r{i} AS (\n"
+            f"    SELECT a.dst AS node,\n"
+            f"           {_PR_BASE} + ({G.PR_DAMP_NUM} * SUM((r.r * a.w) // a.sw)) // {G.PR_DAMP_DEN} AS r\n"
+            f"    FROM adj a JOIN r{i - 1} r ON r.node = a.src\n"
+            f"    GROUP BY a.dst\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT least(a.l_partkey, b.l_partkey) AS u,
+           greatest(a.l_partkey, b.l_partkey) AS v,
+           CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS w
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT u AS src, v AS dst, w FROM pairs
+    UNION ALL
+    SELECT v AS src, u AS dst, w FROM pairs
+),
+stats AS (
+    SELECT src, CAST(SUM(w) AS BIGINT) AS sw FROM sym GROUP BY src
+),
+adj AS MATERIALIZED (
+    SELECT s.src, s.dst, s.w, t.sw FROM sym s JOIN stats t USING (src)
+),
+r0 AS (
+    SELECT src AS node, CAST({G.PR_SCALE} AS BIGINT) AS r FROM stats
+),
+{chain}
+SELECT node AS part, CAST(r AS BIGINT) AS rank_fp, rk FROM (
+    SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+    FROM r{_PRW_ITER}
+) t
+WHERE rk <= {_PRW_TOPK}
+"""
+
+
+@register(
+    "pagerank_weighted_copurchase",
+    tags=("ext", "graph", "iterative"),
+    oracle=_pagerank_weighted_oracle(),
+)
+def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by WEIGHTED PageRank over the co-purchase graph —
+    edge weight = number of shared orders, so rank flows along strong
+    associations (block comment above; the unweighted query is the
+    breadth-only contrast). Plan shape identical to pagerank_copurchase
+    plus one weight column through the grouped segmented adjacency:
+    per-iteration work is still |V|-scale rows into one exchange, and
+    every intermediate mass is integer-exact and oracle-unrolled."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+    )
+    ranks = G.pagerank_weighted(pairs, iterations=_PRW_ITER)
+    top = ranks.orderBy(F.col("rank_fp").desc(), "node").limit(_PRW_TOPK)
+    w = Window.orderBy(F.col("rank_fp").desc(), "node")
+    return top.select(
+        F.col("node").alias("part"),
+        "rank_fp",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

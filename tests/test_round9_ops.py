@@ -692,3 +692,17 @@ def test_mad_anomaly_days_match_python(spark, sf_dir):
     for r in rows:
         assert r.abs_dev_fp == abs(r.s_fp - r.med_fp)
         assert r.abs_dev_fp > 3 * r.mad_fp
+
+
+def test_weighted_pagerank_differs_from_unweighted_but_conserves(spark, sf_dir):
+    wrows = REGISTRY["pagerank_weighted_copurchase"].fn(spark, sf_dir).collect()
+    urows = REGISTRY["pagerank_copurchase"].fn(spark, sf_dir).collect()
+    assert len(wrows) == len(urows) == 20
+    assert [r.rk for r in sorted(wrows, key=lambda r: r.rk)] == list(range(1, 21))
+    for r in wrows:
+        assert r.rank_fp > 0
+    # weights change the ranking (the fixture's shared-order counts are
+    # non-uniform): the two top-20 lists must not be identical in order
+    worder = [r.part for r in sorted(wrows, key=lambda r: r.rk)]
+    uorder = [r.part for r in sorted(urows, key=lambda r: r.rk)]
+    assert worder != uorder, "weighted ranking should differ from unweighted"
