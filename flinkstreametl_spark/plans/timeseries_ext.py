@@ -1340,3 +1340,77 @@ def mad_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "s_fp", "med_fp", "mad_fp", F.col("d").alias("abs_dev_fp"))
         .orderBy("event_type", "day")
     )
+
+
+# --- forecasting feature table --------------------------------------------------
+# The feature-engineering staple for classical forecasting: per
+# (event_type, day), yesterday's level, the level a week ago, the
+# trailing-7 mean, and the weekday index — the exact design matrix a
+# gradient-boosted or linear forecaster trains on. All integer (lags
+# are SELECTED values, the trailing mean is Σ div 7 over a complete
+# window), so the table is hash-verified like any other query — which
+# matters because feature-pipeline bugs are the classic silent ML
+# failure. Rows without a full history (first 7 days per key) are
+# dropped rather than NULL-padded: a NULL lag is a training-time
+# landmine.
+_FFT_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+feat AS (
+    SELECT event_type, day, s_fp,
+           lag(s_fp, 1) OVER w AS lag1_fp,
+           lag(s_fp, 7) OVER w AS lag7_fp,
+           SUM(s_fp) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tr_sum,
+           COUNT(*)  OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tr_n,
+           MAX(day) OVER w7 - MIN(day) OVER w7 AS span7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day),
+           w7 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day, s_fp,
+       CAST(lag1_fp AS BIGINT) AS lag1_fp,
+       CAST(lag7_fp AS BIGINT) AS lag7_fp,
+       CAST(tr_sum // 7 AS BIGINT) AS trail7_mean_fp,
+       CAST((day + 4) % 7 AS BIGINT) AS dow
+FROM feat
+WHERE tr_n = 7 AND span7 = 7
+ORDER BY event_type, day
+"""
+
+
+@register("forecast_feature_table", tags=("ext", "timeseries", "ml", "window"), oracle=_FFT_ORACLE)
+def forecast_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, day) forecasting features: lag-1, lag-7, the
+    trailing-7-day integer mean, and the weekday index — complete
+    histories only (exact spec and the NULL-padding rationale in the
+    block above). Plan shape: one exchange to the daily grain; the two
+    lags and the trailing frame share the per-key ordered window."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    w = Window.partitionBy("event_type").orderBy("day")
+    tr = w.rowsBetween(-7, -1)
+    w7 = w.rowsBetween(-7, 0)
+    feat = daily.select(
+        "event_type",
+        "day",
+        "s_fp",
+        F.lag("s_fp", 1).over(w).alias("lag1_fp"),
+        F.lag("s_fp", 7).over(w).alias("lag7_fp"),
+        F.sum("s_fp").over(tr).alias("tr_sum"),
+        F.count(F.lit(1)).over(tr).alias("tr_n"),
+        (F.max("day").over(w7) - F.min("day").over(w7)).alias("span7"),
+    )
+    return (
+        feat.filter((F.col("tr_n") == 7) & (F.col("span7") == 7))
+        .select(
+            "event_type",
+            "day",
+            "s_fp",
+            "lag1_fp",
+            "lag7_fp",
+            F.expr("tr_sum div 7").alias("trail7_mean_fp"),
+            ((F.col("day") + 4) % 7).cast("long").alias("dow"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -706,3 +706,20 @@ def test_weighted_pagerank_differs_from_unweighted_but_conserves(spark, sf_dir):
     worder = [r.part for r in sorted(wrows, key=lambda r: r.rk)]
     uorder = [r.part for r in sorted(urows, key=lambda r: r.rk)]
     assert worder != uorder, "weighted ranking should differ from unweighted"
+
+
+def test_forecast_features_match_series(spark, sf_dir):
+    rows = REGISTRY["forecast_feature_table"].fn(spark, sf_dir).collect()
+    assert rows
+    from flinkstreametl_spark.plans.timeseries_ext import _daily
+
+    series = {}
+    for d in _daily(spark, sf_dir).collect():
+        series.setdefault(d.event_type, {})[d.day] = d.s_fp
+    for r in rows:
+        s = series[r.event_type]
+        assert r.lag1_fp == s[r.day - 1]
+        assert r.lag7_fp == s[r.day - 7]
+        tr = sum(s[r.day - k] for k in range(1, 8))
+        assert r.trail7_mean_fp == (abs(tr) // 7 if tr >= 0 else -(abs(tr) // 7))
+        assert r.dow == (r.day + 4) % 7
