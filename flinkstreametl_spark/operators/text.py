@@ -52,6 +52,38 @@ def punct_count(col: str | Column = "text") -> Column:
     return F.length(c) - F.length(F.regexp_replace(c, r"[.,!?;:]", ""))
 
 
+def quality_score_expr(col: str | Column = "text") -> Column:
+    """THE production 5-term integer-weight quality classifier (score
+    0..9); the single definition shared by the ingest gate
+    (``streaming/doc_ingest.quality_gate``), the drift monitor
+    (``streaming/drift_monitor.score_histogram``), their batch twins
+    (``plans/quality_ext.quality_score_drift``,
+    ``plans/llm.quality_classifier_score`` /
+    ``plans/llm.dedup_funnel_by_source``), and any future consumer —
+    a weight change here changes ALL of them together, so the drift
+    monitor always measures the signal the pipeline filters on.
+
+    Terms (integer comparisons only — exact in Spark and DuckDB):
+    +3 sane length (10..10_000 tokens), +2 lexical diversity
+    (>10% distinct tokens), +2 English stopword density (>=5%),
+    +1 chars-per-token in [3, 13], +1 punctuation <=10% of chars.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = marker_hits(toks, EN_STOPWORDS)
+    n_chars = F.length(c)
+    n_punct = punct_count(c)
+    return (
+        3 * n_tokens.between(10, 10000).cast("long")
+        + 2 * (n_distinct * 10 > n_tokens).cast("long")
+        + 2 * (n_stop * 20 >= n_tokens).cast("long")
+        + 1 * n_chars.between(n_tokens * 3, n_tokens * 13).cast("long")
+        + 1 * (n_punct * 10 <= n_chars).cast("long")
+    )
+
+
 def fingerprint(col: str | Column = "text") -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
     text — the exact-dedup key."""

@@ -26,64 +26,38 @@ from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
-# driver verdict each round. CORRECTNESS_r07 came back 50/50 green:
-# entering round 8, all 189 currently-registered, ever-driver-checked
-# queries hold a green latest verdict (distribution r7=50, r6=50,
-# r5=49, r4=40; zero unchecked). Two further names appear in the
+# driver verdict each round. CORRECTNESS_r08 came back 50/50 green
+# (round-8 window: the 10 _NEW_R8 additions + the 40 r4-era names), so
+# entering round 9 every ever-driver-checked registered query holds a
+# green latest verdict (distribution r8=50, r7=50, r6=50, r5=49) and
+# the 40 late-round-8 additions in _NEW_R9 below are the only
+# never-driver-checked names. Two further names appear in the
 # CORRECTNESS_r01 artifact only — approx_distinct_users and
-# stats_builtin_moments, checked once with err=no_oracle — and now live
+# stats_builtin_moments, checked once with err=no_oracle — and live
 # OUTSIDE the driver registry (AUDIT_REGISTRY sketches), so artifact
-# reconciliations count 191 distinct historical names vs 189 registered
-# (ADVICE r7). Round 8 executes the rotation recorded in round 7:
-#   1. _NEW_R8 — every round-8 addition, appended the day it lands
-#      (each verified locally at sf0.001/sf0.01 on landing). They lead
-#      so a failure can't be hidden by the [:50] cut. Capacity 10 —
-#      asserted below so additions can never evict a stale-evidence
-#      name.
-#   2. _PRIORITY_R8 — exactly the 40 names whose latest verdict is
-#      r4-era (computed from CORRECTNESS_r01–r07, listed in their r4
-#      window order). After this round the oldest repo-wide verdict
-#      tier becomes r5.
-#   3. _BACKFILL_R8 — r5-era names in THEIR r5 window order, filling
-#      whatever slots the [:50] cut leaves (50 - len(_NEW_R8) - 40);
-#      evidence-freshness headroom, not an obligation.
+# reconciliations count 2 more distinct historical names than the
+# registry (ADVICE r7).
+#
+# Round 9 executes the rotation recorded in round 8:
+#   1. _NEW_R9 — the 40 round-8 additions that landed after _NEW_R8
+#      hit its capacity cap. Each was oracle-verified locally at
+#      sf0.001 AND sf0.01 on landing (tools/verify_contract.py /
+#      parity_sweep.py) and ALL 40 re-verified at sf1 (docs/ROUND8.md),
+#      but none has a driver verdict yet — they lead the window so a
+#      failure can't be hidden by the [:50] cut.
+#   2. _PRIORITY_R9 — the first 10 of the 49 r5-era stale-evidence
+#      names, in their CORRECTNESS_r05 window order. The remaining 39
+#      lead round 10's window, completing the two-round refresh of the
+#      r5 tier planned in round 8.
+#   3. _NEW_R10 — every round-9 addition, appended the day it lands.
+#      Round 9's window is already full (40 + 10), so additions queue
+#      for the round-10 window; the capacity assert below keeps them
+#      from silently evicting a stale-evidence name. Round-10 window =
+#      _NEW_R10 (cap 11) + the 39 remaining r5-era names.
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
-# AUDIT_REGISTRY — queries() stays 100% oracle-backed.
-#
-# ROUND-9 ROTATION PLAN (updated for the late-round-8 build wave): the
-# round-8 flywheel produced 40 post-window additions — they live in
-# _NEW_R9 below, each oracle-verified locally at sf0.001 AND sf0.01 on
-# landing (tools/verify_contract.py re-run green over the whole
-# registry before every commit — eighteen runs this round) and ALL 40
-# re-verified at sf1 (docs/ROUND8.md). If CORRECTNESS_r08 comes back
-# 50/50 green, the stale backlog is the 42 r5-era names _BACKFILL_R8
-# didn't reach. Round 9 window = _NEW_R9 (40, never driver-checked —
-# they lead) + the first 10 r5-era names in their r5 window order; the
-# remaining r5-era names lead round 10's window (a two-round refresh
-# of the r5 tier — the additions-vs-staleness trade is explicit here
-# rather than enforced by the 10-slot cap, which exists to stop
-# SILENT eviction, not a planned split). If any r8 window name fails,
-# it jumps the queue after repair.
-_NEW_R8: list[str] = [
-    # Round-8 additions, appended the day each lands.
-    "bm25_topk_docs",
-    "decontaminate_by_retrieval",
-    "ann_index_staleness_audit",
-    "ngram_repetition_stats",
-    "mrl_truncation_recall",
-    "domain_budget_allocation",
-    "bm25_index_staleness_audit",
-    "profile_documents",
-    "pca_power_topcomp",
-    "hard_negative_mining",
-]
-
-# Round-8 additions that landed AFTER _NEW_R8 hit its 10-slot capacity
-# (the assert below is the guard that sent them here instead of
-# evicting a stale-evidence name). Each was oracle-verified locally at
-# sf0.001 AND sf0.01 on landing (tools/parity_sweep.py); they lead the
-# round-9 window per the rotation plan above.
+# AUDIT_REGISTRY — queries() stays 100% oracle-backed. If any r9
+# window name fails, it jumps the queue after repair.
 _NEW_R9: list[str] = [
     "linkpred_copurchase_scores",
     "seasonal_decompose_daily",
@@ -127,53 +101,11 @@ _NEW_R9: list[str] = [
     "pagerank_weighted_copurchase",
 ]
 
-_PRIORITY_R8 = [
-    # the 40 r4-era names, in their CORRECTNESS_r04 window order
-    "incremental_minhash_replay",
-    "scd2_order_status_history",
-    "coherent_sample_orders",
-    "trend_fit_by_event_type",
-    "null_safe_join_segments",
-    "winsorized_price_stats",
-    "zorder_key_orders",
-    "dq_violation_counts",
-    "bpe_encode_token_counts",
-    "collect_set_sorted",
-    "inverted_index_terms",
-    "gopher_quality_gate",
-    "vocab_coverage_curve",
-    "mad_robust_price",
-    "zscore_tail_events",
-    "asof_tolerance_enrich",
-    "cluster_canonical_docs",
-    "rfm_customer_segments",
-    "daily_moving_avg_7d",
-    "median_cont_quantity",
-    "session_transition_counts",
-    "nation_revenue_contribution",
-    "order_gap_stats",
-    "ewma_daily_value",
-    "cusum_changepoint_daily",
-    "dow_seasonality_profile",
-    "udtf_sentence_spans",
-    "salted_hot_key_agg",
-    "click_purchase_attribution",
-    "basket_lift_top_pairs",
-    "span_dedup_keep_first",
-    "int8_knn_recall",
-    "groupwise_minmax_norm",
-    "peak_concurrent_sessions",
-    "series_correlation_pairs",
-    "knn_pandas_topk",
-    "knn_brute_topk",
-    "exact_dup_groups",
-    "embedding_neardup_pairs",
-    "decontaminate_ngram_hits",
-]
-
-_BACKFILL_R8 = [
-    # r5-era names in their CORRECTNESS_r05 window order; only the
-    # first 50 - len(_NEW_R8) - 40 make the window.
+_PRIORITY_R9 = [
+    # the first 10 of the 49 r5-era stale-evidence names, in their
+    # CORRECTNESS_r05 window order (latest verdict computed from
+    # CORRECTNESS_r01–r08 at round-9 start; the remaining 39 lead the
+    # round-10 window)
     "dim_3way_join",
     "replace_upsert_latest",
     "changelog_op_column",
@@ -181,32 +113,43 @@ _BACKFILL_R8 = [
     "flagship_enrich_sql",
     "string_funcs_parts",
     "anti_join_no_orders",
+    "cube_agg",
+    "full_outer_nation_counts",
+    "group_distinct_agg",
 ]
 
-_WINDOW_R8 = (*_NEW_R8, *_PRIORITY_R8, *_BACKFILL_R8)[:50]
+_NEW_R10: list[str] = [
+    # Round-9 additions, appended the day each lands (oracle-verified
+    # locally at sf0.001/sf0.01 on landing). The round-9 window is
+    # already full, so these queue for the round-10 window where they
+    # lead ahead of the 39 remaining r5-era names.
+]
 
-# Every round-8 addition AND every r4-era stale-evidence name must
-# survive the [:50] truncation — the capacity assert keeps additions
-# from silently evicting a priority name (the discipline that held for
-# rounds 6-8).
-assert len(_NEW_R8) <= 10, (
-    "round-8 additions exceed window capacity; move the overflow to _NEW_R9"
+_WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]
+
+# Every never-driver-checked round-8 addition AND all 10 scheduled
+# r5-era stale-evidence names must survive the [:50] truncation — and
+# round-9 additions must queue in _NEW_R10 rather than evict either
+# (the discipline that held for rounds 6-8). Round-10 capacity: 50
+# window slots - 39 remaining r5-era names = 11.
+assert len(_NEW_R10) <= 11, (
+    "round-9 additions exceed round-10 window capacity; move the overflow to a _NEW_R11 queue"
 )
-assert all(n in _WINDOW_R8 for n in (*_NEW_R8, *_PRIORITY_R8))
+assert all(n in _WINDOW_R9 for n in (*_NEW_R9, *_PRIORITY_R9))
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R8 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R9 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R8) != len(set(_WINDOW_R8)):
+    if len(_WINDOW_R9) != len(set(_WINDOW_R9)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R8 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R9 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R8 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R8 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R8, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R9 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R9 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R9, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

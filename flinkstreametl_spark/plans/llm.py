@@ -1003,15 +1003,7 @@ def cluster_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
     labels = D.neardup_clusters(pairs)
-    toks = X.tokens("text")
-    score = (
-        3 * F.size(toks).between(10, 10000).cast("long")
-        + 2 * (F.size(F.array_distinct(toks)) * 10 > F.size(toks)).cast("long")
-        + 2 * (X.marker_hits(toks, X.EN_STOPWORDS) * 20 >= F.size(toks)).cast("long")
-        + 1 * F.length("text").between(F.size(toks) * 3, F.size(toks) * 13).cast("long")
-        + 1 * (X.punct_count("text") * 10 <= F.length("text")).cast("long")
-    )
-    scored = docs.select("doc_id", score.alias("score"))
+    scored = docs.select("doc_id", X.quality_score_expr("text").alias("score"))
     assigned = scored.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"), "score"
     )
@@ -1278,19 +1270,7 @@ def dedup_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-grain aggregates LEFT-joined on the (|sources|-sized,
     broadcast) dimension."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = X.tokens("text")
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_stop = X.marker_hits(toks, X.EN_STOPWORDS)
-    n_chars = F.length("text")
-    n_punct = X.punct_count("text")
-    score = (
-        3 * n_tokens.between(10, 10000).cast("long")
-        + 2 * (n_distinct * 10 > n_tokens).cast("long")
-        + 2 * (n_stop * 20 >= n_tokens).cast("long")
-        + 1 * n_chars.between(n_tokens * 3, n_tokens * 13).cast("long")
-        + 1 * (n_punct * 10 <= n_chars).cast("long")
-    )
+    score = X.quality_score_expr("text")
     gated = docs.filter(score >= 6).select("doc_id", "source", "text")
     w = Window.partitionBy(X.fingerprint("text")).orderBy("doc_id")
     exact_kept = (

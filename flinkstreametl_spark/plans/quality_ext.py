@@ -620,19 +620,7 @@ def quality_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded cells."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    toks = X.tokens("text")
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_stop = X.marker_hits(toks, X.EN_STOPWORDS)
-    n_chars = F.length("text")
-    n_punct = X.punct_count("text")
-    score = (
-        3 * n_tokens.between(10, 10000).cast("long")
-        + 2 * (n_distinct * 10 > n_tokens).cast("long")
-        + 2 * (n_stop * 20 >= n_tokens).cast("long")
-        + 1 * n_chars.between(n_tokens * 3, n_tokens * 13).cast("long")
-        + 1 * (n_punct * 10 <= n_chars).cast("long")
-    )
+    score = X.quality_score_expr("text")
     h = (
         docs.crossJoin(F.broadcast(n))
         .select(

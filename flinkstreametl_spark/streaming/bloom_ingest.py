@@ -163,18 +163,30 @@ def process_batch(
     # accepted (at-least-once, pre-commit) -> bits (keeps bits ⊇
     # hashes(history) through any crash) -> history (the commit point).
     new.write.mode("append").parquet(accepted_path)
-    new_bits = bloom_positions(new.select("fp")).join(bits, "b", "left_anti")
+    new_bits = (
+        bloom_positions(new.select("fp")).join(bits, "b", "left_anti").localCheckpoint()
+    )
     new_bits.write.mode("append").parquet(bits_path)
     new.select("fp").write.mode("append").parquet(history_path)
 
+    # Saturation stat (ADVICE r8): set-bit fill of the filter AFTER
+    # this batch, in parts-per-million of BLOOM_M. The fast path's
+    # value decays as fill grows (FPR ~ fill² for k=2); operators watch
+    # this to schedule the rebuild-from-history resize the module
+    # docstring describes — nothing in-loop triggers it silently.
+    # (Counted before compaction: `bits` holds the pre-rewrite file
+    # listing, and compaction never changes the distinct-bit set.)
+    n_bits_set = bits.count() + new_bits.count()
+
     if compact_every and batch_id is not None and (batch_id + 1) % compact_every == 0:
         compact_state(spark, state_dir)
-
     return {
         "n_batch": batch.count(),
         "n_bloom_miss": fast_new.count(),
         "n_probed": probed.count(),
         "n_new": new.count(),
+        "bloom_bits_set": n_bits_set,
+        "bloom_fill_ppm": n_bits_set * 1_000_000 // BLOOM_M,
     }
 
 

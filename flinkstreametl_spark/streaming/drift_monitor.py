@@ -52,19 +52,7 @@ def score_histogram(docs: DataFrame) -> DataFrame:
     drops must be visible to the monitor."""
     from flinkstreametl_spark.operators import text as X
 
-    toks = X.tokens("text")
-    n_tokens = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    n_stop = X.marker_hits(toks, X.EN_STOPWORDS)
-    n_chars = F.length("text")
-    n_punct = X.punct_count("text")
-    score = (
-        3 * n_tokens.between(10, 10000).cast("long")
-        + 2 * (n_distinct * 10 > n_tokens).cast("long")
-        + 2 * (n_stop * 20 >= n_tokens).cast("long")
-        + 1 * n_chars.between(n_tokens * 3, n_tokens * 13).cast("long")
-        + 1 * (n_punct * 10 <= n_chars).cast("long")
-    )
+    score = X.quality_score_expr("text")
     return (
         docs.select(score.alias("bucket"))
         .groupBy("bucket")
@@ -104,7 +92,12 @@ def process_batch(
     base_path = os.path.join(state_dir, BASELINE_SUBDIR)
     log_path = os.path.join(state_dir, LOG_SUBDIR)
     hist = score_histogram(batch_df).localCheckpoint()
-    if not (os.path.isdir(base_path) and any(f.endswith(".parquet") for f in os.listdir(base_path))):
+    # A seeded baseline is one whose write JOB committed — Spark's
+    # _SUCCESS marker, written atomically after all part-files. Part
+    # files without it are debris from a crashed seed/rebaseline
+    # overwrite; accepting them would freeze drift measurement against
+    # a torn histogram (ADVICE r8), so they are overwritten instead.
+    if not os.path.isfile(os.path.join(base_path, "_SUCCESS")):
         hist.write.mode("overwrite").parquet(base_path)
     base = spark.read.schema("bucket LONG, cnt LONG").parquet(base_path)
     d_fp = l2_drift_fp(hist, base)

@@ -169,3 +169,29 @@ def test_compaction_preserves_state_and_dedup(spark, sf_dir, tmp_path):
     # the compacted state still dedups: full redelivery is a no-op
     s = process_batch(spark, spark.createDataFrame(rows), state, batch_id=99)
     assert s["n_new"] == 0 and s["n_probed"] == s["n_batch"]
+
+
+def test_saturation_stat_reports_monotone_fill(spark, sf_dir, tmp_path):
+    """process_batch returns the set-bit count / fill ppm of the filter
+    so operators can schedule the rebuild-resize before the fast path
+    silently degrades (ADVICE r8). Fill grows monotonically with new
+    keys and matches the on-disk bits table."""
+    from flinkstreametl_spark.streaming.bloom_ingest import BITS_SUBDIR, BLOOM_M
+
+    def _batch(lo, hi):
+        return (
+            load_table(spark, sf_dir, "documents")
+            .filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            .select("doc_id", "text")
+        )
+
+    state = str(tmp_path / "state")
+    r0 = process_batch(spark, _batch(0, 200), state, batch_id=0)
+    r1 = process_batch(spark, _batch(200, 400), state, batch_id=1)
+    assert 0 < r0["bloom_bits_set"] <= r1["bloom_bits_set"]
+    assert r1["bloom_fill_ppm"] == r1["bloom_bits_set"] * 1_000_000 // BLOOM_M
+    on_disk = spark.read.parquet(f"{state}/{BITS_SUBDIR}").distinct().count()
+    assert r1["bloom_bits_set"] == on_disk
+    # Redelivery adds no keys, so the fill must not move.
+    r2 = process_batch(spark, _batch(200, 400), state, batch_id=2)
+    assert r2["bloom_bits_set"] == r1["bloom_bits_set"]

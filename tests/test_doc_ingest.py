@@ -107,3 +107,26 @@ def test_history_antijoin_drops_known_fp(spark):
     hist = with_fingerprint(spark.createDataFrame([("known text here",)], "text STRING")).select("fp")
     out = dedup_against_history(docs, hist).collect()
     assert [r.doc_id for r in out] == [2]
+
+
+def test_classifier_score_single_definition(spark, sf_dir):
+    """quality_classifier_score (plans/ml_ext.py) keeps its term-level
+    form because it exposes the five features as output columns; this
+    pin guarantees its composed score can never drift from the shared
+    operators/text.quality_score_expr() that the ingest gate, the drift
+    monitor, and the batch audits all use (ADVICE r8)."""
+    from flinkstreametl_spark.operators import text as X
+    from flinkstreametl_spark.plans import REGISTRY
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    shared = docs.select("doc_id", X.quality_score_expr("text").alias("s"))
+    composed = (
+        REGISTRY["quality_classifier_score"].fn(spark, sf_dir).select("doc_id", "score")
+    )
+    diff = (
+        shared.join(composed, "doc_id")
+        .filter(F.col("s") != F.col("score"))
+        .count()
+    )
+    assert diff == 0

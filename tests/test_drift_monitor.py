@@ -79,3 +79,28 @@ def test_drift_monitor_stream_end_to_end(spark, sf_dir, tmp_path):
     got = sorted((r.batch_id, r.alert) for r in log.collect())
     assert [b for b, _ in got] == [0, 1, 2]
     assert not any(a for _, a in got), "stationary corpus: no alerts"
+
+
+def test_torn_baseline_without_success_marker_is_reseeded(spark, sf_dir, tmp_path):
+    """A crash during the baseline overwrite leaves part-files but no
+    _SUCCESS marker; the monitor must treat that as 'no baseline' and
+    re-seed rather than measure drift against a torn histogram
+    (ADVICE r8)."""
+    from flinkstreametl_spark.streaming.drift_monitor import BASELINE_SUBDIR
+
+    state = str(tmp_path / "state")
+    base = os.path.join(state, BASELINE_SUBDIR)
+    # Simulate the torn overwrite: a committed-looking part file with a
+    # WILDLY skewed histogram, but no _SUCCESS marker.
+    spark.createDataFrame([(0, 1)], "bucket LONG, cnt LONG").write.mode(
+        "overwrite"
+    ).parquet(base)
+    os.remove(os.path.join(base, "_SUCCESS"))
+    r0 = process_batch(spark, _docs(spark, sf_dir, 0, 150), state, batch_id=0)
+    assert r0["d_fp"] == 0 and not r0["alert"], (
+        "torn baseline must be discarded; the first batch re-seeds"
+    )
+    assert os.path.isfile(os.path.join(base, "_SUCCESS"))
+    # ...and the re-seeded baseline is now authoritative.
+    r1 = process_batch(spark, _docs(spark, sf_dir, 150, 300), state, batch_id=1)
+    assert not r1["alert"]
