@@ -23,6 +23,7 @@ from flinkstreametl_spark.plans import orderstats_ext as _orderstats_ext  # noqa
 from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import retrieval_ext as _retrieval_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import eval_ext as _eval_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -123,6 +124,10 @@ _NEW_R10: list[str] = [
     # locally at sf0.001/sf0.01 on landing). The round-9 window is
     # already full, so these queue for the round-10 window where they
     # lead ahead of the 39 remaining r5-era names.
+    "cohort_retention_matrix",
+    "funnel_conversion_steps",
+    "benford_first_digit_audit",
+    "mannwhitney_source_lengths",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

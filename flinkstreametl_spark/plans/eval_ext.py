@@ -1,0 +1,322 @@
+"""[EXT] Product-analytics evaluation operators: weekly cohort
+retention, ordered funnel conversion, Benford first-digit audit, and a
+Mann-Whitney rank test per source.
+
+These are the measurement queries a production deployment of the
+reference's enriched event stream feeds into dashboards (the reference
+stops at enrich-and-upsert, ``Main.java:61-106``; SURVEY.md §2.9
+schedules the analytics surface):
+
+- Cohort retention: users grouped by first-activity week, then the
+  share of each cohort still active k weeks later. The canonical
+  growth-accounting matrix; week indexing is integer epoch-week so both
+  engines agree without calendar semantics.
+- Funnel: strictly ORDERED step conversion (view -> click AT OR AFTER
+  the first view -> purchase at or after that click) — an unordered
+  count-per-type overstates conversion whenever steps arrive out of
+  order. Each stage is a per-user min over the previous stage's
+  timestamp, so the whole funnel is three user-keyed aggregates that
+  reuse one hash partitioning.
+- Benford: first-significant-digit distribution of line-item prices vs
+  the Benford expectation — the standard fabricated-data / ingestion-
+  corruption screen. Expected shares are compile-time integer
+  constants (ppm), so the comparison is log-free at runtime.
+- Mann-Whitney U: nonparametric are-these-samples-from-the-same-
+  distribution test of each source's token-count distribution against
+  the rest of the corpus. Doubled midranks keep tie handling in exact
+  integers (a float average rank would hash-differ across engines).
+
+All outputs are integers (counts, basis points, ppm, doubled ranks) —
+bit-identical across engines and partitionings by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.operators.windows import epoch_micros
+from flinkstreametl_spark.plans.registry import register
+from flinkstreametl_spark.sources.parquet import load_table
+
+#: Integer epoch-week: microseconds since epoch div one week. Epoch day
+#: zero is a Thursday — the bucket BOUNDARY is arbitrary but identical
+#: in both engines, which is all a cohort index needs.
+_WEEK_US = 7 * 86_400_000_000
+
+_COHORT_ORACLE = f"""
+WITH uw AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // {_WEEK_US} AS week
+    FROM events
+), c AS (
+    SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+), cs AS (
+    SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort
+    FROM c GROUP BY cohort_week
+), a AS (
+    SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM uw JOIN c USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.week_offset, a.n_active, cs.n_cohort,
+       a.n_active * 10000 // cs.n_cohort AS retention_bp
+FROM a JOIN cs USING (cohort_week)
+"""
+
+
+@register("cohort_retention_matrix", tags=("ext", "analytics", "events"), oracle=_COHORT_ORACLE)
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: for each first-activity week
+    (cohort) and week offset k, the count and basis-point share of the
+    cohort active in week cohort+k. Offset 0 is 10000 bp by definition
+    — a cheap self-check the tests pin.
+
+    Plan shape: one (user, week) distinct, then every later step is
+    keyed on user_id or on the (|weeks|²)-sized matrix — the user-keyed
+    aggregates reuse one hash partitioning, and the cohort-size join at
+    the end is a broadcast of |weeks| rows. No corpus-sized window, no
+    driver loop; at 100 TB the matrix stays ~weeks² rows regardless of
+    event volume."""
+    events = load_table(spark, sf_dir, "events")
+    uw = (
+        events.select("user_id", epoch_micros(events, "ts").alias("us"))
+        .select("user_id", F.expr(f"us div {_WEEK_US}").alias("week"))
+        .distinct()
+    )
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    active = (
+        uw.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        F.expr("n_active * 10000 div n_cohort").alias("retention_bp"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t1
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts >= s2.t2
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_purchase,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) * 10000
+           // (SELECT COUNT(*) FROM s1) AS click_bp,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) * 10000
+           // (SELECT COUNT(*) FROM s2) AS purchase_bp,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) * 10000
+           // (SELECT COUNT(*) FROM s1) AS funnel_bp
+"""
+
+
+@register("funnel_conversion_steps", tags=("ext", "analytics", "events"), oracle=_FUNNEL_ORACLE)
+def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: a user converts a step
+    only with an event AT OR AFTER their previous step's first
+    timestamp. Returns one row of stage counts and step/end-to-end
+    conversion in basis points.
+
+    Plan shape: three per-user min-aggregates, each probing the events
+    scan filtered to ONE event type and joined to the (shrinking)
+    previous stage on user_id — all three shuffles share the user_id
+    key, and each stage's frame is no larger than the user count. The
+    final row assembles six 1-row aggregates via broadcast joins."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n_users = events.agg(F.count_distinct("user_id").alias("n_users"))
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_click"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n_users.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+        .select(
+            "n_users",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            F.expr("n_click * 10000 div n_view").alias("click_bp"),
+            F.expr("n_purchase * 10000 div n_click").alias("purchase_bp"),
+            F.expr("n_purchase * 10000 div n_view").alias("funnel_bp"),
+        )
+    )
+
+
+#: floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's law expected
+#: first-digit shares in ppm, frozen as integer constants so the
+#: runtime comparison is log-free (repo exactness convention).
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+) + " END"
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+    SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM lineitem
+), h AS (
+    SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+), t AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total FROM h
+)
+SELECT digit, n,
+       n * 1000000 // total AS share_ppm,
+       CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_ppm,
+       abs(n * 1000000 // total - ({_BENFORD_CASE_SQL})) AS dev_ppm
+FROM h, t
+"""
+
+
+@register("benford_first_digit_audit", tags=("ext", "audit", "dq"), oracle=_BENFORD_ORACLE)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit histogram of l_extendedprice vs Benford's
+    law — the classic fabricated-data / corrupted-feed screen for a
+    financial fact table. Digit extraction goes through
+    floor -> BIGINT -> string (exact in both engines for the >= 1
+    prices here; no float log10, whose boundary rounding differs).
+
+    Plan shape: one map-side digit projection, one 9-bucket aggregate,
+    and a broadcast of the 1-row total — the scan reads a single
+    column, and the output is 9 rows at any data scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(F.floor("l_extendedprice").cast("long").cast("string"), 1, 1).cast("long")
+    h = li.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = h.agg(F.sum("n").alias("total"))
+    benford = F.coalesce(
+        *[F.when(F.col("digit") == d, F.lit(p)) for d, p in _BENFORD_PPM.items()]
+    ).cast("long")
+    return (
+        h.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div total").alias("share_ppm"),
+            benford.alias("benford_ppm"),
+            F.abs(F.expr("n * 1000000 div total") - benford).alias("dev_ppm"),
+        )
+    )
+
+
+_MWU_ORACLE = f"""
+WITH v AS (
+    SELECT source, CAST(len({X.sql_tokens("text")}) AS BIGINT) AS val FROM documents
+), hv AS (
+    SELECT val, CAST(COUNT(*) AS BIGINT) AS cnt_all FROM v GROUP BY val
+), r AS (
+    SELECT val, cnt_all,
+           CAST(COALESCE(SUM(cnt_all) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnt_less
+    FROM hv
+), tot AS (
+    SELECT CAST(SUM(cnt_all) AS BIGINT) AS n_total,
+           CAST(SUM(cnt_all * cnt_all * cnt_all - cnt_all) AS BIGINT) AS tie_correction
+    FROM hv
+), sv AS (
+    SELECT source, val, CAST(COUNT(*) AS BIGINT) AS cnt_s FROM v GROUP BY source, val
+)
+SELECT sv.source,
+       CAST(SUM(sv.cnt_s) AS BIGINT) AS n_s,
+       CAST(tot.n_total - SUM(sv.cnt_s) AS BIGINT) AS n_rest,
+       CAST(SUM(sv.cnt_s * (2 * r.cnt_less + r.cnt_all + 1)) AS BIGINT) AS r_s_x2,
+       CAST(SUM(sv.cnt_s * (2 * r.cnt_less + r.cnt_all + 1))
+            - SUM(sv.cnt_s) * (SUM(sv.cnt_s) + 1) AS BIGINT) AS u_s_x2,
+       CAST(2 * SUM(sv.cnt_s) * (tot.n_total - SUM(sv.cnt_s))
+            - (SUM(sv.cnt_s * (2 * r.cnt_less + r.cnt_all + 1))
+               - SUM(sv.cnt_s) * (SUM(sv.cnt_s) + 1)) AS BIGINT) AS u_rest_x2,
+       tot.tie_correction
+FROM sv JOIN r ON sv.val = r.val CROSS JOIN tot
+GROUP BY sv.source, tot.n_total, tot.tie_correction
+"""
+
+
+@register("mannwhitney_source_lengths", tags=("ext", "audit", "llm", "stats"), oracle=_MWU_ORACLE)
+def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U of each source's token-count distribution vs the
+    rest of the corpus — the nonparametric does-this-feed-look-different
+    audit (robust where the mean/variance screens aren't). Rank sums
+    use DOUBLED midranks (2·cnt_less + cnt_eq + 1 per tie group), so
+    every statistic is an exact integer; the tie-correction term
+    Σ(t³−t) ships alongside so a consumer can form the z-score.
+    U_s + U_rest = 2·n_s·n_rest is an output-level invariant the tests
+    pin.
+
+    Plan shape: token counting is map-side; the corpus collapses to a
+    |distinct lengths|-row histogram whose prefix sum runs as a window
+    on THAT bounded frame (never a corpus-wide sort — the repo's
+    global-Window rule); the per-(source, length) aggregate joins the
+    broadcast histogram and reduces to |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select("source", X.token_count("text").cast("long").alias("val"))
+    hv = v.groupBy("val").agg(F.count(F.lit(1)).alias("cnt_all"))
+    w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
+    r = hv.select(
+        "val",
+        "cnt_all",
+        F.coalesce(F.sum("cnt_all").over(w), F.lit(0)).alias("cnt_less"),
+    )
+    tot = hv.agg(
+        F.sum("cnt_all").alias("n_total"),
+        F.sum(F.col("cnt_all") * F.col("cnt_all") * F.col("cnt_all") - F.col("cnt_all")).alias(
+            "tie_correction"
+        ),
+    )
+    sv = v.groupBy("source", "val").agg(F.count(F.lit(1)).alias("cnt_s"))
+    per = (
+        sv.join(F.broadcast(r), "val")
+        .groupBy("source")
+        .agg(
+            F.sum("cnt_s").alias("n_s"),
+            F.sum(F.col("cnt_s") * (2 * F.col("cnt_less") + F.col("cnt_all") + 1)).alias("r_s_x2"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        (F.col("n_total") - F.col("n_s")).alias("n_rest"),
+        "r_s_x2",
+        (F.col("r_s_x2") - F.col("n_s") * (F.col("n_s") + 1)).alias("u_s_x2"),
+        (
+            2 * F.col("n_s") * (F.col("n_total") - F.col("n_s"))
+            - (F.col("r_s_x2") - F.col("n_s") * (F.col("n_s") + 1))
+        ).alias("u_rest_x2"),
+        "tie_correction",
+    )

@@ -1,0 +1,76 @@
+"""Round-10-queue operator invariants (the laws oracle parity can't
+state): cohort offset-0 is total by definition, the funnel only
+shrinks, Benford shares floor-sum to one, and Mann-Whitney U obeys
+U_s + U_rest = 2·n_s·n_rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans import REGISTRY
+
+# Explicit module imports so these tests stand alone even while a
+# round's additions are still being wired into plans/__init__.
+from flinkstreametl_spark.plans import eval_ext  # noqa: F401
+
+
+def test_cohort_offset_zero_is_full_retention(spark, sf_dir):
+    rows = REGISTRY["cohort_retention_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r.week_offset >= 0 and 0 < r.n_active <= r.n_cohort
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = r
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets, f"cohort {cohort} lost its seeding week"
+        r0 = offsets[0]
+        assert r0.n_active == r0.n_cohort and r0.retention_bp == 10000
+    # Cohort sizes partition the user base: every user joins exactly one.
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(offsets[0].n_cohort for offsets in by_cohort.values()) == n_users
+
+
+def test_funnel_only_shrinks_and_is_ordered(spark, sf_dir):
+    [r] = REGISTRY["funnel_conversion_steps"].fn(spark, sf_dir).collect()
+    assert r.n_users >= r.n_view >= r.n_click >= r.n_purchase > 0
+    assert r.click_bp <= 10000 and r.purchase_bp <= 10000 and r.funnel_bp <= min(r.click_bp, r.purchase_bp)
+    # The ordered funnel can only be tighter than the unordered one.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    unordered = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("k"))
+        .filter(F.col("k") == 3)
+        .count()
+    )
+    assert r.n_purchase <= unordered
+
+
+def test_benford_shares_floor_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["benford_first_digit_audit"].fn(spark, sf_dir).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r.n for r in rows) == n_li
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < total_ppm <= 1_000_000, "floor-div shares must sum to just under 1e6"
+    for r in rows:
+        assert r.dev_ppm == abs(r.share_ppm - r.benford_ppm)
+
+
+def test_mannwhitney_u_complement_law(spark, sf_dir):
+    rows = REGISTRY["mannwhitney_source_lengths"].fn(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ties = {r.tie_correction for r in rows}
+    assert len(ties) == 1, "the tie term is corpus-global"
+    for r in rows:
+        assert r.n_s + r.n_rest == n_docs
+        assert r.u_s_x2 + r.u_rest_x2 == 2 * r.n_s * r.n_rest
+        assert 0 <= r.u_s_x2 <= 2 * r.n_s * r.n_rest
