@@ -128,6 +128,10 @@ _NEW_R10: list[str] = [
     "funnel_conversion_steps",
     "benford_first_digit_audit",
     "mannwhitney_source_lengths",
+    "holt_linear_forecast_daily",
+    "acf_daily_lags",
+    "orders_backlog_daily",
+    "inter_arrival_burstiness",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

@@ -1414,3 +1414,350 @@ def forecast_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --- Holt linear trend (double exponential smoothing) --------------------
+
+# The coupled (level, trend) recursion folds over day-ordered [y, 0]
+# LIST elements; the accumulator type must equal the element type in
+# DuckDB list_reduce (no initial-value arg in 1.0), so the series is a
+# list-of-2-lists and the seed is its first element: l0 = y0, b0 = 0
+# (a standard init variant; with b0 = 0 the first step reduces to
+# simple smoothing). A STRUCT accumulator would be the natural
+# spelling, but DuckDB 1.0's list_reduce mis-evaluates the second
+# field of a multi-field struct lambda past the first step (verified
+# against a hand fold — the shared subexpression of the 'b' field
+# reads a stale accumulator); the [l, b] list accumulator folds
+# bit-exactly. Alpha = 1/2 and beta = 1/4 are dyadic: exact doubles in
+# both engines (module convention — 0.3 would NOT be safe).
+_HOLT_L = "(CAST(0.5 AS DOUBLE) * e[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))"
+_HOLT_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+series AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(day) AS last_day,
+           list([CAST(s_fp AS DOUBLE) / {_FP}.0, CAST(0.0 AS DOUBLE)] ORDER BY day) AS xs
+    FROM daily
+    GROUP BY event_type
+), fitted AS (
+    SELECT event_type, n_days, last_day,
+           list_reduce(xs, (acc, e) -> [
+               {_HOLT_L},
+               CAST(0.25 AS DOUBLE) * ({_HOLT_L} - acc[1]) + CAST(0.75 AS DOUBLE) * acc[2]
+           ]) AS st
+    FROM series
+)
+SELECT event_type, n_days, last_day,
+       st[1] AS level, st[2] AS trend,
+       st[1] + CAST(7.0 AS DOUBLE) * st[2] AS forecast_7d
+FROM fitted
+"""
+
+
+@register("holt_linear_forecast_daily", tags=("ext", "timeseries", "forecast"), oracle=_HOLT_ORACLE)
+def holt_linear_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of the daily value level per event
+    type (alpha = 1/2, beta = 1/4, seeded l0 = y0 / b0 = 0), with the
+    7-day-ahead forecast level + 7·trend — the trend-aware upgrade of
+    ``ewma_daily_value`` (which a drifting series systematically lags).
+
+    Determinism: the coupled recursion is a sequential left fold over
+    the day-sorted series in BOTH engines (Spark ``aggregate`` over
+    ``array_sort(collect_list(struct))`` with a (l, b) struct
+    accumulator; DuckDB ``list_reduce`` over a struct list), dyadic
+    smoothing constants, identical expression trees — every
+    intermediate double is bit-identical (ewma_fold rationale).
+
+    Scale: the fold runs on the calendar-bounded daily grain, never on
+    events; the one heavy exchange is the map-side-combined daily
+    aggregate."""
+    daily = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        (F.col("s_fp").cast("double") / F.lit(float(_FP))).alias("x"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("day", "x")))
+    grouped = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        arr.alias("_arr"),
+    )
+    xs = F.transform(
+        F.col("_arr"), lambda s: F.struct(s["x"].alias("l"), F.lit(0.0).alias("b"))
+    )
+
+    def _step(acc, e):
+        lvl = F.lit(0.5) * e["l"] + F.lit(0.5) * (acc["l"] + acc["b"])
+        return F.struct(
+            lvl.alias("l"),
+            (F.lit(0.25) * (lvl - acc["l"]) + F.lit(0.75) * acc["b"]).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(xs, F.lit(2), F.size(xs) - F.lit(1)), F.element_at(xs, 1), _step
+    )
+    return grouped.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        st["l"].alias("level"),
+        st["b"].alias("trend"),
+        (st["l"] + F.lit(7.0) * st["b"]).alias("forecast_7d"),
+    )
+
+
+# --- Sample autocorrelation (exact component sums) ------------------------
+
+#: ACF series values in WHOLE units (s_fp div FP): keeps every power
+#: sum inside int64 at sf1000-scale daily sums (y_d ~ 1e11 -> y² ~ 1e22
+#: would overflow; whole units bound y_d by the daily value volume,
+#: documented per-component below).
+_ACF_LAGS = 7
+
+_ACF_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+y AS (
+    SELECT event_type, day, s_fp // {_FP} AS yv FROM daily
+), tot AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(yv) AS BIGINT) AS s1,
+           CAST(SUM(yv * yv) AS BIGINT) AS s2
+    FROM y GROUP BY event_type
+), lagged AS (
+    SELECT a.event_type, l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(a.yv * b.yv) AS BIGINT) AS c_k,
+           CAST(SUM(a.yv) AS BIGINT) AS a_k,
+           CAST(SUM(b.yv) AS BIGINT) AS b_k
+    FROM y a
+    JOIN (SELECT unnest(range(1, {_ACF_LAGS + 1})) AS lag) l ON true
+    JOIN y b ON b.event_type = a.event_type AND b.day = a.day + l.lag
+    GROUP BY 1, 2
+)
+SELECT lagged.event_type, lagged.lag, tot.n_days, lagged.n_pairs,
+       lagged.c_k, lagged.a_k, lagged.b_k, tot.s1, tot.s2,
+       (CAST(tot.n_days AS DOUBLE) * CAST(tot.n_days AS DOUBLE) * CAST(lagged.c_k AS DOUBLE)
+        - CAST(tot.n_days AS DOUBLE) * CAST(tot.s1 AS DOUBLE)
+          * (CAST(lagged.a_k AS DOUBLE) + CAST(lagged.b_k AS DOUBLE))
+        + (CAST(tot.n_days AS DOUBLE) - CAST(lagged.lag AS DOUBLE))
+          * CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE))
+       / (CAST(tot.n_days AS DOUBLE)
+          * (CAST(tot.n_days AS DOUBLE) * CAST(tot.s2 AS DOUBLE)
+             - CAST(tot.s1 AS DOUBLE) * CAST(tot.s1 AS DOUBLE))) AS acf
+FROM lagged JOIN tot ON tot.event_type = lagged.event_type
+"""
+
+
+@register("acf_daily_lags", tags=("ext", "timeseries", "stats"), oracle=_ACF_ORACLE)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the daily value series per event type
+    at lags 1..7 — the is-there-weekly-structure screen that picks the
+    seasonal period for ``seasonal_decompose_daily`` instead of
+    assuming it. Component sums (C_k = Σ y_d·y_{d+k}, window sums A_k /
+    B_k, corpus S1/S2) are exact int64 in whole units; the ACF ratio is
+    assembled in double from those identical int64s with an identical
+    expression tree in both engines, so it is bit-portable (the
+    repo's portable-division rule).
+
+    r_k = (N²·C_k − N·S1·(A_k+B_k) + (N−k)·S1²) / (N·(N·S2 − S1²))
+    — the textbook estimator cross-multiplied by N² so no intermediate
+    is a small-integer ratio.
+
+    Scale: events collapse to the calendar-bounded daily grain first
+    (one map-side-combined exchange); the lag self-join and every
+    window run on that ~|days|-row frame. int64 headroom: whole-unit
+    y_d ≤ ~1e8 at sf1 ⇒ y² ≤ 1e16, × |days| ≤ 4e18 < 2^63 (bound
+    re-checked at sf1 in the round-9 notes)."""
+    y = _daily(spark, sf_dir).select(
+        "event_type", "day", F.expr(f"s_fp div {_FP}").alias("yv")
+    )
+    y = y.localCheckpoint()  # three consumers: tot, both join sides
+    tot = y.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("yv").alias("s1"),
+        F.sum(F.col("yv") * F.col("yv")).alias("s2"),
+    )
+    lags = spark.range(1, _ACF_LAGS + 1).select(F.col("id").alias("lag"))
+    a = y.alias("a").crossJoin(F.broadcast(lags))
+    b = y.select(
+        F.col("event_type").alias("bt"), F.col("day").alias("bd"), F.col("yv").alias("byv")
+    )
+    lagged = (
+        a.join(b, (F.col("bt") == F.col("event_type")) & (F.col("bd") == F.col("day") + F.col("lag")))
+        .groupBy("event_type", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("yv") * F.col("byv")).alias("c_k"),
+            F.sum("yv").alias("a_k"),
+            F.sum("byv").alias("b_k"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        lagged.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            "n_pairs",
+            "c_k",
+            "a_k",
+            "b_k",
+            "s1",
+            "s2",
+            (
+                (
+                    d("n_days") * d("n_days") * d("c_k")
+                    - d("n_days") * d("s1") * (d("a_k") + d("b_k"))
+                    + (d("n_days") - d("lag")) * d("s1") * d("s1")
+                )
+                / (d("n_days") * (d("n_days") * d("s2") - d("s1") * d("s1")))
+            ).alias("acf"),
+        )
+    )
+
+
+# --- Order backlog (open-minus-closed cumulative) --------------------------
+
+_BACKLOG_ORACLE = f"""
+WITH opened AS (
+    SELECT CAST(epoch_us(o_orderdate) // {_US_PER_DAY} AS BIGINT) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_opened
+    FROM orders GROUP BY 1
+), closed AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS n_closed
+    FROM (
+        SELECT l_orderkey,
+               CAST(epoch_us(MAX(l_shipdate)) // {_US_PER_DAY} AS BIGINT) AS day
+        FROM lineitem GROUP BY l_orderkey
+    ) GROUP BY day
+), merged AS (
+    SELECT COALESCE(o.day, c.day) AS day,
+           COALESCE(o.n_opened, 0) AS n_opened,
+           COALESCE(c.n_closed, 0) AS n_closed
+    FROM opened o FULL OUTER JOIN closed c ON o.day = c.day
+)
+SELECT day, n_opened, n_closed,
+       CAST(SUM(n_opened - n_closed) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+FROM merged
+"""
+
+
+@register("orders_backlog_daily", tags=("ext", "warehouse", "timeseries"), oracle=_BACKLOG_ORACLE)
+def orders_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: orders opened (header date) minus
+    orders fully shipped (max line ship date), cumulated — the
+    operations dashboard's work-in-progress curve. An order with no
+    line items never closes; one with lines closes exactly once.
+
+    Plan shape: per-order close day is one l_orderkey-keyed aggregate
+    (map-side combined); both day-grain histograms and their full-outer
+    merge are |days|-row frames, so the single unpartitioned cumsum
+    window runs on the calendar-bounded merged frame (~2500 rows for
+    seven years), NOT on facts — the repo's global-Window rule."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    opened = (
+        orders.select(
+            (epoch_micros(orders, "o_orderdate") / F.lit(_US_PER_DAY)).cast("long").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_opened"))
+    )
+    per_order_close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    closed = (
+        per_order_close.select(
+            (epoch_micros(per_order_close, "close_ts") / F.lit(_US_PER_DAY))
+            .cast("long")
+            .alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_closed"))
+    )
+    merged = (
+        opened.join(closed, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return merged.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("backlog"),
+    )
+
+
+# --- Inter-arrival burstiness ----------------------------------------------
+
+_BURST_ORACLE = """
+WITH g AS (
+    SELECT user_id,
+           (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id)) // 1000000 AS gap_s
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+       CAST(SUM(gap_s * gap_s) AS BIGINT) AS sum_gap_sq,
+       (sqrt(CAST(COUNT(gap_s) AS DOUBLE) * CAST(SUM(gap_s * gap_s) AS DOUBLE)
+             - CAST(SUM(gap_s) AS DOUBLE) * CAST(SUM(gap_s) AS DOUBLE))
+        - CAST(SUM(gap_s) AS DOUBLE))
+       / (sqrt(CAST(COUNT(gap_s) AS DOUBLE) * CAST(SUM(gap_s * gap_s) AS DOUBLE)
+               - CAST(SUM(gap_s) AS DOUBLE) * CAST(SUM(gap_s) AS DOUBLE))
+          + CAST(SUM(gap_s) AS DOUBLE)) AS burstiness
+FROM g
+WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("inter_arrival_burstiness", tags=("ext", "timeseries", "stats", "events"), oracle=_BURST_ORACLE)
+def inter_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness B = (σ−μ)/(σ+μ) of inter-event gaps
+    (Goh-Barabási): −1 = metronome, 0 = Poisson, →1 = bursty. The
+    behavioral bot-vs-human screen over the event stream. Gap moments
+    are exact int64 in whole SECONDS (µs gaps squared would overflow);
+    B is assembled in double from those identical int64s with an
+    identical expression tree (σ and μ share the common
+    √(n·Σg²−(Σg)²) cross-multiplied form, so no small-ratio
+    intermediate).
+
+    Plan shape: one lag window partitioned by user_id (per-user state,
+    one shuffle), then a user-keyed aggregate on the same partitioning.
+    int64 headroom: gap ≤ 2.6e6 s over the 30-day span ⇒ gap² ≤ 7e12,
+    × per-user events ≤ 1e5 ⇒ ≤ 7e17 < 2^63."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        events.select(
+            "user_id", epoch_micros(events, "ts").alias("us"), "ts", "event_id"
+        )
+        .select("user_id", (F.col("us") - F.lag("us").over(w)).alias("gap_us"))
+        .select("user_id", F.expr("gap_us div 1000000").alias("gap_s"))
+    )
+    agg = (
+        g.filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.sum(F.col("gap_s") * F.col("gap_s")).alias("sum_gap_sq"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    disc = F.sqrt(d("n_gaps") * d("sum_gap_sq") - d("sum_gap_s") * d("sum_gap_s"))
+    return agg.select(
+        "user_id",
+        "n_gaps",
+        "sum_gap_s",
+        "sum_gap_sq",
+        ((disc - d("sum_gap_s")) / (disc + d("sum_gap_s"))).alias("burstiness"),
+    )

@@ -74,3 +74,70 @@ def test_mannwhitney_u_complement_law(spark, sf_dir):
         assert r.n_s + r.n_rest == n_docs
         assert r.u_s_x2 + r.u_rest_x2 == 2 * r.n_s * r.n_rest
         assert 0 <= r.u_s_x2 <= 2 * r.n_s * r.n_rest
+
+
+def test_holt_forecast_identity_and_constant_series(spark, sf_dir):
+    rows = REGISTRY["holt_linear_forecast_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 0
+        assert r.forecast_7d == r.level + 7.0 * r.trend
+    # A constant series fits level == the constant and trend == 0.
+    from flinkstreametl_spark.plans.timeseries_ext import holt_linear_forecast_daily
+    import flinkstreametl_spark.plans.timeseries_ext as TS
+
+    const = spark.createDataFrame(
+        [("x", d, 5.0) for d in range(20)], "event_type STRING, day LONG, x DOUBLE"
+    )
+    orig = TS._daily
+    try:
+        TS._daily = lambda s, p: const.select(
+            "event_type", "day", (F.col("x") * 1_000_000).cast("long").alias("s_fp")
+        )
+        [r] = holt_linear_forecast_daily(spark, sf_dir).collect()
+        assert r.level == 5.0 and r.trend == 0.0 and r.forecast_7d == 5.0
+    finally:
+        TS._daily = orig
+
+
+def test_acf_lag_coverage_and_bounds(spark, sf_dir):
+    rows = REGISTRY["acf_daily_lags"].fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+        assert 1 <= r.lag <= 7
+        assert 0 < r.n_pairs <= r.n_days - r.lag
+        assert abs(r.acf) <= 1.05, f"ACF far out of range at lag {r.lag}: {r.acf}"
+    for t, rs in by_type.items():
+        assert sorted(x.lag for x in rs) == list(range(1, 8)), f"{t} missing lags"
+
+
+def test_backlog_conservation(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["orders_backlog_daily"].fn(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert rows
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_closed = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey").distinct().count()
+    )
+    assert sum(r.n_opened for r in rows) == n_orders
+    assert sum(r.n_closed for r in rows) == n_closed
+    # The cumsum's last row carries the never-closed residue exactly.
+    assert rows[-1].backlog == n_orders - n_closed
+    run = 0
+    for r in rows:
+        run += r.n_opened - r.n_closed
+        assert r.backlog == run
+
+
+def test_burstiness_bounds_and_gap_accounting(spark, sf_dir):
+    rows = REGISTRY["inter_arrival_burstiness"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for r in rows:
+        assert r.n_gaps == per_user[r.user_id] - 1
+        assert -1.0 <= r.burstiness <= 1.0
+        # Cauchy-Schwarz: n·Σg² >= (Σg)², so the sqrt argument is valid.
+        assert r.n_gaps * r.sum_gap_sq >= r.sum_gap_s * r.sum_gap_s
