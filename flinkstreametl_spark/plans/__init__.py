@@ -132,6 +132,17 @@ _NEW_R10: list[str] = [
     "acf_daily_lags",
     "orders_backlog_daily",
     "inter_arrival_burstiness",
+    "bm25_mrr_eval",
+    "dedup_cluster_quality_spread",
+    "value_percentile_bands",
+]
+
+_NEW_R11: list[str] = [
+    # Round-9 additions past _NEW_R10's 11-slot round-10 capacity (the
+    # assert below is the guard that sends them here instead of
+    # evicting a stale-evidence name). Each oracle-verified locally at
+    # sf0.001/sf0.01 on landing; they lead the round-11 window.
+    "dedup_flag_propagation_audit",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

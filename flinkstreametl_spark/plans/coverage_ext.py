@@ -875,3 +875,103 @@ def salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_value"
         ),
     )
+
+
+# --- Dedup flag propagation ---------------------------------------------
+
+# Reuse the production pair-set oracle verbatim: the audit must be
+# defined over EXACTLY the clusters the dedup pipeline forms. The flag
+# is restricted-feed membership (src0 standing in for a
+# license-restricted source); a PII flag is the same audit with the
+# redact_documents regexes substituted — the fixture's text contains
+# no PII matches, so the source flag is what exercises the law here.
+from flinkstreametl_spark.operators import dedup as _D  # noqa: E402
+from flinkstreametl_spark.plans.llm import _MINHASH_ORACLE as _PAIR_ORACLE  # noqa: E402
+
+_RESTRICTED_SQL = "source = 'src0'"
+
+_FLAG_PROP_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{_PAIR_ORACLE}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+), m AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+), fl AS (
+    SELECT doc_id, CAST({_RESTRICTED_SQL} AS BIGINT) AS flag FROM documents
+), per AS (
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(fl.flag) AS BIGINT) AS any_flag,
+           CAST(MAX(CASE WHEN fl.doc_id = m.cluster_id THEN fl.flag END) AS BIGINT)
+               AS canonical_flag
+    FROM m JOIN fl ON fl.doc_id = m.doc_id
+    GROUP BY m.cluster_id
+    HAVING COUNT(*) >= 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(any_flag) AS BIGINT) AS n_clusters_any_flag,
+       CAST(SUM(canonical_flag) AS BIGINT) AS n_canonical_flagged,
+       CAST(SUM(CASE WHEN any_flag = 1 AND canonical_flag = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_flags_dropped,
+       (SELECT CAST(SUM(flag) AS BIGINT) FROM fl) AS n_docs_flagged
+FROM per
+"""
+
+
+@register(
+    "dedup_flag_propagation_audit",
+    tags=("ext", "llm", "dedup", "audit", "governance"),
+    oracle=_FLAG_PROP_ORACLE,
+)
+def dedup_flag_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does keep-first dedup silently DROP compliance flags? For each
+    near-dup cluster, compare the cluster's any-member restricted-feed
+    flag (source = src0, the license-restricted stand-in) against the
+    flag of the keep-first canonical (the min-id member == the
+    min-label cluster id). n_flags_dropped counts clusters whose
+    canonical looks clean while a discarded member was flagged — the
+    case where dedup must propagate the UNION of member flags to the
+    survivor or the corpus silently launders restricted content
+    through an unrestricted duplicate.
+
+    Plan: production LSH pairs -> min-label components; the flag is a
+    map-side regex projection joined onto the labels; one cluster-keyed
+    aggregate and a 1-row summary. The flag expression and pair set
+    are imported from their owning modules, so the audit can never
+    drift from what the pipeline actually does."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    labels = _D.neardup_clusters(pairs)
+    flag = (F.col("source") == "src0").cast("long")
+    fl = docs.select("doc_id", flag.alias("flag")).localCheckpoint()  # audit + total
+    per = (
+        fl.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("flag").alias("any_flag"),
+            F.max(F.when(F.col("doc_id") == F.col("cluster_id"), F.col("flag"))).alias(
+                "canonical_flag"
+            ),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    tot = fl.agg(F.sum("flag").alias("n_docs_flagged"))
+    return (
+        per.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("any_flag").alias("n_clusters_any_flag"),
+            F.sum("canonical_flag").alias("n_canonical_flagged"),
+            F.sum(
+                F.when((F.col("any_flag") == 1) & (F.col("canonical_flag") == 0), 1).otherwise(0)
+            ).alias("n_flags_dropped"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )

@@ -592,3 +592,72 @@ def lsh_band_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = m if out is None else out.unionByName(m)
     return out.orderBy("rows_per_band")
+
+
+# Quality dispersion WITHIN near-dup clusters: reuse the production
+# pair oracle and the shared classifier fragment so the audit measures
+# exactly what the pipeline clusters and scores.
+from flinkstreametl_spark.plans.llm import _QSCORE_SQL  # noqa: E402
+
+_SPREAD_ORACLE = f"""
+WITH RECURSIVE pairs AS MATERIALIZED (
+{_MINHASH_ORACLE}
+), edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS u, doc_a AS v FROM pairs
+), reach AS (
+    SELECT doc_id AS node, doc_id AS label FROM documents
+    UNION
+    SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+), m AS (
+    SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
+), q AS ({_QSCORE_SQL}
+), per AS (
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(q.score) - MIN(q.score) AS BIGINT) AS spread
+    FROM m JOIN q ON q.doc_id = m.doc_id
+    GROUP BY m.cluster_id
+    HAVING COUNT(*) >= 2
+)
+SELECT spread,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(n_members) AS BIGINT) AS n_docs
+FROM per GROUP BY spread
+"""
+
+
+@register(
+    "dedup_cluster_quality_spread",
+    tags=("ext", "llm", "dedup", "quality", "audit"),
+    oracle=_SPREAD_ORACLE,
+)
+def dedup_cluster_quality_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of the quality-score spread (max − min, 0..9) inside
+    each near-dup cluster of size ≥ 2 — the measurement behind
+    keep-best canonical selection (``cluster_canonical_docs``): a mass
+    at spread 0 says keep-first loses nothing; mass at spread ≥ 2 is
+    exactly the quality the lowest-id keeper throws away.
+
+    Plan: the production LSH pair set (banded, capped) -> min-label
+    components -> one broadcast-joined map-side score projection
+    (operators/text.quality_score_expr — the shared gate classifier) ->
+    a cluster-keyed aggregate and a ≤ 10-row spread histogram. No
+    corpus-sized shuffle beyond the pair machinery itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    labels = D.neardup_clusters(pairs)
+    scored = docs.select("doc_id", X.quality_score_expr("text").alias("score"))
+    per = (
+        scored.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.max("score") - F.min("score")).alias("spread"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return per.groupBy("spread").agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum("n_members").alias("n_docs")
+    )

@@ -295,3 +295,67 @@ def weighted_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("total").alias("total_weight"), F.min("v").alias("weighted_median_price"))
     )
+
+
+# --- Exact discrete percentile bands ---------------------------------------
+
+# percentile_disc(q) = the value at ascending position ceil(q·n) —
+# computed with the SAME rank-selection formula in both engines (the
+# builtins disagree on interpolation; rank selection never
+# interpolates, so it is exact on the fixed-point column).
+_PCT_ORACLE = """
+WITH v AS (
+    SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_fp FROM events
+), r AS (
+    SELECT event_type, v_fp,
+           row_number() OVER (PARTITION BY event_type ORDER BY v_fp) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM v
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN v_fp END) AS BIGINT) AS p50_fp,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN v_fp END) AS BIGINT) AS p90_fp,
+       CAST(MIN(CASE WHEN rn = (99 * n + 99) // 100 THEN v_fp END) AS BIGINT) AS p99_fp
+FROM r GROUP BY event_type
+"""
+
+
+@register("value_percentile_bands", tags=("ext", "orderstats", "events"), oracle=_PCT_ORACLE)
+def value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of the event value per event type
+    (percentile_disc semantics: the element at ascending position
+    ceil(q·n), never interpolated) — the SLO-band profile over the
+    monitoring stream. Rank selection instead of the engines'
+    percentile builtins: Spark's percentile_approx is approximate and
+    the exact builtins interpolate differently across engines, while
+    the selected ELEMENT is engine-independent even though row_number
+    breaks ties arbitrarily (equal values at the selected position are
+    by definition equal).
+
+    Plan shape: one shuffle on event_type; the rank window and the
+    band aggregate reuse that partitioning, and per-key state is the
+    key's row count (5 keys here; for a high-cardinality key the same
+    shape holds per key). ceil(q·n) = (q_num·n + q_den − 1) div q_den
+    in exact integers."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.floor(F.col("value") * 1_000_000).cast("long").alias("v_fp")
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fp")
+    wn = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type",
+        "v_fp",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda num, den: F.min(  # noqa: E731
+        F.when(F.col("rn") == F.expr(f"({num} * n + {num}) div {den}"), F.col("v_fp"))
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("v_fp"))).alias("p50_fp"),
+        pick(9, 10).alias("p90_fp"),
+        pick(99, 100).alias("p99_fp"),
+    )

@@ -887,3 +887,84 @@ def prf_expanded_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q2 = q1.select("query_id", "term").unionByName(exp).distinct()
     return _score(q2, _PRF_K).orderBy("query_id", "rk")
+
+
+# --- Self-retrieval MRR eval ------------------------------------------------
+
+_MRR_NQ = 20  # keyterm-query panel: the 20 lowest doc_ids (fixed-size eval)
+_MRR_K = 10  # retrieval depth MRR@10 is judged at
+_MRR_TERMS = 5  # keyterm query = the doc's 5 most-frequent tokens
+
+_MRR_ORACLE = (
+    _bm25_ctes(
+        "",
+        f"""SELECT doc_id AS query_id, term FROM (
+        SELECT doc_id, term,
+               row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS qrk
+        FROM tf WHERE doc_id < {_MRR_NQ}) qq WHERE qrk <= {_MRR_TERMS}""",
+        _MRR_K,
+    )
+    + f"""
+SELECT p.query_id,
+       CAST(COALESCE(t.rk, 0) AS BIGINT) AS self_rank,
+       CAST(CASE WHEN t.rk IS NULL THEN 0 ELSE {_FP} // t.rk END AS BIGINT) AS rr_fp
+FROM (SELECT DISTINCT query_id FROM q) p
+LEFT JOIN topk t ON t.query_id = p.query_id AND t.doc_id = p.query_id
+"""
+)
+
+
+@register(
+    "bm25_mrr_eval",
+    tags=("ext", "llm", "retrieval", "eval"),
+    oracle=_MRR_ORACLE,
+)
+def bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-retrieval MRR@10: query each panel document's 5
+    most-frequent tokens (its keyterm signature) against the full
+    corpus and record the rank at which BM25 returns the source
+    document — the standard index-pipeline sanity eval (a healthy
+    index retrieves a doc from its own keyterms at rank ~1; systematic
+    misses point at tokenization or scoring drift). Keyterms by
+    term frequency, NOT title position: the synthetic fixture's
+    ~31-token vocabulary makes positional terms non-distinctive
+    (title-query MRR measured near zero), while the tf signature
+    retrieves 20/20 at rank ≤ 5. Per query: self_rank (0 = not in the
+    top-10) and the fixed-point reciprocal rank; MRR is the mean of
+    rr_fp, which the tests assemble.
+
+    Plan: the scoring engine is ``bm25_topk`` verbatim (one corpus
+    scan, pinned tf index, broadcast query terms — its 100 TB shape);
+    the keyterm extraction is a window over the panel docs' own terms
+    (panel-bounded) and the final join is broadcast-sized. The panel
+    is fixed-size by the eval-suite convention (_RET_PANEL rationale).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    panel_tf = (
+        docs.filter(F.col("doc_id") < _MRR_NQ)
+        .select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qw = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    qterms = (
+        panel_tf.withColumn("qrk", F.row_number().over(qw))
+        .filter(F.col("qrk") <= _MRR_TERMS)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    topk = bm25_topk(docs.select("doc_id", "text"), qterms, _MRR_K)
+    self_hits = topk.filter(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("rk").alias("self_rank")
+    )
+    panel = qterms.select("query_id").distinct()
+    return (
+        panel.join(F.broadcast(self_hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("self_rank", F.lit(0)).cast("long").alias("self_rank"),
+            F.when(F.col("self_rank").isNull(), F.lit(0))
+            .otherwise(F.expr(f"{_FP} div self_rank"))
+            .cast("long")
+            .alias("rr_fp"),
+        )
+    )

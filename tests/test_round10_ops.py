@@ -141,3 +141,37 @@ def test_burstiness_bounds_and_gap_accounting(spark, sf_dir):
         assert -1.0 <= r.burstiness <= 1.0
         # Cauchy-Schwarz: n·Σg² >= (Σg)², so the sqrt argument is valid.
         assert r.n_gaps * r.sum_gap_sq >= r.sum_gap_s * r.sum_gap_s
+
+
+def test_bm25_mrr_self_retrieval(spark, sf_dir):
+    rows = REGISTRY["bm25_mrr_eval"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.self_rank <= 10
+        if r.self_rank:
+            assert r.rr_fp == 1_000_000 // r.self_rank
+        else:
+            assert r.rr_fp == 0
+    # Keyterm (top-tf) queries retrieve their source doc on this corpus
+    # — the property the keyterm redesign bought (title queries scored
+    # near-zero on the 31-token vocabulary).
+    found = sum(1 for r in rows if r.self_rank)
+    assert found == 20
+
+
+def test_cluster_quality_spread_histogram(spark, sf_dir):
+    rows = REGISTRY["dedup_cluster_quality_spread"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.spread <= 9
+        assert r.n_docs >= 2 * r.n_clusters, "clusters have >= 2 members by construction"
+
+
+def test_percentile_bands_ordered(spark, sf_dir):
+    rows = REGISTRY["value_percentile_bands"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = {r.event_type: r.cnt for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert {r.event_type for r in rows} == set(counts)
+    for r in rows:
+        assert r.n == counts[r.event_type]
+        assert r.p50_fp <= r.p90_fp <= r.p99_fp
