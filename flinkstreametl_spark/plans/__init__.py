@@ -143,6 +143,8 @@ _NEW_R11: list[str] = [
     # evicting a stale-evidence name). Each oracle-verified locally at
     # sf0.001/sf0.01 on landing; they lead the round-11 window.
     "dedup_flag_propagation_audit",
+    "holt_winters_seasonal_daily",
+    "hits_order_part_scores",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

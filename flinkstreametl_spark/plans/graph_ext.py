@@ -657,3 +657,132 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank_fp",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# --- HITS hubs/authorities on the order-part bipartite graph ---------------
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 3
+_HITS_TOPK = 15
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS power iterations (the _pagerank_oracle rationale:
+    DuckDB can't re-aggregate inside a recursive CTE). Max-normalized
+    each half-step — any positive rescaling preserves the HITS
+    fixpoint direction, and max-normalization keeps the integer scores
+    spread over 0..SCALE (sum-normalization would crush |orders|-many
+    hubs into single digits and destroy the ranking)."""
+    steps = []
+    prev_a = "a0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(
+            f"hraw{i} AS (\n"
+            f"    SELECT e.o AS node, CAST(SUM(a.s) AS BIGINT) AS raw\n"
+            f"    FROM e JOIN {prev_a} a ON a.node = e.p GROUP BY e.o\n"
+            f"),\n"
+            f"h{i} AS (\n"
+            f"    SELECT node, raw * {_HITS_SCALE} // (SELECT MAX(raw) FROM hraw{i}) AS s\n"
+            f"    FROM hraw{i}\n"
+            f"),\n"
+            f"araw{i} AS (\n"
+            f"    SELECT e.p AS node, CAST(SUM(h.s) AS BIGINT) AS raw\n"
+            f"    FROM e JOIN h{i} h ON h.node = e.o GROUP BY e.p\n"
+            f"),\n"
+            f"a{i} AS (\n"
+            f"    SELECT node, raw * {_HITS_SCALE} // (SELECT MAX(raw) FROM araw{i}) AS s\n"
+            f"    FROM araw{i}\n"
+            f")"
+        )
+        prev_a = f"a{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH e AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+a0 AS (
+    SELECT DISTINCT p AS node, CAST({_HITS_SCALE} AS BIGINT) AS s FROM e
+),
+{chain}
+SELECT side, node, score_fp, rk FROM (
+    SELECT 'authority' AS side, node, CAST(s AS BIGINT) AS score_fp,
+           CAST(row_number() OVER (ORDER BY s DESC, node) AS BIGINT) AS rk
+    FROM a{_HITS_ITERS}
+) x WHERE rk <= {_HITS_TOPK}
+UNION ALL
+SELECT side, node, score_fp, rk FROM (
+    SELECT 'hub' AS side, node, CAST(s AS BIGINT) AS score_fp,
+           CAST(row_number() OVER (ORDER BY s DESC, node) AS BIGINT) AS rk
+    FROM h{_HITS_ITERS}
+) y WHERE rk <= {_HITS_TOPK}
+"""
+
+
+@register(
+    "hits_order_part_scores",
+    tags=("ext", "graph", "iterative"),
+    oracle=_hits_oracle(),
+)
+def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities on the bipartite order-part graph:
+    authoritative parts are bought by hub orders, hub orders buy
+    authoritative parts — the mutual-reinforcement ranking PageRank's
+    single-score walk can't express on a bipartite structure (the
+    complement to ``pagerank_copurchase``'s projected graph). Top-15
+    per side with integer fixed-point scores.
+
+    Exactness: pure-integer half-steps — sum, then rescale by
+    score·SCALE div max (max-normalization: preserves the HITS
+    direction, keeps precision; see the oracle builder). Both engines
+    run the identical 3 unrolled iterations.
+
+    Plan shape: the distinct edge list is pinned once; each half-step
+    is one edge-keyed broadcast-free join + partial-aggregated shuffle
+    on the node key, and the normalizing max is a 1-row broadcast.
+    Score frames are node-sized and localCheckpoint-pinned per
+    iteration so the loop's lineage never re-runs (the pagerank loop
+    discipline); top-k per side is orderBy().limit() (TakeOrdered — no
+    global single-partition window)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a = e.select("p").distinct().select(
+        F.col("p").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("s")
+    ).localCheckpoint()
+    h = None
+    for _ in range(_HITS_ITERS):
+        hraw = (
+            e.join(a.withColumnRenamed("node", "p"), "p")
+            .groupBy("o")
+            .agg(F.sum("s").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        h = (
+            hraw.crossJoin(F.broadcast(hmax))
+            .select(F.col("o").alias("node"), F.expr(f"raw * {_HITS_SCALE} div mx").alias("s"))
+            .localCheckpoint()
+        )
+        araw = (
+            e.join(h.withColumnRenamed("node", "o"), "o")
+            .groupBy("p")
+            .agg(F.sum("s").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        a = (
+            araw.crossJoin(F.broadcast(amax))
+            .select(F.col("p").alias("node"), F.expr(f"raw * {_HITS_SCALE} div mx").alias("s"))
+            .localCheckpoint()
+        )
+    def _top(df: DataFrame, side: str) -> DataFrame:
+        t = df.orderBy(F.col("s").desc(), "node").limit(_HITS_TOPK)
+        w = Window.orderBy(F.col("s").desc(), "node")
+        return t.select(
+            F.lit(side).alias("side"),
+            "node",
+            F.col("s").alias("score_fp"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+    return _top(a, "authority").unionByName(_top(h, "hub"))

@@ -1761,3 +1761,128 @@ def inter_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_gap_sq",
         ((disc - d("sum_gap_s")) / (disc + d("sum_gap_s"))).alias("burstiness"),
     )
+
+
+# --- Holt-Winters additive seasonal (period 7) ------------------------------
+
+# Fold state: [l, b, t, s0..s6] (10 doubles; t is the 1-based step
+# counter so the seasonal slot of the element being consumed is
+# t mod 7 — position-mod-7 seasonality: slots rotate with the
+# day-ordered SERIES POSITION, which equals day-of-week only for a
+# gapless series like the fixture's). Element: [y, 0 x 9]. Seed = the
+# first element: l0 = y0, b0 = 0, s = zeros (cold-start; a slot first
+# contributes after one full period). All smoothing constants dyadic:
+# alpha = 1/2, beta = gamma = 1/4.
+_HW_T1 = "(acc[3] + CAST(1.0 AS DOUBLE))"
+_HW_SLOT = f"(CAST({_HW_T1} AS INTEGER) % 7)"
+_HW_SPREV = f"acc[4 + {_HW_SLOT}]"
+_HW_L = (
+    f"(CAST(0.5 AS DOUBLE) * (e[1] - {_HW_SPREV})"
+    f" + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]))"
+)
+_HW_B = f"(CAST(0.25 AS DOUBLE) * ({_HW_L} - acc[1]) + CAST(0.75 AS DOUBLE) * acc[2])"
+_HW_S = f"(CAST(0.25 AS DOUBLE) * (e[1] - {_HW_L}) + CAST(0.75 AS DOUBLE) * {_HW_SPREV})"
+
+_HW_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+series AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           MAX(day) AS last_day,
+           list(list_concat([CAST(s_fp AS DOUBLE) / {_FP}.0],
+                            [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                             CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])
+                ORDER BY day) AS xs
+    FROM daily
+    GROUP BY event_type
+), fitted AS (
+    SELECT event_type, n_days, last_day,
+           list_reduce(xs, (acc, e) -> list_concat(
+               [{_HW_L}, {_HW_B}, {_HW_T1}],
+               list_transform(range(0, 7),
+                   i -> CASE WHEN i = {_HW_SLOT} THEN {_HW_S} ELSE acc[i + 4] END)
+           )) AS st
+    FROM series
+)
+SELECT event_type, n_days, last_day,
+       st[1] AS level, st[2] AS trend,
+       st[4 + (CAST(n_days AS INTEGER) % 7)] AS season_next,
+       st[1] + st[2] + st[4 + (CAST(n_days AS INTEGER) % 7)] AS forecast_1
+FROM fitted
+"""
+
+
+@register(
+    "holt_winters_seasonal_daily",
+    tags=("ext", "timeseries", "forecast"),
+    oracle=_HW_ORACLE,
+)
+def holt_winters_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple smoothing of the daily value level
+    per event type (alpha = 1/2, beta = gamma = 1/4, period 7), with
+    the one-step forecast level + trend + next-slot seasonal — the
+    seasonality-aware member of the forecasting ladder (EWMA -> Holt ->
+    here), fitting what ``dow_seasonality_profile`` only measures.
+
+    Determinism: the whole (level, trend, seasonal[7]) state folds as a
+    sequential left fold over the day-sorted series in BOTH engines
+    with a 10-slot double-array accumulator and an identical
+    expression tree per step (the list-accumulator spelling that
+    ``holt_linear_forecast_daily`` documents — DuckDB 1.0 struct
+    lambdas are not safe); dyadic constants keep every arithmetic step
+    a correctly-rounded double op on identical inputs, so all outputs
+    are bit-identical.
+
+    Scale: the fold is per-key sequential by nature but runs on the
+    calendar-bounded daily grain; the one heavy exchange is the
+    map-side-combined daily aggregate (ewma_fold rationale)."""
+    daily = _daily(spark, sf_dir).select(
+        "event_type",
+        "day",
+        (F.col("s_fp").cast("double") / F.lit(float(_FP))).alias("x"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("day", "x")))
+    grouped = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        arr.alias("_arr"),
+    )
+    zeros9 = F.array_repeat(F.lit(0.0), 9)
+    xs = F.transform(F.col("_arr"), lambda s: F.concat(F.array(s["x"]), zeros9))
+
+    def _step(acc, e):
+        t1 = F.element_at(acc, 3) + F.lit(1.0)
+        slot = t1.cast("int") % F.lit(7)
+        sprev = F.element_at(acc, (F.lit(4) + slot).cast("int"))
+        lp = F.lit(0.5) * (F.element_at(e, 1) - sprev) + F.lit(0.5) * (
+            F.element_at(acc, 1) + F.element_at(acc, 2)
+        )
+        bp = F.lit(0.25) * (lp - F.element_at(acc, 1)) + F.lit(0.75) * F.element_at(acc, 2)
+        snew = F.lit(0.25) * (F.element_at(e, 1) - lp) + F.lit(0.75) * sprev
+        seas = F.transform(
+            F.sequence(F.lit(0), F.lit(6)),
+            lambda i: F.when(i == slot, snew).otherwise(
+                F.element_at(acc, (i + F.lit(4)).cast("int"))
+            ),
+        )
+        return F.concat(F.array(lp, bp, t1), seas)
+
+    st = F.aggregate(
+        F.slice(xs, F.lit(2), F.size(xs) - F.lit(1)), F.element_at(xs, 1), _step
+    )
+    grouped = grouped.withColumn("_st", st)
+    nslot = (F.lit(4) + F.col("n_days").cast("int") % F.lit(7)).cast("int")
+    return grouped.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        F.element_at("_st", 1).alias("level"),
+        F.element_at("_st", 2).alias("trend"),
+        F.element_at(F.col("_st"), nslot).alias("season_next"),
+        (
+            F.element_at("_st", 1)
+            + F.element_at("_st", 2)
+            + F.element_at(F.col("_st"), nslot)
+        ).alias("forecast_1"),
+    )
