@@ -145,6 +145,11 @@ _NEW_R11: list[str] = [
     "dedup_flag_propagation_audit",
     "holt_winters_seasonal_daily",
     "hits_order_part_scores",
+    "jl_distortion_audit",
+    "dataset_card_summary",
+    "churn_cohort_survival",
+    "neardup_containment_pairs",
+    "term_burstiness_top50",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

@@ -1287,3 +1287,134 @@ def trigram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch")
     )
+
+
+# --- Asymmetric containment on near-dup candidates ---------------------------
+
+# Reuse the production pair oracle so containment is measured on
+# EXACTLY the candidates the dedup pipeline emits.
+from flinkstreametl_spark.operators import dedup as _D  # noqa: E402
+from flinkstreametl_spark.plans.llm import _MINHASH_ORACLE as _CONT_PAIRS  # noqa: E402
+
+_CONT_FP = 1_000_000
+
+_CONT_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+{_CONT_PAIRS}
+), ts AS (
+    SELECT doc_id, list_distinct({X.sql_tokens("text")}) AS tset FROM documents
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) AS n_common,
+       CAST(len(a.tset) AS BIGINT) AS size_a,
+       CAST(len(b.tset) AS BIGINT) AS size_b,
+       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) * {_CONT_FP} // len(a.tset)
+           AS containment_ab_fp,
+       CAST(len(list_intersect(a.tset, b.tset)) AS BIGINT) * {_CONT_FP} // len(b.tset)
+           AS containment_ba_fp
+FROM pairs p JOIN ts a ON a.doc_id = p.doc_a JOIN ts b ON b.doc_id = p.doc_b
+"""
+
+
+@register(
+    "neardup_containment_pairs",
+    tags=("ext", "llm", "dedup", "text"),
+    oracle=_CONT_ORACLE,
+)
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-set containment C(A→B) = |A∩B| / |A| on the
+    production near-dup candidate pairs — the excerpt/quotation
+    detector Jaccard is blind to: a short doc fully contained in a
+    long one has high containment but low Jaccard, so symmetric
+    dedup keeps both while this audit surfaces the subset direction
+    (Broder's containment sketch rationale, computed exactly on the
+    LSH-bounded candidate set instead of sketched).
+
+    Plan shape: the banded/capped LSH join bounds the pair set; token
+    sets materialize map-side per INVOLVED doc only (semi-join prune),
+    and the intersection is one (pair-side, term)-keyed aggregate —
+    output-sized work, never all-pairs.
+
+    Exactness: distinct-token sets and integer fixed-point divisions
+    only."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b").localCheckpoint()
+    involved = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    toksets = (
+        docs.join(involved, "doc_id", "left_semi")
+        .select("doc_id", F.array_distinct(X.tokens("text")).alias("tset"))
+        .localCheckpoint()  # sizes AND the exploded intersection probe
+    )
+    sizes = toksets.select("doc_id", F.size("tset").cast("long").alias("sz"))
+    tok = toksets.select("doc_id", F.explode("tset").alias("term"))
+    tok_b = tok.select(F.col("doc_id").alias("b_id"), F.col("term").alias("b_term"))
+    inter = (
+        pairs.join(tok.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(tok_b, (F.col("doc_b") == F.col("b_id")) & (F.col("term") == F.col("b_term")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "size_a",
+            "size_b",
+            F.expr(f"n_common * {_CONT_FP} div size_a").alias("containment_ab_fp"),
+            F.expr(f"n_common * {_CONT_FP} div size_b").alias("containment_ba_fp"),
+        )
+    )
+
+
+# --- Term burstiness ----------------------------------------------------------
+
+_BURSTY_ORACLE = f"""
+WITH tok AS (
+    SELECT doc_id, unnest({X.sql_tokens("text")}) AS term FROM documents
+), st AS (
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok GROUP BY term
+)
+SELECT term, cf, df, cf * 100 // df AS burstiness_x100
+FROM st
+WHERE df >= 5
+ORDER BY burstiness_x100 DESC, term
+LIMIT 50
+"""
+
+
+@register(
+    "term_burstiness_top50",
+    tags=("ext", "llm", "text", "stats"),
+    oracle=_BURSTY_ORACLE,
+)
+def term_burstiness_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: collection frequency over document
+    frequency (x100) — a term with cf/df >> 1 clumps into few documents
+    (topical/boilerplate signal), one near 1 spreads evenly
+    (function-word signal). Ranks the top 50 bursty terms with df ≥ 5;
+    feeds stopword-list curation and the domain-signature audit.
+
+    Plan shape: one token explode into a (term)-keyed aggregate
+    (count + distinct doc_id), then TakeOrdered 50 — vocabulary-sized
+    state, no corpus-wide window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    st = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("cf"), F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        st.filter(F.col("df") >= 5)
+        .select("term", "cf", "df", F.expr("cf * 100 div df").alias("burstiness_x100"))
+        .orderBy(F.col("burstiness_x100").desc(), "term")
+        .limit(50)
+    )

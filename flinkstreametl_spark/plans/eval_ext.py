@@ -320,3 +320,66 @@ def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("u_rest_x2"),
         "tie_correction",
     )
+
+
+# --- Activity-lifetime survival curve ----------------------------------------
+
+_SURVIVAL_ORACLE = f"""
+WITH lt AS (
+    SELECT user_id,
+           (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // {86_400_000_000} AS lifetime_days
+    FROM events GROUP BY user_id
+), h AS (
+    SELECT lifetime_days, CAST(COUNT(*) AS BIGINT) AS n_users FROM lt GROUP BY lifetime_days
+), tot AS (
+    SELECT CAST(SUM(n_users) AS BIGINT) AS n_total FROM h
+)
+SELECT h.lifetime_days, h.n_users,
+       CAST(SUM(h2.n_users) AS BIGINT) AS n_surviving,
+       CAST(SUM(h2.n_users) AS BIGINT) * 10000 // tot.n_total AS survival_bp
+FROM h JOIN h h2 ON h2.lifetime_days >= h.lifetime_days CROSS JOIN tot
+GROUP BY h.lifetime_days, h.n_users, tot.n_total
+"""
+
+
+@register("churn_cohort_survival", tags=("ext", "analytics", "events"), oracle=_SURVIVAL_ORACLE)
+def churn_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-lifetime survival curve: per observed lifetime t (whole
+    days between a user's first and last event), how many users and
+    what basis-point share of the base remained active AT LEAST t days
+    — the Kaplan-Meier-style churn readout (no censoring model: the
+    fixture window closes every lifetime, which the docstring of a
+    production deployment would relax by treating last-window users as
+    censored).
+
+    Plan shape: one user-keyed min/max aggregate over events, a
+    lifetime histogram (calendar-bounded ≤ |days| rows), and a
+    descending cumulative sum as a window on THAT bounded frame (the
+    repo's global-Window rule). The suffix-sum self-join in the oracle
+    is the same bounded-frame computation spelled join-wise."""
+    events = load_table(spark, sf_dir, "events")
+    us = epoch_micros(events, "ts")
+    lt = (
+        events.select("user_id", us.alias("us"))
+        .groupBy("user_id")
+        .agg(F.expr("(max(us) - min(us)) div 86400000000").alias("lifetime_days"))
+    )
+    h = lt.groupBy("lifetime_days").agg(F.count(F.lit(1)).alias("n_users"))
+    tot = h.agg(F.sum("n_users").alias("n_total"))
+    w = Window.orderBy(F.col("lifetime_days").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.select(
+            "lifetime_days",
+            "n_users",
+            F.sum("n_users").over(w).alias("n_surviving"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lifetime_days",
+            "n_users",
+            "n_surviving",
+            F.expr("n_surviving * 10000 div n_total").alias("survival_bp"),
+        )
+    )

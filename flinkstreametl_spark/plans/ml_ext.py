@@ -1927,3 +1927,143 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_fp",
         (F.expr("(n * s2 - s1 * s1) div (n * n)") < 1_000_000).alias("is_dead"),
     ).orderBy("pos")
+
+
+# --- Johnson-Lindenstrauss distortion audit ---------------------------------
+
+_JL_NP = 16  # pair panel: vec_id < 16 -> 120 pairs (fixed-size audit)
+_JL_K = 16  # projected dimensionality
+_JL_Q = 16_384  # 2^14 coordinate quantization — int64 headroom note below
+_JL_RATIO = 1_000_000 // _JL_K  # ppm scale folded with the 1/k variance factor
+
+
+def _jl_sign_sql(j: str, pos: str) -> str:
+    """Engine-portable Rademacher sign for projection row j, input pos:
+    the low bit of the first md5 hex digit of 'j:pos' mapped to ±1."""
+    return (
+        f"(CAST(concat('0x', substr(md5(concat(CAST({j} AS VARCHAR), ':', "
+        f"CAST({pos} AS VARCHAR))), 1, 1)) AS BIGINT) % 2 * 2 - 1)"
+    )
+
+
+_JL_ORACLE = f"""
+WITH eq AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_JL_Q}) AS BIGINT) AS xq
+    FROM embeddings WHERE vec_id < {_JL_NP}
+), sgn AS (
+    SELECT j.j, p.pos, {_jl_sign_sql("j.j", "p.pos")} AS sgn
+    FROM (SELECT unnest(range(0, {_JL_K})) AS j) j,
+         (SELECT unnest(range(0, 64)) AS pos) p
+), proj AS (
+    SELECT eq.vec_id, s.j, CAST(SUM(s.sgn * eq.xq) AS BIGINT) AS pv
+    FROM eq JOIN sgn s ON s.pos = eq.pos
+    GROUP BY eq.vec_id, s.j
+), dorig AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(SUM((a.xq - b.xq) * (a.xq - b.xq)) AS BIGINT) AS d_orig_fp
+    FROM eq a JOIN eq b ON a.pos = b.pos AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+), dproj AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(SUM((a.pv - b.pv) * (a.pv - b.pv)) AS BIGINT) AS d_proj_fp
+    FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+)
+SELECT o.vec_a, o.vec_b, o.d_orig_fp, p.d_proj_fp,
+       p.d_proj_fp * {_JL_RATIO} // o.d_orig_fp AS ratio_ppm
+FROM dorig o JOIN dproj p ON p.vec_a = o.vec_a AND p.vec_b = o.vec_b
+"""
+
+
+@register(
+    "jl_distortion_audit",
+    tags=("ext", "ml", "embedding", "audit"),
+    oracle=_JL_ORACLE,
+)
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion of a Rademacher random
+    projection 64 -> 16 dims, measured on a fixed pair panel: per pair,
+    the exact squared L2 distance before and after projection and their
+    ratio in ppm (1e6 = distortion-free after the 1/k variance factor;
+    JL says the spread around 1e6 shrinks as k grows). This is the
+    go/no-go audit before swapping full embeddings for projected ones
+    in the ANN/near-dup stack (SRP blocking, IVF) — measured on YOUR
+    vectors, not assumed from the lemma.
+
+    Exactness: coordinates quantize to floor(x·2^14) int64 FIRST, so
+    every later op (signed sums, squared diffs, ratio) is pure-integer
+    and engine-exact. The ±1 signs derive from md5(j:pos) — the same
+    portable-hash convention as the SRP/LSH operators. int64 headroom:
+    |xq| ≤ 2^14·0.53 ≈ 8.7e3 ⇒ |proj| ≤ 64·8.7e3 ≈ 5.6e5,
+    d_proj ≤ 16·(2·5.6e5)² ≈ 2e13, ×62500 ≈ 1.25e18 < 2^63.
+
+    Plan shape: the panel filter prunes the scan to _JL_NP vectors;
+    the sign matrix is a 1024-row broadcast literal; both distance
+    joins are panel-sized. At 100 TB the same plan projects the full
+    corpus map-side (one broadcast sign join, one (vec, j) aggregate)
+    while the AUDIT stays panel-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    eq = (
+        emb.filter(F.col("vec_id") < _JL_NP)
+        .select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("val").cast("double") * _JL_Q).cast("long").alias("xq"),
+        )
+        .localCheckpoint()  # two consumers: d_orig and the projection
+    )
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("pos").cast("string"))),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        * 2
+        - 1
+    )
+    sgn = (
+        spark.range(_JL_K)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("pos")))
+        .select("j", "pos", sign.alias("sgn"))
+    )
+    proj = (
+        eq.join(F.broadcast(sgn), "pos")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("sgn") * F.col("xq")).alias("pv"))
+        .localCheckpoint()  # self-joined below
+    )
+    a, b = eq.alias("a"), eq.alias("b")
+    dorig = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(
+            F.sum(
+                (F.col("a.xq") - F.col("b.xq")) * (F.col("a.xq") - F.col("b.xq"))
+            ).alias("d_orig_fp")
+        )
+    )
+    pa, pb = proj.alias("pa"), proj.alias("pb")
+    dproj = (
+        pa.join(pb, (F.col("pa.j") == F.col("pb.j")) & (F.col("pa.vec_id") < F.col("pb.vec_id")))
+        .groupBy(F.col("pa.vec_id").alias("vec_a"), F.col("pb.vec_id").alias("vec_b"))
+        .agg(
+            F.sum(
+                (F.col("pa.pv") - F.col("pb.pv")) * (F.col("pa.pv") - F.col("pb.pv"))
+            ).alias("d_proj_fp")
+        )
+    )
+    return dorig.join(dproj, ["vec_a", "vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        "d_orig_fp",
+        "d_proj_fp",
+        F.expr(f"d_proj_fp * {_JL_RATIO} div d_orig_fp").alias("ratio_ppm"),
+    )

@@ -1258,3 +1258,85 @@ def nucleus_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Dataset card summary ----------------------------------------------------
+
+# The quality CTE is the shared classifier fragment (plans/llm.py), so
+# the card's mean quality can never drift from the gate (ADVICE r8).
+from flinkstreametl_spark.plans.llm import _QSCORE_SQL as _CARD_QSCORE_SQL  # noqa: E402
+
+_CARD_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, {_X.sql_tokens("text")} AS t FROM documents
+), tok AS (
+    SELECT doc_id, unnest(t) AS term FROM toks
+), fp AS (
+    SELECT {_X.sql_fingerprint("text")} AS f FROM documents
+), q AS ({_CARD_QSCORE_SQL}
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) AS n_tokens,
+       (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) FROM tok) AS vocab_size,
+       (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents) AS n_langs,
+       (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents) AS n_sources,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tok) * 100
+           // (SELECT COUNT(*) FROM documents) AS tokens_per_doc_x100,
+       ((SELECT CAST(COUNT(*) AS BIGINT) FROM fp)
+        - (SELECT CAST(COUNT(DISTINCT f) AS BIGINT) FROM fp)) * 10000
+           // (SELECT COUNT(*) FROM fp) AS exact_dup_rate_bp,
+       (SELECT CAST(SUM(score) AS BIGINT) FROM q) * 100
+           // (SELECT COUNT(*) FROM q) AS mean_quality_x100
+"""
+
+
+@register(
+    "dataset_card_summary",
+    tags=("ext", "llm", "pipeline", "governance"),
+    oracle=_CARD_ORACLE,
+)
+def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row corpus datasheet every dataset release ships: doc
+    and token counts, vocabulary size, language/source breadth, mean
+    tokens per doc, exact-duplicate rate, and mean quality score — the
+    numbers a Datasheets-for-Datasets card quotes, computed in one
+    query with the pipeline's OWN definitions (the shared tokenizer,
+    fingerprint, and gate classifier), so the card can never disagree
+    with what the pipeline actually did.
+
+    All ratios are scaled integers (x100 / basis points) — exact in
+    both engines. Plan shape: one token explode feeding the count and
+    the distinct-term aggregate, map-side fingerprint/score
+    projections, and 1-row broadcast assembly; every aggregate is
+    partial-aggregated before its exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_X.tokens("text")).alias("term")).localCheckpoint()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_tok = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
+    vocab = tok.agg(F.count_distinct("term").alias("vocab_size"))
+    breadth = docs.agg(
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    fps = docs.select(_X.fingerprint("text").alias("f"))
+    dup = fps.agg(
+        F.count(F.lit(1)).alias("n_fp"), F.count_distinct("f").alias("n_distinct_fp")
+    )
+    qual = docs.agg(F.sum(_X.quality_score_expr("text")).alias("q_sum"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(breadth))
+        .crossJoin(F.broadcast(dup))
+        .crossJoin(F.broadcast(qual))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            "n_langs",
+            "n_sources",
+            F.expr("n_tokens * 100 div n_docs").alias("tokens_per_doc_x100"),
+            F.expr("(n_fp - n_distinct_fp) * 10000 div n_fp").alias("exact_dup_rate_bp"),
+            F.expr("q_sum * 100 div n_docs").alias("mean_quality_x100"),
+        )
+    )
