@@ -293,3 +293,61 @@ def pagerank_weighted(
             .select(F.col("dst").alias("node"), "r")
         )
     return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iterations: int = 6,
+    scale: int = PR_SCALE,
+    max_seg_width: int = 8192,
+) -> DataFrame:
+    """Personalized PageRank: the ``pagerank`` kernel with the teleport
+    term restricted to ``seeds`` (a (node) frame) — random walks
+    restart only at the seed set, so rank measures proximity TO the
+    seeds instead of global centrality (the recommendation/expansion
+    primitive: "parts co-purchased near these parts").
+
+    Arithmetic is the same all-integer update; the only change is
+    ``base`` becoming ``base * is_seed``: non-seeds receive no teleport
+    mass and decay unless the walk reaches them. Seeds are broadcast
+    (a parameter-sized frame by contract). Same grouped, width-bounded,
+    pinned adjacency as ``pagerank`` — see that docstring for the
+    scale analysis; per-iteration cost is identical.
+    """
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    n_seg = F.greatest(F.lit(1), F.ceil(F.col("deg") / F.lit(max_seg_width)))
+    adj = (
+        sym.join(deg, "src")
+        .withColumn("seg", F.pmod(F.hash("dst"), n_seg))
+        .groupBy("src", "seg")
+        .agg(F.collect_list("dst").alias("nbrs"), F.first("deg").alias("deg"))
+        .select("src", "nbrs", "deg")
+        .localCheckpoint()
+    )
+    base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seed_marks = seeds.select(F.col("node").alias("dst"), F.lit(1).alias("is_seed"))
+    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
+            F.explode("nbrs").alias("dst"), F.expr("r div deg").alias("c")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .join(F.broadcast(seed_marks), "dst", "left")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"CAST({base} AS BIGINT) * coalesce(is_seed, 0)"
+                    f" + ({PR_DAMP_NUM} * s) div {PR_DAMP_DEN}"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))

@@ -150,6 +150,10 @@ _NEW_R11: list[str] = [
     "churn_cohort_survival",
     "neardup_containment_pairs",
     "term_burstiness_top50",
+    "time_decay_attribution_daily",
+    "personalized_pagerank_copurchase",
+    "token_pair_lift_top50",
+    "order_priority_transition_matrix",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

@@ -1402,3 +1402,118 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = m if out is None else out.unionByName(m)
     return out.orderBy("gap_us")
+
+
+# --- Time-decay multi-touch attribution ----------------------------------------
+
+# Decay weights are powers of two over 10-minute age buckets inside the
+# 30-minute window: age 0-10 min -> 4, 10-20 -> 2, 20-30 -> 1. Integer
+# weights keep the credit split exact; the remainder of v*w div sumw
+# goes to the earliest touch, so value conserves to the unit (the
+# multitouch_attribution_daily law, weighted).
+_TD_BUCKET_US = 10 * 60 * 1_000_000
+
+_TD_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+           CAST(floor(value * {_MT_FP}) AS BIGINT) AS v
+    FROM events
+),
+c AS (SELECT event_id AS cid, user_id, us AS cus FROM ev WHERE event_type = 'click'),
+p AS (SELECT event_id AS pid, user_id, us AS pus, v FROM ev WHERE event_type = 'purchase'),
+touch AS (
+    SELECT p.pid, p.v, c.cid, c.cus,
+           CASE (p.pus - c.cus) // {_TD_BUCKET_US} WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END AS w,
+           row_number() OVER (PARTITION BY p.pid ORDER BY c.cus, c.cid) AS rn
+    FROM p JOIN c ON c.user_id = p.user_id
+        AND c.cus < p.pus AND c.cus >= p.pus - {_MT_WINDOW_US}
+),
+based AS (
+    SELECT pid, cid, cus, v, rn,
+           v * w // (SUM(w) OVER (PARTITION BY pid)) AS base
+    FROM touch
+),
+credit AS (
+    SELECT cid, cus,
+           base + CASE WHEN rn = 1
+                       THEN v - SUM(base) OVER (PARTITION BY pid)
+                       ELSE 0 END AS credit_fp
+    FROM based
+)
+SELECT CAST(cus // 86400000000 AS BIGINT) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_fp) AS BIGINT) AS value_fp_received
+FROM credit
+GROUP BY 1
+"""
+
+
+@register(
+    "time_decay_attribution_daily",
+    tags=("ext", "attribution", "window"),
+    oracle=_TD_ORACLE,
+)
+def time_decay_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: clicks closer to the
+    purchase earn more credit — weight 4/2/1 by 10-minute age bucket
+    inside the 30-minute window (the recency model marketing teams run
+    next to the linear split of ``multitouch_attribution_daily``; the
+    weights are powers of two so everything stays integer).
+
+    Per purchase: credit_i = v·w_i div Σw, the rounding residue
+    v − Σ(v·w_i div Σw) topping up the EARLIEST touch — value conserves
+    to the unit exactly (tested law). Same user-keyed touch join and
+    day-grain rollup as the linear model: one user_id shuffle, windows
+    inside the purchase partition."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_micros(events, "ts").alias("us"),
+        F.floor(F.col("value") * _MT_FP).cast("long").alias("v"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("us").alias("cus")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("us").alias("pus"), "v"
+    )
+    touch = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cus") < F.col("pus"))
+        & (F.col("cus") >= F.col("pus") - _MT_WINDOW_US),
+    ).select(
+        "pid",
+        "cid",
+        "cus",
+        "v",
+        F.expr(
+            f"CASE (pus - cus) div {_TD_BUCKET_US} WHEN 0 THEN 4 WHEN 1 THEN 2 ELSE 1 END"
+        ).cast("long").alias("w"),
+    )
+    rw = Window.partitionBy("pid").orderBy("cus", "cid")
+    sw = Window.partitionBy("pid")
+    credit = (
+        touch.select(
+            "pid",
+            "cid",
+            "cus",
+            "v",
+            "w",
+            F.row_number().over(rw).alias("rn"),
+            F.sum("w").over(sw).alias("sw"),
+        )
+        .withColumn("base", F.expr("v * w div sw"))
+        .withColumn("paid", F.sum("base").over(sw))
+        .select(
+            "cid",
+            "cus",
+            F.expr("base + CASE WHEN rn = 1 THEN v - paid ELSE 0 END").alias("credit_fp"),
+        )
+    )
+    return credit.groupBy(F.expr("cus div 86400000000").cast("long").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit_fp").alias("value_fp_received"),
+    )

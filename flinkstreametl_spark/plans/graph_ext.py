@@ -720,7 +720,7 @@ SELECT side, node, score_fp, rk FROM (
 
 @register(
     "hits_order_part_scores",
-    tags=("ext", "graph", "iterative"),
+    tags=("ext", "graph", "iterative", "bench"),
     oracle=_hits_oracle(),
 )
 def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,3 +786,121 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rk"),
         )
     return _top(a, "authority").unionByName(_top(h, "hub"))
+
+
+# --- Personalized PageRank from a seed part set -----------------------------
+
+_PPR_NSEEDS = 10
+_PPR_TOPK = 20
+
+
+def _ppr_oracle() -> str:
+    """Unrolled personalized power iteration (the _pagerank_oracle
+    rationale); the teleport term is CASE-gated to the seed set — the
+    _PPR_NSEEDS lowest part keys present in the co-purchase graph."""
+    base = G.PR_SCALE * (G.PR_DAMP_DEN - G.PR_DAMP_NUM) // G.PR_DAMP_DEN
+    steps = []
+    for i in range(1, G_PPR_ITER + 1):
+        steps.append(
+            f"r{i} AS (\n"
+            f"    SELECT a.dst AS node,\n"
+            f"           CAST({base} AS BIGINT)\n"
+            f"             * CASE WHEN a.dst IN (SELECT node FROM seeds) THEN 1 ELSE 0 END\n"
+            f"           + ({G.PR_DAMP_NUM} * SUM(r.r // a.deg)) // {G.PR_DAMP_DEN} AS r\n"
+            f"    FROM adj a JOIN r{i - 1} r ON r.node = a.src\n"
+            f"    GROUP BY a.dst\n"
+            f")"
+        )
+    chain = ",\n".join(steps)
+    return f"""
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                    greatest(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+sym AS (
+    SELECT u AS src, v AS dst FROM pairs
+    UNION ALL
+    SELECT v AS src, u AS dst FROM pairs
+),
+deg AS (
+    SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src
+),
+adj AS MATERIALIZED (
+    SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d USING (src)
+),
+seeds AS MATERIALIZED (
+    SELECT src AS node FROM deg ORDER BY src LIMIT {_PPR_NSEEDS}
+),
+r0 AS (
+    SELECT src AS node, CAST({G.PR_SCALE} AS BIGINT) AS r FROM deg
+),
+{chain}
+SELECT node AS part, CAST(r AS BIGINT) AS rank_fp,
+       CAST(node IN (SELECT node FROM seeds) AS BOOLEAN) AS is_seed, rk
+FROM (
+    SELECT node, r, row_number() OVER (ORDER BY r DESC, node) AS rk
+    FROM r{G_PPR_ITER}
+) t
+WHERE rk <= {_PPR_TOPK}
+"""
+
+
+G_PPR_ITER = 6
+
+
+@register(
+    "personalized_pagerank_copurchase",
+    tags=("ext", "graph", "iterative"),
+    oracle=_ppr_oracle(),
+)
+def personalized_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank over the co-purchase graph, teleporting
+    only to the 10 lowest part keys — "what sells NEAR this product
+    family", the recommendation/candidate-expansion read the global
+    ``pagerank_copurchase`` can't give (its walk restarts everywhere,
+    so it measures popularity, not proximity).
+
+    Kernel: operators/graph.pagerank_personalized — the same grouped,
+    width-bounded, pinned-adjacency integer power iteration with the
+    teleport term CASE-gated to the broadcast seed set. Top-20 with an
+    is_seed marker; seeds rank high (they receive all restart mass)
+    but non-seed neighbors earning walk mass is the signal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.least("a.l_partkey", "b.l_partkey").alias("u"),
+            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
+        )
+        .distinct()
+        # Pinned: TWO consumers (the kernel's sym and the seed
+        # derivation) would each replay the per-order self-join.
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col("u").alias("node"))
+        .unionByName(pairs.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(_PPR_NSEEDS).localCheckpoint()
+    ranks = G.pagerank_personalized(pairs, seeds, iterations=G_PPR_ITER)
+    w = Window.orderBy(F.col("rank_fp").desc(), "node")
+    seed_mark = seeds.select("node", F.lit(True).alias("_s"))
+    return (
+        ranks.orderBy(F.col("rank_fp").desc(), "node")
+        .limit(_PPR_TOPK)
+        .join(F.broadcast(seed_mark), "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            "rank_fp",
+            F.coalesce("_s", F.lit(False)).alias("is_seed"),
+            F.row_number().over(Window.orderBy(F.col("rank_fp").desc(), F.col("node"))).cast("long").alias("rk"),
+        )
+    )

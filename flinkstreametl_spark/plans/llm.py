@@ -1562,3 +1562,80 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --- Token co-occurrence lift -------------------------------------------------
+
+_TLIFT_MIN_CODF = 5
+_TLIFT_TOPK = 50
+
+_TLIFT_ORACLE = f"""
+WITH ts AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS term FROM documents
+), n AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents
+), df AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM ts GROUP BY term
+), co AS (
+    SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS co_df
+    FROM ts a JOIN ts b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+)
+SELECT term_a, term_b, co_df, da.df AS df_a, db.df AS df_b,
+       co_df * n.n_docs * 100 // (da.df * db.df) AS lift_x100
+FROM co JOIN df da ON da.term = co.term_a JOIN df db ON db.term = co.term_b
+CROSS JOIN n
+WHERE co_df >= {_TLIFT_MIN_CODF}
+ORDER BY lift_x100 DESC, term_a, term_b
+LIMIT {_TLIFT_TOPK}
+"""
+
+
+@register(
+    "token_pair_lift_top50",
+    tags=("ext", "llm", "text", "stats"),
+    oracle=_TLIFT_ORACLE,
+)
+def token_pair_lift_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token pairs by document-co-occurrence lift (x100):
+    lift = P(a,b) / (P(a)·P(b)) computed on document frequencies — the
+    log-free collocation screen (PMI is log(lift); ranking by lift
+    ranks by PMI). Feeds phrase/stop-pair curation the way
+    ``basket_lift_top_pairs`` feeds market-basket rules — same law,
+    token domain.
+
+    Exactness: pure counts and one integer cross-multiplied division.
+    int64 headroom: co_df·n_docs·100 ≤ n_docs²·100 ≈ 2.5e11 at sf1.
+
+    Plan shape: distinct-token explode, a (doc-keyed) self-join whose
+    per-doc cost is bounded by the vocabulary (distinct tokens per
+    doc), vocabulary-sized df broadcast back onto the pair aggregate,
+    TakeOrdered 50."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = docs.select(
+        "doc_id", F.explode(F.array_distinct(X.tokens("text"))).alias("term")
+    ).localCheckpoint()  # df AND both self-join sides
+    n = docs.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df = ts.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    b = ts.select(F.col("doc_id").alias("bd"), F.col("term").alias("term_b"))
+    co = (
+        ts.join(b, (F.col("doc_id") == F.col("bd")) & (F.col("term") < F.col("term_b")))
+        .groupBy(F.col("term").alias("term_a"), "term_b")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= _TLIFT_MIN_CODF)
+    )
+    return (
+        co.join(F.broadcast(df.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))), "term_a")
+        .join(F.broadcast(df.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term_a",
+            "term_b",
+            "co_df",
+            "df_a",
+            "df_b",
+            F.expr("co_df * n_docs * 100 div (df_a * df_b)").alias("lift_x100"),
+        )
+        .orderBy(F.col("lift_x100").desc(), "term_a", "term_b")
+        .limit(_TLIFT_TOPK)
+    )

@@ -1292,7 +1292,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
 
 @register(
     "dataset_card_summary",
-    tags=("ext", "llm", "pipeline", "governance"),
+    tags=("ext", "llm", "pipeline", "governance", "bench"),
     oracle=_CARD_ORACLE,
 )
 def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

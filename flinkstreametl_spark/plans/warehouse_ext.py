@@ -1056,3 +1056,63 @@ def revenue_topk_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --- Order-priority transition matrix -----------------------------------------
+
+_PTRANS_ORACLE = """
+WITH seq AS (
+    SELECT o_custkey, o_orderpriority,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev_priority
+    FROM orders
+), t AS (
+    SELECT prev_priority, o_orderpriority AS next_priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_priority IS NOT NULL
+    GROUP BY 1, 2
+), rowtot AS (
+    SELECT prev_priority, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY prev_priority
+)
+SELECT t.prev_priority, t.next_priority, t.n, r.row_n,
+       t.n * 10000 // r.row_n AS share_bp
+FROM t JOIN rowtot r ON r.prev_priority = t.prev_priority
+"""
+
+
+@register(
+    "order_priority_transition_matrix",
+    tags=("ext", "warehouse", "window", "markov"),
+    oracle=_PTRANS_ORACLE,
+)
+def order_priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each customer's order
+    priority sequence: for consecutive orders (date order, key
+    tie-break — the SCD2 total order), how often does priority X follow
+    priority Y, with row-share in basis points. A diagonal-heavy matrix
+    means priority is a stable customer trait (segmentable); a flat one
+    means it is per-order noise — the check to run before anyone builds
+    a 'priority affinity' feature.
+
+    Plan shape: one customer-keyed lag window (the scd2 partitioning,
+    reusable), a 25-cell aggregate, and a broadcast row-total join —
+    nothing beyond the window touches fact-scale rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    t = (
+        seq.filter(F.col("prev_priority").isNotNull())
+        .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rowtot = t.groupBy("prev_priority").agg(F.sum("n").alias("row_n"))
+    return t.join(F.broadcast(rowtot), "prev_priority").select(
+        "prev_priority",
+        "next_priority",
+        "n",
+        "row_n",
+        F.expr("n * 10000 div row_n").alias("share_bp"),
+    )
