@@ -154,6 +154,7 @@ _NEW_R11: list[str] = [
     "personalized_pagerank_copurchase",
     "token_pair_lift_top50",
     "order_priority_transition_matrix",
+    "rbo_rank_agreement",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

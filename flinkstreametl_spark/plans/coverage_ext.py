@@ -901,6 +901,7 @@ WITH RECURSIVE pairs AS MATERIALIZED (
     SELECT doc_id AS node, doc_id AS label FROM documents
     UNION
     SELECT e.v AS node, r.label AS label FROM edges e JOIN reach r ON e.u = r.node
+    WHERE r.label < e.v
 ), m AS (
     SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY node
 ), fl AS (

@@ -84,6 +84,7 @@ def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("user_id", epoch_micros(events, "ts").alias("us"))
         .select("user_id", F.expr(f"us div {_WEEK_US}").alias("week"))
         .distinct()
+        .localCheckpoint()  # three consumers (cohort, sizes via cohort, active)
     )
     cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
@@ -141,10 +142,15 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     key, and each stage's frame is no larger than the user count. The
     final row assembles six 1-row aggregates via broadcast joins."""
     events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Each stage is pinned: it feeds BOTH the next stage's join and its
+    # own count, and unpinned lineage replayed the whole upstream chain
+    # per consumer (measured: 7 events scans; pinned: one per stage
+    # filter plus the distinct-user count).
     s1 = (
         events.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     s2 = (
         events.filter(F.col("event_type") == "click")
@@ -152,6 +158,7 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     s3 = (
         events.filter(F.col("event_type") == "purchase")
@@ -159,6 +166,7 @@ def funnel_conversion_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
+        .localCheckpoint()
     )
     n_users = events.agg(F.count_distinct("user_id").alias("n_users"))
     c1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
@@ -285,7 +293,9 @@ def mannwhitney_source_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     global-Window rule); the per-(source, length) aggregate joins the
     broadcast histogram and reduces to |sources| rows."""
     docs = load_table(spark, sf_dir, "documents")
-    v = docs.select("source", X.token_count("text").cast("long").alias("val"))
+    v = docs.select(
+        "source", X.token_count("text").cast("long").alias("val")
+    ).localCheckpoint()  # two consumers: the global and per-source histograms
     hv = v.groupBy("val").agg(F.count(F.lit(1)).alias("cnt_all"))
     w = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, -1)
     r = hv.select(

@@ -1311,24 +1311,26 @@ def dataset_card_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated before its exchange."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(F.explode(_X.tokens("text")).alias("term")).localCheckpoint()
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     n_tok = tok.agg(F.count(F.lit(1)).alias("n_tokens"))
     vocab = tok.agg(F.count_distinct("term").alias("vocab_size"))
-    breadth = docs.agg(
+    # One combined pass for every doc-grain statistic (the scan-audit
+    # flag: five separate aggregates each re-scanned the table).
+    head = docs.select(
+        "lang",
+        "source",
+        _X.fingerprint("text").alias("f"),
+        _X.quality_score_expr("text").alias("score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
         F.count_distinct("lang").alias("n_langs"),
         F.count_distinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_fp"),
+        F.count_distinct("f").alias("n_distinct_fp"),
+        F.sum("score").alias("q_sum"),
     )
-    fps = docs.select(_X.fingerprint("text").alias("f"))
-    dup = fps.agg(
-        F.count(F.lit(1)).alias("n_fp"), F.count_distinct("f").alias("n_distinct_fp")
-    )
-    qual = docs.agg(F.sum(_X.quality_score_expr("text")).alias("q_sum"))
     return (
-        n_docs.crossJoin(F.broadcast(n_tok))
+        head.crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(breadth))
-        .crossJoin(F.broadcast(dup))
-        .crossJoin(F.broadcast(qual))
         .select(
             "n_docs",
             "n_tokens",

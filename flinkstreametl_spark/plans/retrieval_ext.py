@@ -968,3 +968,122 @@ def bm25_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rr_fp"),
         )
     )
+
+
+# --- Rank-biased overlap between the two retrieval modalities ----------------
+
+_RBO_D = 20  # evaluation depth == the per-modality candidate depth
+
+
+def _rbo_terms_sql() -> str:
+    """Σ_{d=1..D} (overlap_d · FP div d) div 2^d — RBO@D with the
+    dyadic persistence p = 1/2, every term an integer division so the
+    score is engine-exact. (1−p)·p^(d−1) = 2^−d folds the RBO weight
+    into one shift."""
+    return " + ".join(
+        f"(CAST(COUNT(*) FILTER (WHERE m <= {d}) AS BIGINT) * {_FP} // {d}) // {2 ** d}"
+        for d in range(1, _RBO_D + 1)
+    )
+
+
+_RBO_ORACLE = (
+    _bm25_ctes(
+        "",
+        f"SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term"
+        f" FROM base WHERE doc_id < {_BM25_NQ}",
+        _RBO_D,
+    )
+    + f""",
+ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+              unnest(embedding) AS val FROM embeddings),
+dense_sc AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS dot,
+           SUM(CAST(floor(CAST(q.val AS DOUBLE) * CAST(q.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS qq,
+           SUM(CAST(floor(CAST(c.val AS DOUBLE) * CAST(c.val AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS cc
+    FROM (SELECT * FROM ex WHERE vec_id < {_BM25_NQ}) q
+    JOIN ex c ON c.pos = q.pos
+    GROUP BY 1, 2
+),
+dense AS (
+    SELECT query_id, doc_id, rk AS dense_rk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(qq AS DOUBLE) * CAST(cc AS DOUBLE)) DESC,
+                                           doc_id) AS rk
+        FROM dense_sc
+    ) r WHERE rk <= {_RBO_D}
+),
+common AS (
+    SELECT s.query_id, GREATEST(s.rk, d.dense_rk) AS m
+    FROM topk s JOIN dense d ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+)
+SELECT p.query_id,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       CAST(COALESCE(c.rbo_fp, 0) AS BIGINT) AS rbo_fp
+FROM (SELECT DISTINCT query_id FROM q) p
+LEFT JOIN (
+    SELECT query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST({_rbo_terms_sql()} AS BIGINT) AS rbo_fp
+    FROM common GROUP BY query_id
+) c ON c.query_id = p.query_id
+"""
+)
+
+
+@register(
+    "rbo_rank_agreement",
+    tags=("ext", "llm", "retrieval", "eval"),
+    oracle=_RBO_ORACLE,
+)
+def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (RBO@20, persistence p = 1/2) between the
+    BM25 and dense-cosine rankings for the standing query panel — DO
+    the two retrieval modalities agree, quantified top-weightedly
+    (depth-1 agreement dominates; ties at depth 20 barely count)?
+    Low RBO is exactly when hybrid fusion (``hybrid_rrf_retrieval``)
+    earns its keep; high RBO says one modality suffices.
+
+    Exactness: the dyadic p folds (1−p)p^(d−1) into 2^−d, so every
+    term is overlap_d·FP div d div 2^d — pure integers. Plan: both
+    bounded rank lists are the hybrid query's own machinery; the
+    agreement join, depth explosion (20 literals), and the per-query
+    sum all run on parameter-sized frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    qterms = docs.filter(F.col("doc_id") < _BM25_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(X.tokens("text"))).alias("term"),
+    )
+    sparse = bm25_topk(docs.select("doc_id", "text"), qterms, _RBO_D).select(
+        "query_id", "doc_id", F.col("rk").alias("bm25_rk")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _BM25_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb"))
+    dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
+    dense = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "doc_id", S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+        .withColumn("dense_rk", F.row_number().over(dw))
+        .filter(F.col("dense_rk") <= _RBO_D)
+        .select("query_id", "doc_id", "dense_rk")
+    )
+    common = sparse.join(dense, ["query_id", "doc_id"]).select(
+        "query_id", F.greatest("bm25_rk", "dense_rk").alias("m")
+    )
+    terms = sum(
+        F.expr(f"(count_if(m <= {d}) * {_FP} div {d}) div {2 ** d}")
+        for d in range(1, _RBO_D + 1)
+    )
+    agg = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_common"), terms.cast("long").alias("rbo_fp")
+    )
+    panel = qterms.select("query_id").distinct()
+    return panel.join(F.broadcast(agg), "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.coalesce("rbo_fp", F.lit(0)).cast("long").alias("rbo_fp"),
+    )

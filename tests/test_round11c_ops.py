@@ -108,3 +108,14 @@ def test_priority_transition_rows_sum_to_one(spark, sf_dir):
         assert sum(r.n for r in rs) == rs[0].row_n
         total_bp = sum(r.share_bp for r in rs)
         assert 10000 - len(rs) < total_bp <= 10000, f"{prev}: floor shares must sum just under 1"
+
+
+def test_rbo_bounds_and_terms(spark, sf_dir):
+    rows = REGISTRY["rbo_rank_agreement"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r.n_common <= 20
+        # RBO in [0, 1): the dyadic weights sum to < 1e6 at depth 20.
+        assert 0 <= r.rbo_fp < 1_000_000
+        if r.n_common == 0:
+            assert r.rbo_fp == 0

@@ -5,7 +5,9 @@ The streaming execution of this operator needs the protobuf package
 (PySpark's transformWithState state-server protocol), which this CI
 container doesn't ship — so the end-to-end run is skipif-gated, and the
 processor logic + plan construction are verified directly (the same
-gating discipline as the Kafka source/sink)."""
+gating discipline as the Kafka source/sink). Gate re-checked
+2026-08-15 (round 9): still no google.protobuf module and no broker in
+the image; the skips stand."""
 
 from __future__ import annotations
 

@@ -14,8 +14,8 @@ as diffs against the table below.
 
 Usage: python tools/scan_audit.py  [writes nothing; prints the table]
 
-Expected state (round 8 close) — all deliberate multi-pass designs
-(each extra scan is a narrow column-pruned pass judged cheaper than a
+Expected state (round 9) — all deliberate multi-pass designs (each
+extra scan is a narrow column-pruned pass judged cheaper than a
 materialization):
   ann_ivf_topk 3, cluster_safe_split 3, dedup_method_agreement 8,
   domain_budget_allocation 8, embedding_srp_pairs 4,
@@ -24,7 +24,13 @@ materialization):
   neardup_source_matrix 6 (the minhash chain's 4 + two (doc_id, source)
   dimension lookups), ngram_repetition_stats 3,
   nucleus_sample_per_source 3, pareto_frontier_parts 3,
-  resample_ffill_hourly 3, temperature_mix_sample 3, tfidf_top_terms 3.
+  resample_ffill_hourly 3, session_gap_sensitivity 3 (one narrow pass
+  per timeout variant), temperature_mix_sample 3, tfidf_top_terms 3.
+Round-9 history: the audit caught four fresh additions
+(funnel_conversion_steps at SEVEN events scans — unpinned stage
+lineage replayed per consumer — plus cohort/mannwhitney/dataset_card
+at 3-4); all four were pinned/combined the same day and now plan at
+<= 1 scan per table.
 """
 
 from __future__ import annotations
