@@ -24,6 +24,7 @@ from flinkstreametl_spark.plans import dedup_audit_ext as _dedup_audit_ext  # no
 from flinkstreametl_spark.plans import retrieval_ext as _retrieval_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import eval_ext as _eval_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import sketch_ext as _sketch_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -155,6 +156,11 @@ _NEW_R11: list[str] = [
     "token_pair_lift_top50",
     "order_priority_transition_matrix",
     "rbo_rank_agreement",
+    "hll_distinct_audit",
+    "cms_heavy_hitters_audit",
+    "pettitt_changepoint_daily",
+    "degree_assortativity_copurchase",
+    "apriori_triple_itemsets",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

@@ -904,3 +904,195 @@ def personalized_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFr
             F.row_number().over(Window.orderBy(F.col("rank_fp").desc(), F.col("node"))).cast("long").alias("rk"),
         )
     )
+
+
+_ASSORT_ORACLE = """
+WITH pairs AS MATERIALIZED (
+    SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+                    greatest(a.l_partkey, b.l_partkey) AS v
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS MATERIALIZED (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+    GROUP BY node
+),
+directed AS (
+    SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs
+),
+mo AS (
+    SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+           CAST(SUM(da.deg) AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(db.deg) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(da.deg * db.deg) AS DECIMAL(38,0)) AS sxy,
+           CAST(SUM(da.deg * da.deg) AS DECIMAL(38,0)) AS sxx,
+           CAST(SUM(db.deg * db.deg) AS DECIMAL(38,0)) AS syy
+    FROM directed JOIN deg da ON da.node = directed.a JOIN deg db ON db.node = directed.b
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       CAST(sx AS BIGINT) AS sum_deg,
+       CAST(sxy AS BIGINT) AS sum_deg_prod,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS assortativity
+FROM mo
+"""
+
+
+@register("degree_assortativity_copurchase", tags=("ext", "graph", "stats"), oracle=_ASSORT_ORACLE)
+def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    POSITIVE r means hub parts co-occur with other hubs (assortative
+    mixing), NEGATIVE means hubs attach to the periphery. The standard
+    one-number mixing summary (Newman 2002) the triangle census lacks,
+    and the quantity that predicts whether degree-based partitioning
+    salts will help a skewed self-join downstream.
+
+    Plan shape: the same per-order pair enumeration as
+    ``copurchase_triangle_stats`` (quadratic only in order size), one
+    degree aggregate, degrees BROADCAST onto the doubled edge list
+    (the edge stream is never shuffled), then a single global moment
+    aggregate — 6 numbers cross the final exchange. Moments accumulate
+    in DECIMAL(38,0) (Spark) / DECIMAL(38,0) (DuckDB): n * sxx is ~21
+    digits at sf1, past int64 but exact in decimal on both engines;
+    each combination term crosses to double through ONE scale-0
+    conversion, then the single correlation division + sqrt happens in
+    the same literal order in both engines (round 6). Zero-variance
+    degenerate graphs yield NULL by explicit CASE."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = G.degrees(pairs)
+    directed = pairs.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        pairs.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("dy"))
+    joined = directed.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    dec = "decimal(38,0)"
+    mo = joined.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("dx").cast(dec).alias("sx"),
+        F.sum("dy").cast(dec).alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast(dec).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast(dec).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast(dec).alias("syy"),
+    )
+    nvar_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nvar_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return mo.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.col("sx").cast("long").alias("sum_deg"),
+        F.col("sxy").cast("long").alias("sum_deg_prod"),
+        F.when((nvar_x == 0) | (nvar_y == 0), F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                num.cast("double") / F.sqrt(nvar_x.cast("double") * nvar_y.cast("double")), 6
+            )
+        )
+        .alias("assortativity"),
+    )
+
+
+_TRIPLES_MINSUP = 2
+
+_TRIPLES_ORACLE = f"""
+WITH baskets AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total FROM baskets
+),
+tri AS (
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+           CAST(COUNT(*) AS BIGINT) AS n_support
+    FROM baskets a
+    JOIN baskets b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    JOIN baskets c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_TRIPLES_MINSUP}
+)
+SELECT p1, p2, p3, n_support, n_total,
+       n_support * 1000000 // n_total AS support_ppm
+FROM tri CROSS JOIN n_orders
+"""
+
+
+@register("apriori_triple_itemsets", tags=("ext", "graph", "basket"), oracle=_TRIPLES_ORACLE)
+def apriori_triple_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 3-itemsets over order baskets (support >= 2), the level
+    the pair-grain ``basket_lift_top_pairs`` stops below — the smallest
+    instance of the a-priori lattice climb every market-basket /
+    co-occurrence miner needs.
+
+    The ORACLE counts triples directly (the answer is defined by the
+    data); the SPARK PLAN is the scale path: a-priori pruning. Every
+    frequent triple's three sub-pairs are frequent (downward closure),
+    so the plan (1) counts pairs once, (2) keeps the frequent-pair set
+    — 3-4 orders of magnitude smaller than the pair set at any scale —
+    and (3) re-derives candidate triples ONLY from order-pair
+    occurrences that are themselves frequent pairs, checking the two
+    remaining sub-pairs by broadcast semi-joins before the final count.
+    At 100 TB the unpruned triple join is sum C(basket, 3) rows —
+    bounded per order but dominated by never-frequent junk; the pruned
+    plan's intermediate is proportional to FREQUENT-pair occurrences
+    (the broadcastable frequent-pair list is KBs), which is the whole
+    point of a-priori. Counts and support_ppm are exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    n_total_df = baskets.agg(F.count_distinct("l_orderkey").cast("long").alias("n_total"))
+    a, b, c = baskets.alias("a"), baskets.alias("b"), baskets.alias("c")
+    # (order, p1, p2) pair occurrences, counted once.
+    occ2 = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("ok"),
+        F.col("a.l_partkey").alias("p1"),
+        F.col("b.l_partkey").alias("p2"),
+    ).localCheckpoint()
+    freq2 = (
+        occ2.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRIPLES_MINSUP)
+        .select("p1", "p2")
+    )
+    # Candidate stems: occurrences of FREQUENT pairs only.
+    stems = occ2.join(F.broadcast(freq2), ["p1", "p2"], "left_semi")
+    cand = stems.join(
+        c,
+        (F.col("ok") == F.col("c.l_orderkey")) & (F.col("p2") < F.col("c.l_partkey")),
+    ).select("p1", "p2", F.col("c.l_partkey").alias("p3"))
+    # Downward closure on the two remaining sub-pairs.
+    f13 = freq2.select(F.col("p1").alias("p1"), F.col("p2").alias("p3"))
+    f23 = freq2.select(F.col("p1").alias("p2"), F.col("p2").alias("p3"))
+    pruned = cand.join(F.broadcast(f13), ["p1", "p3"], "left_semi").join(
+        F.broadcast(f23), ["p2", "p3"], "left_semi"
+    )
+    tri = (
+        pruned.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_support"))
+        .filter(F.col("n_support") >= _TRIPLES_MINSUP)
+    )
+    return tri.crossJoin(F.broadcast(n_total_df)).select(
+        "p1",
+        "p2",
+        "p3",
+        "n_support",
+        "n_total",
+        (F.col("n_support") * 1_000_000 / F.col("n_total")).cast("long").alias("support_ppm"),
+    )

@@ -1886,3 +1886,82 @@ def holt_winters_seasonal_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.element_at(F.col("_st"), nslot)
         ).alias("forecast_1"),
     )
+
+
+_PETTITT_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+v AS (
+    SELECT a.event_type, a.day,
+           CAST(SUM(CASE WHEN a.s_fp > b.s_fp THEN 1
+                         WHEN a.s_fp < b.s_fp THEN -1 ELSE 0 END) AS BIGINT) AS v_t
+    FROM daily a JOIN daily b ON a.event_type = b.event_type
+    GROUP BY 1, 2
+), u AS (
+    SELECT event_type, day,
+           CAST(SUM(v_t) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS u_t,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
+    FROM v
+)
+SELECT event_type, n_days, day AS change_day, abs(u_t) AS k_stat, u_t AS u_at_change
+FROM (
+    SELECT u.*, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY abs(u_t) DESC, day) AS rn
+    FROM u
+) r
+WHERE rn = 1
+"""
+
+
+@register("pettitt_changepoint_daily", tags=("ext", "timeseries", "stats"), oracle=_PETTITT_ORACLE)
+def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt nonparametric changepoint test per event type: the day
+    t maximizing |U_t|, U_t = sum over i<=t, j>t of sign(x_i - x_j) on
+    the daily value series — the rank-based single-changepoint locator
+    (a robust complement to ``cusum_changepoint_daily``, which reacts
+    to mean shifts in value units; Pettitt is invariant to any
+    monotone transform of the values).
+
+    Exactness: signs of exact fixed-point BIGINTs, integer sums only —
+    no ranks, no floats anywhere. The incremental identity
+    U_t = U_{t-1} + V_t with V_t = sum over ALL j of sign(x_t - x_j)
+    turns the textbook O(n^2)-per-t triple loop into ONE pairwise
+    aggregate plus a running-sum window; the pair join runs on the
+    calendar-bounded daily grain (30 days here, 365/year at any data
+    volume), never on events. A self-check the tests pin: V_t is
+    antisymmetric, so U at the last day is exactly 0.
+
+    Scale: the only event-volume-proportional work is the daily-grain
+    reduction (one map-side-combined shuffle); everything after is
+    days^2 <= 365^2 rows per series per year."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    a, b = daily.alias("a"), daily.alias("b")
+    sign = (
+        F.when(F.col("a.s_fp") > F.col("b.s_fp"), 1)
+        .when(F.col("a.s_fp") < F.col("b.s_fp"), -1)
+        .otherwise(0)
+    )
+    v = (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .select(F.col("a.event_type").alias("event_type"), F.col("a.day").alias("day"), sign.alias("s"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("s").cast("long").alias("v_t"))
+    )
+    w_run = Window.partitionBy("event_type").orderBy("day")
+    w_all = Window.partitionBy("event_type")
+    u = v.select(
+        "event_type",
+        "day",
+        F.sum("v_t").over(w_run).cast("long").alias("u_t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_days"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(F.abs(F.col("u_t")).desc(), "day")
+    return (
+        u.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_days",
+            F.col("day").alias("change_day"),
+            F.abs(F.col("u_t")).alias("k_stat"),
+            F.col("u_t").alias("u_at_change"),
+        )
+    )

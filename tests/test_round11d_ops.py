@@ -1,0 +1,98 @@
+"""Round-11-queue (fourth wave) operator invariants: Pettitt's
+antisymmetry bound, assortativity's correlation range, and a-priori's
+downward-closure law checked against the unpruned brute force.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans import REGISTRY
+
+
+def test_pettitt_stat_bounds(spark, sf_dir):
+    rows = REGISTRY["pettitt_changepoint_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.k_stat == abs(r.u_at_change)
+        # |U_t| <= t*(n-t) <= n^2/4 for a sign-sum over prefix pairs.
+        assert 0 <= r.k_stat <= r.n_days * r.n_days / 4
+        assert 0 <= r.change_day
+
+
+def test_pettitt_last_prefix_is_zero(spark, sf_dir):
+    """V_t is antisymmetric over pairs, so the full-series prefix sum
+    U_n must be exactly 0 — rebuilt here from the daily grain."""
+    from flinkstreametl_spark.plans.timeseries_ext import _daily
+
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    a, b = daily.alias("a"), daily.alias("b")
+    sign = (
+        F.when(F.col("a.s_fp") > F.col("b.s_fp"), 1)
+        .when(F.col("a.s_fp") < F.col("b.s_fp"), -1)
+        .otherwise(0)
+    )
+    tot = (
+        a.join(b, F.col("a.event_type") == F.col("b.event_type"))
+        .groupBy(F.col("a.event_type"))
+        .agg(F.sum(sign).alias("u_n"))
+        .collect()
+    )
+    assert tot and all(r.u_n == 0 for r in tot)
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    rows = REGISTRY["degree_assortativity_copurchase"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_directed_edges > 0 and r.n_directed_edges % 2 == 0
+    if r.assortativity is not None:
+        assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_apriori_matches_bruteforce_and_closure(spark, sf_dir):
+    rows = REGISTRY["apriori_triple_itemsets"].fn(spark, sf_dir).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a, b, c = baskets.alias("a"), baskets.alias("b"), baskets.alias("c")
+    brute = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"),
+            F.col("b.l_partkey").alias("p2"),
+            F.col("c.l_partkey").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    )
+    want = {(r.p1, r.p2, r.p3): r.n for r in brute}
+    got = {(r.p1, r.p2, r.p3): r.n_support for r in rows}
+    assert got == want, "a-priori pruning must not change the answer"
+    # Downward closure: every sub-pair of a frequent triple is frequent.
+    pair_n = {
+        (r.p1, r.p2): r.n
+        for r in (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    for (p1, p2, p3), n in got.items():
+        for sub in ((p1, p2), (p1, p3), (p2, p3)):
+            assert pair_n[sub] >= n
