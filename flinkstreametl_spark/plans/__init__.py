@@ -161,6 +161,7 @@ _NEW_R11: list[str] = [
     "pettitt_changepoint_daily",
     "degree_assortativity_copurchase",
     "apriori_triple_itemsets",
+    "cramers_v_lang_source",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

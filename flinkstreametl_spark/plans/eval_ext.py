@@ -393,3 +393,96 @@ def churn_cohort_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_surviving * 10000 div n_total").alias("survival_bp"),
         )
     )
+
+
+_CRAMERS_ORACLE = """
+WITH cells AS (
+    SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+    FROM documents GROUP BY 1, 2
+), rm AS (
+    SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1
+), cm AS (
+    SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1
+), tot AS (
+    SELECT CAST(SUM(o) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM cells
+), terms AS (
+    SELECT CAST(floor(
+               CAST(cells.o * tot.n - rm.r * cm.c AS DOUBLE)
+               * CAST(cells.o * tot.n - rm.r * cm.c AS DOUBLE)
+               / CAST(rm.r * cm.c AS DOUBLE) / CAST(tot.n AS DOUBLE) * 1000000
+           ) AS BIGINT) AS chi2_term_ppm
+    FROM cells JOIN rm USING (lang) JOIN cm USING (source) CROSS JOIN tot
+)
+SELECT tot.n AS n_docs, tot.n_langs, tot.n_sources,
+       (SELECT CAST(SUM(chi2_term_ppm) AS BIGINT) FROM terms) AS chi2_ppm,
+       (tot.n_langs - 1) * (tot.n_sources - 1) AS dof,
+       round(sqrt(
+           CAST((SELECT SUM(chi2_term_ppm) FROM terms) AS DOUBLE) / 1000000.0
+           / CAST(tot.n * least(tot.n_langs - 1, tot.n_sources - 1) AS DOUBLE)
+       ), 6) AS cramers_v
+FROM tot
+"""
+
+
+@register("cramers_v_lang_source", tags=("ext", "analytics", "documents", "stats"), oracle=_CRAMERS_ORACLE)
+def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the corpus's language x source
+    contingency, summarized as Cramér's V in [0, 1] — the one-number
+    answer to "does where a document came from predict its language?",
+    which decides whether per-source language quotas
+    (``quota_sample_per_lang``) are load-bearing or redundant.
+
+    Exactness: each cell's (O*n - r*c) is an exact BIGINT (bounded by
+    n^2 ~ 10^12 at sf1, far inside int64); the per-cell chi-square term
+    is evaluated in double in the SAME literal order in both engines
+    and floored to ppm — so the cross-cell SUM is an integer sum,
+    immune to float accumulation order (the trap a naive SUM(double)
+    would hit under partitioned execution). One sqrt at the end.
+
+    Plan: one hash aggregate at the (lang, source) cell grain —
+    margins and totals are re-aggregations of the CELL table (KB-sized
+    at any corpus size), never a second scan of documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o")).localCheckpoint()
+    rm = cells.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    tot = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    d = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    term = F.floor(
+        d.cast("double")
+        * d.cast("double")
+        / (F.col("r") * F.col("c")).cast("double")
+        / F.col("n").cast("double")
+        * 1_000_000
+    ).cast("long")
+    chi2 = (
+        cells.join(F.broadcast(rm), "lang")
+        .join(F.broadcast(cm), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(term.alias("chi2_term_ppm"))
+        .agg(F.sum("chi2_term_ppm").cast("long").alias("chi2_ppm"))
+    )
+    return tot.crossJoin(F.broadcast(chi2)).select(
+        F.col("n").alias("n_docs"),
+        "n_langs",
+        "n_sources",
+        "chi2_ppm",
+        ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+        F.round(
+            F.sqrt(
+                F.col("chi2_ppm").cast("double")
+                / F.lit(1_000_000.0)
+                / (
+                    F.col("n") * F.least(F.col("n_langs") - 1, F.col("n_sources") - 1)
+                ).cast("double")
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -127,19 +127,20 @@ FROM est
 """
 
 
-def hll_sketch(events: DataFrame, key: str = "user_id", group: str = "event_type") -> DataFrame:
-    """Mergeable HLL state: (group, n_buckets, s_scaled). Reusable over
-    any (group, key) frame — the batch query below and any streaming
-    maintenance job build the SAME register table, and because max(rho)
-    is commutative and idempotent the result is partition- and
-    replay-invariant (tests pin both)."""
+def hll_registers(df: DataFrame, key: str = "user_id", group: str = "event_type") -> DataFrame:
+    """Raw HLL register table (grp, bucket, rho) for any (group, key)
+    frame. max(rho) is commutative AND idempotent, so registers merge
+    by the same groupBy/max whether the inputs are partitions of one
+    batch or a persisted state table plus a micro-batch — the property
+    ``streaming/hll_ingest.py`` builds on (and redelivery is a no-op
+    by construction)."""
     h60 = F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 15), 16, 10).cast("long")
     rem = h60 % F.lit(1 << _HLL_REM_BITS)
     rho = F.when(rem == 0, F.lit(_HLL_RHO_MAX)).otherwise(
         F.lit(_HLL_RHO_MAX) - F.length(F.bin(rem))
     )
-    reg = (
-        events.select(
+    return (
+        df.select(
             F.col(group).alias("grp"),
             F.shiftright(h60, _HLL_REM_BITS).alias("bucket"),
             rho.alias("rho"),
@@ -147,7 +148,12 @@ def hll_sketch(events: DataFrame, key: str = "user_id", group: str = "event_type
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    return reg.groupBy("grp").agg(
+
+
+def hll_summarize(registers: DataFrame) -> DataFrame:
+    """(grp, n_buckets, s_scaled) from a register table — the exact
+    dyadic harmonic sum, with empty buckets folded in arithmetically."""
+    return registers.groupBy("grp").agg(
         F.count(F.lit(1)).alias("n_buckets"),
         (
             F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_RHO_MAX} - rho)"))
@@ -156,6 +162,33 @@ def hll_sketch(events: DataFrame, key: str = "user_id", group: str = "event_type
         .cast("long")
         .alias("s_scaled"),
     )
+
+
+def hll_estimate_cols(df: DataFrame) -> DataFrame:
+    """Append (hll_est, method) to any frame carrying (n_buckets,
+    s_scaled): the two-branch estimator with the frozen LC table."""
+    raw = df.select(
+        "*",
+        F.round(F.lit(_EST_NUM) / F.col("s_scaled"), 3).alias("raw_est"),
+        (F.lit(HLL_M) - F.col("n_buckets")).alias("v_empty"),
+    )
+    lc_arr = F.array(*[F.lit(x) for x in _LC_X1000])
+    small = (F.col("raw_est") <= F.lit(_LC_THRESHOLD)) & (F.col("v_empty") > 0)
+    return raw.select(
+        "*",
+        F.when(small, F.element_at(lc_arr, F.col("v_empty").cast("int")) / F.lit(1000.0))
+        .otherwise(F.col("raw_est"))
+        .alias("hll_est"),
+        F.when(small, F.lit("lc")).otherwise(F.lit("raw")).alias("method"),
+    ).drop("raw_est", "v_empty")
+
+
+def hll_sketch(events: DataFrame, key: str = "user_id", group: str = "event_type") -> DataFrame:
+    """Mergeable HLL state: (group, n_buckets, s_scaled). The batch
+    query below and the streaming maintenance job build the SAME
+    register table, so their sketches are bit-identical (pinned by
+    ``tests/test_hll_ingest.py``)."""
+    return hll_summarize(hll_registers(events, key, group))
 
 
 @register("hll_distinct_audit", tags=("ext", "sketch", "events"), oracle=_HLL_ORACLE)
@@ -179,20 +212,7 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     s = hll_sketch(events).withColumnRenamed("grp", "event_type")
     ex = events.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
-    raw = s.join(ex, "event_type").select(
-        "*",
-        F.round(F.lit(_EST_NUM) / F.col("s_scaled"), 3).alias("raw_est"),
-        (F.lit(HLL_M) - F.col("n_buckets")).alias("v_empty"),
-    )
-    lc_arr = F.array(*[F.lit(x) for x in _LC_X1000])
-    small = (F.col("raw_est") <= F.lit(_LC_THRESHOLD)) & (F.col("v_empty") > 0)
-    est = raw.select(
-        "*",
-        F.when(small, F.element_at(lc_arr, F.col("v_empty").cast("int")) / F.lit(1000.0))
-        .otherwise(F.col("raw_est"))
-        .alias("hll_est"),
-        F.when(small, F.lit("lc")).otherwise(F.lit("raw")).alias("method"),
-    )
+    est = hll_estimate_cols(s.join(ex, "event_type"))
     return est.select(
         "event_type",
         "n_buckets",

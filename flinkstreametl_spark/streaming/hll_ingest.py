@@ -1,0 +1,146 @@
+"""[EXT] Streaming HLL cardinality maintenance: per-group distinct
+counts over an unbounded event stream, kept as a persisted register
+table merged micro-batch by micro-batch.
+
+Why this module: the reference pipeline upserts enriched rows and
+stops (``Main.java:61-106``); the first dashboard question against
+that sink is "how many distinct users per type, so far?" — and
+``countDistinct`` over an unbounded stream either holds every key in
+state (Structured Streaming's exact mode: state grows with distinct
+keys, forever) or pays a full recompute per trigger. HLL registers
+are the 100 TB answer: the state is AT MOST |groups| x 1024 rows
+regardless of key cardinality, and the merge (max per register) is
+commutative + idempotent, so at-least-once redelivery is a no-op BY
+CONSTRUCTION — no dedup bookkeeping at all (contrast the bloom/shard
+loops, which need explicit replay guards).
+
+The register math is ``plans/sketch_ext.py`` verbatim — the batch
+``hll_distinct_audit`` and this loop build the SAME registers, which
+is the whole evidence story: the incremental sketch after any number
+of micro-batches is bit-identical to the batch sketch over the union
+of those batches (``tests/test_hll_ingest.py`` pins register-level
+equality, not approximate agreement).
+
+Crash contract — registers are the single source of truth and flip
+atomically:
+
+* The merged register table is written as a complete new ``v{n+1}``
+  directory, then a one-line CURRENT pointer flips via ``os.replace``
+  (``streaming/versioned.py``). A crash before the flip leaves v{n}
+  fully live; the replayed batch re-merges to the identical v{n+1}
+  (idempotence) and flips. There is no torn-state window.
+* The per-batch estimate TIMELINE (one row per group per batch — the
+  growth curve dashboards plot) appends AFTER the flip, keyed by
+  batch_id: a crash between flip and append loses only that batch's
+  timeline row, which the replay re-derives from the same registers;
+  duplicates are impossible because replay produces the same
+  (batch_id, grp) key for downstream MERGE — the sinks.py upsert
+  story.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans.sketch_ext import (
+    hll_estimate_cols,
+    hll_registers,
+    hll_summarize,
+)
+from flinkstreametl_spark.streaming.versioned import (
+    current_version,
+    flip_current,
+    gc_orphans,
+    version_dir,
+)
+
+REGISTERS_SUBDIR = "registers"
+TIMELINE_SUBDIR = "timeline"
+
+_REG_SCHEMA = "grp STRING, bucket BIGINT, rho INT"
+
+
+def _load_registers(spark: SparkSession, state_dir: str) -> DataFrame:
+    reg_root = os.path.join(state_dir, REGISTERS_SUBDIR)
+    ver = current_version(reg_root)
+    if ver is None:
+        return spark.createDataFrame([], _REG_SCHEMA)
+    return spark.read.schema(_REG_SCHEMA).parquet(version_dir(reg_root, ver))
+
+
+def process_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    *,
+    batch_id: int | None = None,
+    key: str = "user_id",
+    group: str = "event_type",
+) -> dict[str, int]:
+    """Merge one micro-batch into the persisted HLL registers; called
+    from ``foreachBatch`` (or directly for replay tests). Returns
+    per-batch stats on the bounded state (register rows, groups).
+
+    Plan shape per batch: ONE map-side-combined aggregate reduces the
+    batch to <= |groups| x 1024 register rows; the merge joins that
+    against a state table of the same bounded size — no corpus-sized
+    frame exists at any point, and nothing rescans history."""
+    reg_root = os.path.join(state_dir, REGISTERS_SUBDIR)
+    os.makedirs(reg_root, exist_ok=True)
+    # Sweep a pre-flip orphan from a crashed predecessor before
+    # building on CURRENT.
+    gc_orphans(reg_root)
+
+    state = _load_registers(spark, state_dir)
+    batch_regs = hll_registers(batch_df, key=key, group=group)
+    merged = (
+        state.unionByName(batch_regs.select("grp", "bucket", F.col("rho").cast("int")))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint()
+    )
+
+    next_ver = (current_version(reg_root) or 0) + 1
+    merged.write.mode("overwrite").parquet(version_dir(reg_root, next_ver))
+    flip_current(reg_root, next_ver)  # commit point
+
+    # Timeline row(s): the estimate AFTER this batch, keyed by
+    # batch_id (at-least-once; replay rewrites the same key).
+    summary = hll_estimate_cols(hll_summarize(merged))
+    if batch_id is not None:
+        summary.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(os.path.join(state_dir, TIMELINE_SUBDIR))
+
+    n_regs = merged.count()
+    return {
+        "n_register_rows": n_regs,
+        "n_groups": merged.select("grp").distinct().count(),
+        "state_version": next_ver,
+    }
+
+
+def run_hll_stream(
+    spark: SparkSession,
+    source_path: str,
+    state_dir: str,
+    *,
+    available_now: bool = True,
+):
+    """Continuous HLL maintenance over a JSONL event stream
+    (``available_now=True`` drains existing files and stops — the
+    test / batch-replay mode)."""
+    stream = (
+        spark.readStream.schema("event_id LONG, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(source_path)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: process_batch(df.sparkSession, df, state_dir, batch_id=bid)
+    ).option("checkpointLocation", os.path.join(state_dir, "_checkpoint"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

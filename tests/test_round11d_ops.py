@@ -96,3 +96,14 @@ def test_apriori_matches_bruteforce_and_closure(spark, sf_dir):
     for (p1, p2, p3), n in got.items():
         for sub in ((p1, p2), (p1, p3), (p2, p3)):
             assert pair_n[sub] >= n
+
+
+def test_cramers_v_range_and_chi2_nonneg(spark, sf_dir):
+    rows = REGISTRY["cramers_v_lang_source"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.chi2_ppm >= 0
+    assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
+    assert r.dof == (r.n_langs - 1) * (r.n_sources - 1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert r.n_docs == docs.count()
