@@ -162,6 +162,9 @@ _NEW_R11: list[str] = [
     "degree_assortativity_copurchase",
     "apriori_triple_itemsets",
     "cramers_v_lang_source",
+    "k_anonymity_audit",
+    "forecast_naive_backtest",
+    "simplified_silhouette_by_cluster",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

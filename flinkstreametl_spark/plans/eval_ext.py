@@ -486,3 +486,80 @@ def cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+_KANON_K = 5  # re-identification risk threshold the audit reports against
+_KANON_BAND = 1000  # acctbal band width: the QI's generalization step
+
+_KANON_ORACLE = f"""
+WITH g AS (
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS grp_n,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+    FROM customer
+    GROUP BY 1, 2
+)
+SELECT CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(grp_n) AS BIGINT) AS k_min,
+       CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN grp_n ELSE 0 END) AS BIGINT) AS n_rows_below_k,
+       CAST(SUM(CASE WHEN grp_n < {_KANON_K} THEN grp_n ELSE 0 END) * 10000 // SUM(grp_n) AS BIGINT) AS below_k_bp,
+       CAST(MIN(l_div) AS BIGINT) AS l_min,
+       CAST(SUM(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_l1
+FROM g
+"""
+
+
+@register("k_anonymity_audit", tags=("ext", "governance", "customer"), oracle=_KANON_ORACLE)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit of the customer table under the
+    quasi-identifier (nation, account-balance band): k-anonymity
+    (minimum group size; rows in groups smaller than k=5 are
+    re-identification candidates) and l-diversity of the market
+    segment within each QI group (groups with a single segment leak
+    the sensitive attribute even when k holds). The release-gate
+    numbers a training-data pipeline needs BEFORE customer-derived
+    features leave the warehouse — the reference pipeline upserts raw
+    entity rows with no such gate (``SinkToMySQL.java:31-65``).
+
+    Exactness: pure integer counting — group sizes, distinct counts,
+    and a basis-point floor ratio. Plan: ONE hash aggregate at the QI
+    grain, then a second aggregate over the QI-group frame (bounded by
+    |nations| x |bands|, KB-sized at any row count); the sensitive-
+    attribute diversity rides the same first aggregate as a
+    count-distinct. No window, no self-join, nothing row-scaled after
+    the first map-side-combined reduction."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = (
+        cust.select(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / _KANON_BAND).cast("long").alias("bal_band"),
+            "c_mktsegment",
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.countDistinct("c_mktsegment").alias("l_div"),
+        )
+    )
+    below = F.sum(F.when(F.col("grp_n") < _KANON_K, F.col("grp_n")).otherwise(0))
+    agg = g.agg(
+        F.sum("grp_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("grp_n").cast("long").alias("k_min"),
+        below.cast("long").alias("n_rows_below_k"),
+        F.min("l_div").cast("long").alias("l_min"),
+        F.sum(F.when(F.col("l_div") == 1, 1).otherwise(0)).cast("long").alias("n_groups_l1"),
+    )
+    # Integer `div`, not double `/`: a ratio one ulp under an integer
+    # would round up in double but floor in DuckDB's `//`.
+    return agg.select(
+        "n_rows",
+        "n_groups",
+        "k_min",
+        "n_rows_below_k",
+        F.expr("n_rows_below_k * 10000 div n_rows").alias("below_k_bp"),
+        "l_min",
+        "n_groups_l1",
+    )

@@ -2067,3 +2067,105 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d_proj_fp",
         F.expr(f"d_proj_fp * {_JL_RATIO} div d_orig_fp").alias("ratio_ppm"),
     )
+
+
+def _sil_oracle() -> str:
+    i = _KM_ITERS + 1
+    return (
+        _kmeans_ctes()
+        + f""",
+sil AS (
+    SELECT d.vec_id, a.cluster,
+           MIN(CASE WHEN d.cluster = a.cluster THEN d.dist END) AS a_dist,
+           MIN(CASE WHEN d.cluster <> a.cluster THEN d.dist END) AS b_dist
+    FROM d{i} d JOIN a{i} a USING (vec_id)
+    GROUP BY d.vec_id, a.cluster
+), terms AS (
+    SELECT cluster,
+           CASE WHEN greatest(a_dist, b_dist) = 0 THEN 0
+                ELSE CAST(floor(CAST(b_dist - a_dist AS DOUBLE)
+                                / CAST(greatest(a_dist, b_dist) AS DOUBLE) * 1000000) AS BIGINT)
+           END AS s_ppm
+    FROM sil
+)
+SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_sil_ppm,
+       CAST(MIN(s_ppm) AS BIGINT) AS min_sil_ppm
+FROM terms GROUP BY cluster"""
+    )
+
+
+@register(
+    "simplified_silhouette_by_cluster",
+    tags=("ext", "llm", "similarity", "iterative", "pandas"),
+    oracle=_sil_oracle(),
+)
+def simplified_silhouette_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per K-Means cluster:
+    for every vector, a = fixed-point squared distance to its OWN
+    (nearest) centroid, b = distance to the nearest OTHER centroid,
+    s = (b - a) / max(a, b) in [0, 1) — the per-cluster mean and
+    minimum separation margin. The cluster-quality readout that says
+    WHICH clusters of ``kmeans_cluster_sizes`` are well-separated and
+    which overlap (low margin -> semantic-dedup passes inside them
+    will cross true topic boundaries). Full silhouette is
+    all-pairs-within-cluster (O(n^2) — a non-starter at corpus scale);
+    the centroid form is the standard O(n*k) surrogate.
+
+    Exactness: distances are the Lloyd kernel's int64 fixed-point
+    sums; each vector's margin is floored to ppm in an identical
+    double expression on both sides, so the per-cluster mean is an
+    integer sum `div` count. The oracle replays the exact Lloyd
+    trajectory (``_kmeans_ctes``) and reads a/b from the final
+    distance table — no re-derivation drift possible.
+
+    Plan: one Arrow-batched kernel pass emits each vector's k-distance
+    array (k x dim centroid matrix rides in the closure — no join, no
+    shuffle); own/other margins come from array HOFs on that row-local
+    array; ONE hash aggregate at the cluster grain ends the query."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_fit(emb)
+    c_mat = np.array(cents, dtype=np.float64)
+
+    @pandas_udf("array<long>")
+    def dists(emb_s):
+        import pandas as pd
+
+        M = np.array(emb_s.tolist(), dtype=np.float64)
+        diff = M[:, None, :] - c_mat[None, :, :]
+        d = np.floor(diff * diff * _KM_FP).astype(np.int64).sum(axis=2)
+        return pd.Series(list(d))
+
+    per_vec = (
+        emb.select("vec_id", dists(F.col("embedding")).alias("ds"))
+        .withColumn("cluster", (F.expr("array_position(ds, array_min(ds))") - 1).cast("long"))
+        .withColumn("a_dist", F.array_min("ds"))
+        .withColumn(
+            "b_dist",
+            F.expr("array_min(transform(ds, (x, i) -> IF(i = CAST(cluster AS INT), NULL, x)))"),
+        )
+        .withColumn(
+            "s_ppm",
+            F.when(F.greatest("a_dist", "b_dist") == 0, F.lit(0)).otherwise(
+                F.floor(
+                    (F.col("b_dist") - F.col("a_dist")).cast("double")
+                    / F.greatest("a_dist", "b_dist").cast("double")
+                    * 1_000_000
+                ).cast("long")
+            ),
+        )
+    )
+    agg = per_vec.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("s_ppm").alias("_s"),
+        F.min("s_ppm").cast("long").alias("min_sil_ppm"),
+    )
+    return agg.select(
+        "cluster",
+        "n_members",
+        F.expr("_s div n_members").cast("long").alias("mean_sil_ppm"),
+        "min_sil_ppm",
+    )

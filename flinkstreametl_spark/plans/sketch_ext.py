@@ -191,7 +191,7 @@ def hll_sketch(events: DataFrame, key: str = "user_id", group: str = "event_type
     return hll_summarize(hll_registers(events, key, group))
 
 
-@register("hll_distinct_audit", tags=("ext", "sketch", "events"), oracle=_HLL_ORACLE)
+@register("hll_distinct_audit", tags=("ext", "sketch", "events", "bench"), oracle=_HLL_ORACLE)
 def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event type, audited
     against the exact distinct count: register census, exact harmonic
@@ -257,7 +257,7 @@ GROUP BY p.tok, p.exact_cnt
 """
 
 
-@register("cms_heavy_hitters_audit", tags=("ext", "sketch", "documents"), oracle=_CMS_ORACLE)
+@register("cms_heavy_hitters_audit", tags=("ext", "sketch", "documents", "bench"), oracle=_CMS_ORACLE)
 def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch over corpus token frequencies, audited on the
     exact top-20 heavy hitters: exact count, CMS point estimate

@@ -1965,3 +1965,78 @@ def pettitt_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("u_t").alias("u_at_change"),
         )
     )
+
+
+_BT_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+lagged AS (
+    SELECT event_type, day, s_fp,
+           LAG(s_fp, 1) OVER (PARTITION BY event_type ORDER BY day) AS f_naive,
+           LAG(s_fp, 7) OVER (PARTITION BY event_type ORDER BY day) AS f_snaive
+    FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_origins,
+       CAST(SUM(abs(s_fp - f_naive)) // COUNT(*) AS BIGINT) AS naive_mae_fp,
+       CAST(SUM(abs(s_fp - f_snaive)) // COUNT(*) AS BIGINT) AS snaive_mae_fp,
+       CAST(SUM(CASE WHEN abs(f_naive) + abs(s_fp) = 0 THEN 0
+                ELSE abs(s_fp - f_naive) * 2000000 // (abs(f_naive) + abs(s_fp)) END)
+            // COUNT(*) AS BIGINT) AS naive_smape_ppm,
+       CAST(SUM(CASE WHEN abs(f_snaive) + abs(s_fp) = 0 THEN 0
+                ELSE abs(s_fp - f_snaive) * 2000000 // (abs(f_snaive) + abs(s_fp)) END)
+            // COUNT(*) AS BIGINT) AS snaive_smape_ppm
+FROM lagged
+WHERE f_naive IS NOT NULL AND f_snaive IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("forecast_naive_backtest", tags=("ext", "timeseries", "eval"), oracle=_BT_ORACLE)
+def forecast_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin 1-step backtest of the two no-model forecast
+    baselines on the daily value series: naive (f = yesterday) and
+    7-day seasonal naive (f = same weekday last week), reported as MAE
+    (fixed-point) and sMAPE (ppm) per event type. This is the skill
+    floor the Holt / Holt-Winters queries must beat — a forecast eval
+    without its naive baseline is uninterpretable (the M-competition
+    convention; MASE scales by exactly the naive MAE this emits).
+
+    Exactness: every origin's error term is an integer (fixed-point
+    |e|, and sMAPE's |e|*2e6 // (|f|+|a|) — integer division), so the
+    per-type means are integer sums divided with `div` — no float
+    enters at any point, hence partition- and engine-exact.
+
+    Plan: the daily-grain reduction (one shuffle), two LAGs on one
+    per-type day-ordered window, one aggregate. Origins where either
+    lag is undefined (first 7 days) are excluded from BOTH baselines
+    so the two columns are comparable over the same origin set."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "s_fp",
+        F.lag("s_fp", 1).over(w).alias("f_naive"),
+        F.lag("s_fp", 7).over(w).alias("f_snaive"),
+    ).filter(F.col("f_naive").isNotNull() & F.col("f_snaive").isNotNull())
+
+    def _smape_term(fcol: str) -> F.Column:
+        denom = F.abs(F.col(fcol)) + F.abs(F.col("s_fp"))
+        return F.when(denom == 0, F.lit(0)).otherwise(
+            F.expr(f"abs(s_fp - {fcol}) * 2000000 div (abs({fcol}) + abs(s_fp))")
+        )
+
+    agg = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_origins"),
+        F.sum(F.abs(F.col("s_fp") - F.col("f_naive"))).alias("_sn"),
+        F.sum(F.abs(F.col("s_fp") - F.col("f_snaive"))).alias("_ss"),
+        F.sum(_smape_term("f_naive")).alias("_pn"),
+        F.sum(_smape_term("f_snaive")).alias("_ps"),
+    )
+    return agg.select(
+        "event_type",
+        "n_origins",
+        F.expr("_sn div n_origins").cast("long").alias("naive_mae_fp"),
+        F.expr("_ss div n_origins").cast("long").alias("snaive_mae_fp"),
+        F.expr("_pn div n_origins").cast("long").alias("naive_smape_ppm"),
+        F.expr("_ps div n_origins").cast("long").alias("snaive_smape_ppm"),
+    )

@@ -107,3 +107,42 @@ def test_cramers_v_range_and_chi2_nonneg(spark, sf_dir):
     assert r.dof == (r.n_langs - 1) * (r.n_sources - 1)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert r.n_docs == docs.count()
+
+
+def test_k_anonymity_laws(spark, sf_dir):
+    rows = REGISTRY["k_anonymity_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert r.n_rows == cust.count()
+    assert 1 <= r.k_min
+    assert 0 <= r.n_rows_below_k <= r.n_rows
+    assert 0 <= r.below_k_bp <= 10000
+    assert 1 <= r.l_min <= 5  # five TPC-H market segments
+    assert 0 <= r.n_groups_l1 <= r.n_groups
+    # Every group holds >= k_min rows, so groups * k_min <= rows.
+    assert r.n_groups * r.k_min <= r.n_rows
+
+
+def test_forecast_backtest_laws(spark, sf_dir):
+    rows = REGISTRY["forecast_naive_backtest"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_origins >= 1
+        assert r.naive_mae_fp >= 0 and r.snaive_mae_fp >= 0
+        # sMAPE in [0, 2e6] ppm by construction.
+        assert 0 <= r.naive_smape_ppm <= 2_000_000
+        assert 0 <= r.snaive_smape_ppm <= 2_000_000
+
+
+def test_simplified_silhouette_laws(spark, sf_dir):
+    rows = REGISTRY["simplified_silhouette_by_cluster"].fn(spark, sf_dir).collect()
+    assert rows
+    emb_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r.n_members for r in rows) == emb_n
+    for r in rows:
+        # a is the nearest centroid by assignment, so s >= 0 < 1e6.
+        assert 0 <= r.min_sil_ppm <= r.mean_sil_ppm < 1_000_000
+    # Cluster ids match the kmeans census.
+    census = {c.cluster: c.n_members for c in REGISTRY["kmeans_cluster_sizes"].fn(spark, sf_dir).collect()}
+    assert {r.cluster: r.n_members for r in rows} == census
