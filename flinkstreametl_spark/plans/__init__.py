@@ -165,6 +165,8 @@ _NEW_R11: list[str] = [
     "k_anonymity_audit",
     "forecast_naive_backtest",
     "simplified_silhouette_by_cluster",
+    "mann_kendall_trend_daily",
+    "bfs_hop_profile_copurchase",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

@@ -2040,3 +2040,95 @@ def forecast_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("_pn div n_origins").cast("long").alias("naive_smape_ppm"),
         F.expr("_ps div n_origins").cast("long").alias("snaive_smape_ppm"),
     )
+
+
+_MK_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+s AS (
+    SELECT a.event_type,
+           CAST(SUM(CASE WHEN b.s_fp > a.s_fp THEN 1
+                         WHEN b.s_fp < a.s_fp THEN -1 ELSE 0 END) AS BIGINT) AS s_stat,
+           CAST(COUNT(DISTINCT a.day) + 1 AS BIGINT) AS n_days
+    FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.day < b.day
+    GROUP BY 1
+), ties AS (
+    SELECT event_type,
+           CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+    FROM (
+        SELECT event_type, s_fp, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ) g
+    GROUP BY 1
+)
+SELECT s.event_type, s.n_days, s.s_stat,
+       s.n_days * (s.n_days - 1) * (2 * s.n_days + 5) - COALESCE(t.tie_term, 0) AS var_s_x18,
+       CASE WHEN s.s_stat = 0 THEN 0.0
+            ELSE round((CAST(s.s_stat AS DOUBLE) - CAST(sign(s.s_stat) AS DOUBLE))
+                       / sqrt(CAST(s.n_days * (s.n_days - 1) * (2 * s.n_days + 5)
+                                   - COALESCE(t.tie_term, 0) AS DOUBLE) / 18.0), 4)
+       END AS z_stat
+FROM s LEFT JOIN ties t USING (event_type)
+"""
+
+
+@register("mann_kendall_trend_daily", tags=("ext", "timeseries", "stats"), oracle=_MK_ORACLE)
+def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type on the daily
+    value series: S (the pairwise sign sum), the tie-corrected
+    Var(S) x 18 (kept as an exact integer), and the continuity-
+    corrected z statistic. The hypothesis-test companion to
+    ``theil_sen_trend_daily`` — Theil-Sen says HOW steep, Mann-Kendall
+    says whether the monotone trend is significant at all, from the
+    SAME pairwise machinery (and ``pettitt_changepoint_daily`` is the
+    same pair join asking WHERE the shift happened).
+
+    Exactness: S and the tie term are pure integer sums; the one z
+    division + sqrt is assembled in double in identical literal order
+    (round 4), with the S = 0 branch pinned to 0.0 by CASE rather than
+    relying on sign() conventions.
+
+    Scale: pair join on the calendar-bounded daily grain (days^2 rows
+    per type per year), after the single event-volume-proportional
+    daily reduction — the Pettitt plan shape exactly."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    a, b = daily.alias("a"), daily.alias("b")
+    sign = (
+        F.when(F.col("b.s_fp") > F.col("a.s_fp"), 1)
+        .when(F.col("b.s_fp") < F.col("a.s_fp"), -1)
+        .otherwise(0)
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(sign).cast("long").alias("s_stat"),
+            (F.countDistinct(F.col("a.day")) + 1).cast("long").alias("n_days"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "s_fp")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") >= 2)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    j = s.join(ties, "event_type", "left").withColumn(
+        "var_s_x18",
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0)),
+    )
+    z = F.when(F.col("s_stat") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("s_stat").cast("double") - F.signum(F.col("s_stat")).cast("double"))
+            / F.sqrt(F.col("var_s_x18").cast("double") / F.lit(18.0)),
+            4,
+        )
+    )
+    return j.select("event_type", "n_days", "s_stat", "var_s_x18", z.alias("z_stat"))

@@ -146,3 +146,35 @@ def test_simplified_silhouette_laws(spark, sf_dir):
     # Cluster ids match the kmeans census.
     census = {c.cluster: c.n_members for c in REGISTRY["kmeans_cluster_sizes"].fn(spark, sf_dir).collect()}
     assert {r.cluster: r.n_members for r in rows} == census
+
+
+def test_mann_kendall_laws(spark, sf_dir):
+    rows = REGISTRY["mann_kendall_trend_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r.n_days
+        # |S| <= C(n, 2), and Var(S)*18 <= n(n-1)(2n+5).
+        assert abs(r.s_stat) <= n * (n - 1) // 2
+        assert 0 < r.var_s_x18 <= n * (n - 1) * (2 * n + 5)
+        # z carries S's sign (continuity correction shrinks toward 0).
+        if r.s_stat > 1:
+            assert r.z_stat > 0
+        if r.s_stat < -1:
+            assert r.z_stat < 0
+
+
+def test_bfs_hop_profile_laws(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["bfs_hop_profile_copurchase"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.level,
+    )
+    assert rows[0].level == 0 and rows[0].n_first_reached == 1
+    cum = 0
+    for r in rows:
+        cum += r.n_first_reached
+        assert r.cum_reached == cum
+        assert r.n_first_reached > 0  # empty frontiers emit no row
+    # Reached set never exceeds the node count of the graph.
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n_nodes = li.select("l_partkey").distinct().count()
+    assert rows[-1].cum_reached <= n_nodes
