@@ -167,6 +167,8 @@ _NEW_R11: list[str] = [
     "simplified_silhouette_by_cluster",
     "mann_kendall_trend_daily",
     "bfs_hop_profile_copurchase",
+    "funnel_latency_percentiles",
+    "markov_stationary_event_mix",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

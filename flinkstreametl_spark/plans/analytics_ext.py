@@ -1517,3 +1517,99 @@ def time_decay_attribution_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.sum("credit_fp").alias("value_fp_received"),
     )
+
+
+_MARKOV_ITERS = 10
+
+
+def _markov_oracle(iters: int = _MARKOV_ITERS) -> str:
+    ctes = [
+        """seq AS (
+    SELECT event_type AS cur,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+)""",
+        "tc AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2)",
+        "rowsum AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS rn FROM tc GROUP BY 1)",
+        "pm AS (SELECT cur, nxt, n * 1000000 // rn AS p_ppm FROM tc JOIN rowsum USING (cur))",
+        "types AS (SELECT DISTINCT event_type AS t FROM events)",
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types)",
+        "p0 AS (SELECT t, 1000000 // nt.k AS pi FROM types CROSS JOIN nt)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"p{i} AS (SELECT pm.nxt AS t,"
+            f" CAST(SUM(p{i - 1}.pi * pm.p_ppm) // 1000000 AS BIGINT) AS pi"
+            f" FROM p{i - 1} JOIN pm ON pm.cur = p{i - 1}.t GROUP BY pm.nxt)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+emp AS (
+    SELECT event_type AS t, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS s FROM emp)
+SELECT p.t AS event_type,
+       CAST(p.pi AS BIGINT) AS stationary_ppm,
+       CAST(emp.c * 1000000 // tot.s AS BIGINT) AS empirical_ppm
+FROM p{iters} p JOIN emp ON emp.t = p.t CROSS JOIN tot"""
+    )
+
+
+@register("markov_stationary_event_mix", tags=("ext", "analytics", "events", "iterative"), oracle=_markov_oracle())
+def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (10 fixed-point power iterations from uniform), next to the
+    empirical event mix — "where does user behavior settle if today's
+    transition structure persists?". Divergence between the two
+    columns flags non-stationary behavior (e.g. a mix propped up by
+    one-off entry events rather than the steady-state dynamics) — the
+    chain-level companion to ``session_transition_counts``' edge-level
+    view.
+
+    Exactness: the transition matrix is integer ppm (count * 1e6 div
+    row sum); each iteration is sum(pi_i * P_ij) div 1e6 — one integer
+    division per COMPONENT per step after an exact int64 sum (terms
+    <= 1e12), so the 10-step trajectory is bit-identical across
+    engines and partitionings. The small floor leak per step is shared
+    by both engines by construction.
+
+    Plan: one LEAD window per user stream, one hash aggregate to the
+    |types|^2 matrix — everything after runs on <= 25-row frames (the
+    matrix is pinned once; each iteration is a broadcast join), so the
+    iteration cost is independent of event volume."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    tc = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    rowsum = tc.groupBy("cur").agg(F.sum("n").alias("rn"))
+    pm = (
+        tc.join(rowsum, "cur")
+        .select("cur", "nxt", F.expr("n * 1000000 div rn").alias("p_ppm"))
+        .localCheckpoint()
+    )
+    types = events.select(F.col("event_type").alias("t")).distinct()
+    nt = types.agg(F.count(F.lit(1)).alias("k"))
+    pi = types.crossJoin(F.broadcast(nt)).select("t", F.expr("1000000 div k").alias("pi")).localCheckpoint()
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pi.join(pm, pi["t"] == pm["cur"])
+            .groupBy(F.col("nxt").alias("t2"))
+            .agg(F.expr("CAST(SUM(pi * p_ppm) div 1000000 AS BIGINT)").alias("pi"))
+            .withColumnRenamed("t2", "t")
+            .localCheckpoint()
+        )
+    emp = events.groupBy(F.col("event_type").alias("t")).agg(F.count(F.lit(1)).alias("c"))
+    tot = emp.agg(F.sum("c").alias("s"))
+    return (
+        pi.join(emp, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("pi").cast("long").alias("stationary_ppm"),
+            F.expr("c * 1000000 div s").cast("long").alias("empirical_ppm"),
+        )
+    )

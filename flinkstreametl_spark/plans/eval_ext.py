@@ -563,3 +563,109 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_min",
         "n_groups_l1",
     )
+
+
+_LAT_ORACLE = """
+WITH s1 AS (
+    SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+    FROM events e JOIN s1 ON e.user_id = s1.user_id AND epoch_us(e.ts) >= s1.t1
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+), s3 AS (
+    SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+    FROM events e JOIN s2 ON e.user_id = s2.user_id AND epoch_us(e.ts) >= s2.t2
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+), conv AS (
+    SELECT s1.user_id, t1, t2, t3 FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)
+), m AS (
+    SELECT 'total' AS measure, (t3 - t1) // 1000000 AS lat_s FROM conv
+    UNION ALL SELECT 'view_to_click', (t2 - t1) // 1000000 FROM conv
+    UNION ALL SELECT 'click_to_purchase', (t3 - t2) // 1000000 FROM conv
+), r AS (
+    SELECT measure, lat_s,
+           row_number() OVER (PARTITION BY measure ORDER BY lat_s) AS rn,
+           COUNT(*) OVER (PARTITION BY measure) AS n
+    FROM m
+)
+SELECT measure,
+       CAST(MAX(n) AS BIGINT) AS n_converters,
+       CAST(MIN(CASE WHEN rn = (n + 1) // 2 THEN lat_s END) AS BIGINT) AS p50_s,
+       CAST(MIN(CASE WHEN rn = (9 * n + 9) // 10 THEN lat_s END) AS BIGINT) AS p90_s
+FROM r GROUP BY measure
+"""
+
+
+@register("funnel_latency_percentiles", tags=("ext", "analytics", "events"), oracle=_LAT_ORACLE)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the ordered view -> click ->
+    purchase funnel (the HOW-FAST companion to
+    ``funnel_conversion_steps``' how-many): exact p50/p90 latency in
+    whole seconds for each step and end-to-end, over the users who
+    completed the whole funnel. The step split tells you WHERE the
+    funnel is slow, which the conversion rates cannot.
+
+    Exactness: stage timestamps are epoch-microsecond minima (exact
+    int64), latencies integer-divided to seconds, percentiles by the
+    repo's rank-selection formula (``value_percentile_bands``) — no
+    interpolating builtin, no floats.
+
+    Plan: the funnel chain is ``funnel_conversion_steps``' shape
+    (per-user min-aggregates sharing one hash partitioning, each stage
+    frame <= user count); the percentile windows run on the CONVERTER
+    set unpivoted to 3 rows per user — population-bounded, and
+    partitioned by measure so no single-partition global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    events = ev.select("user_id", "event_type", epoch_micros(ev, "ts").alias("eus"))
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("eus").alias("t1"))
+        .localCheckpoint()
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("eus") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("eus").alias("t2"))
+        .localCheckpoint()
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("eus") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("eus").alias("t3"))
+    )
+    conv = s1.join(s2, "user_id").join(s3, "user_id").localCheckpoint()
+    m = (
+        conv.select(F.lit("total").alias("measure"), F.expr("(t3 - t1) div 1000000").alias("lat_s"))
+        .unionAll(
+            conv.select(F.lit("view_to_click").alias("measure"), F.expr("(t2 - t1) div 1000000").alias("lat_s"))
+        )
+        .unionAll(
+            conv.select(
+                F.lit("click_to_purchase").alias("measure"), F.expr("(t3 - t2) div 1000000").alias("lat_s")
+            )
+        )
+    )
+    w = Window.partitionBy("measure").orderBy("lat_s")
+    wn = Window.partitionBy("measure")
+    r = m.select(
+        "measure",
+        "lat_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("measure").agg(
+        F.max("n").cast("long").alias("n_converters"),
+        F.min(F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("lat_s")))
+        .cast("long")
+        .alias("p50_s"),
+        F.min(F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("lat_s")))
+        .cast("long")
+        .alias("p90_s"),
+    )

@@ -178,3 +178,29 @@ def test_bfs_hop_profile_laws(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n_nodes = li.select("l_partkey").distinct().count()
     assert rows[-1].cum_reached <= n_nodes
+
+
+def test_funnel_latency_laws(spark, sf_dir):
+    rows = {r.measure: r for r in REGISTRY["funnel_latency_percentiles"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"total", "view_to_click", "click_to_purchase"}
+    n = {r.n_converters for r in rows.values()}
+    assert len(n) == 1  # same converter population for all measures
+    for r in rows.values():
+        assert 0 <= r.p50_s <= r.p90_s
+    # Steps decompose the total: p50s need not add up, but maxima bound.
+    assert rows["total"].p90_s >= max(rows["view_to_click"].p50_s, rows["click_to_purchase"].p50_s)
+    # Converter count matches the ordered funnel's purchase stage.
+    fun = REGISTRY["funnel_conversion_steps"].fn(spark, sf_dir).collect()[0]
+    assert rows["total"].n_converters == fun.n_purchase
+
+
+def test_markov_stationary_laws(spark, sf_dir):
+    rows = REGISTRY["markov_stationary_event_mix"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    s = sum(r.stationary_ppm for r in rows)
+    # Fixed-point flooring leaks a little mass per step, never gains.
+    assert 990_000 <= s <= 1_000_000
+    e = sum(r.empirical_ppm for r in rows)
+    assert 999_995 <= e <= 1_000_000
+    for r in rows:
+        assert r.stationary_ppm >= 0
