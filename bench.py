@@ -58,7 +58,7 @@ def main() -> None:
     # plan). 5 runs tightens the median without touching the cheap
     # tier's total runtime.
     heavy_runs = int(os.environ.get("SPARK_GRAFT_BENCH_HEAVY_RUNS", "5"))
-    heavy = {"pagerank_copurchase", "ivf_kmeans_recall_curve"}
+    heavy = {"pagerank_copurchase", "ivf_kmeans_recall_curve", "hits_order_part_scores"}
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         samples = []
