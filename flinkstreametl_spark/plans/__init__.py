@@ -169,6 +169,8 @@ _NEW_R11: list[str] = [
     "bfs_hop_profile_copurchase",
     "funnel_latency_percentiles",
     "markov_stationary_event_mix",
+    "quality_gates_kappa",
+    "hhi_revenue_by_nation",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

@@ -1613,3 +1613,76 @@ def markov_stationary_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("c * 1000000 div s").cast("long").alias("empirical_ppm"),
         )
     )
+
+
+_HHI_ORACLE = """
+WITH rev AS (
+    SELECT c.c_nationkey, o.o_custkey,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS DECIMAL(38,0)) AS r
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+), agg AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DECIMAL(38,0)) AS tot,
+           CAST(SUM(r * r) AS DECIMAL(38,0)) AS sum_sq
+    FROM rev GROUP BY 1
+)
+SELECT c_nationkey, n_customers,
+       CAST(tot AS BIGINT) AS total_cents,
+       CAST(floor(CAST(sum_sq AS DOUBLE) / CAST(tot AS DOUBLE) / CAST(tot AS DOUBLE) * 1000000) AS BIGINT) AS hhi_ppm
+FROM agg
+"""
+
+
+@register("hhi_revenue_by_nation", tags=("ext", "analytics", "stats"), oracle=_HHI_ORACLE)
+def hhi_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of order revenue across the
+    customers of each nation: HHI = sum of squared revenue shares, in
+    ppm — 1e6/n for perfectly even books, 1e6 for a single-customer
+    nation. The antitrust-style concentration number that complements
+    ``revenue_topk_concentration`` (top-k share) and the skew report:
+    HHI moves with the WHOLE distribution, not just the head, and its
+    reciprocal is the "effective number of customers" capacity
+    planners use.
+
+    Exactness: revenue in fixed-point cents (floor(price*100) — the
+    explicit floor sidesteps the DuckDB-rounds/Spark-truncates
+    double->BIGINT cast divergence); per-customer squares and their
+    sums accumulate in DECIMAL(38,0) (cents^2 sums pass int64 near
+    sf1); the share ratio crosses to double through scale-0
+    conversions and is floored to ppm in identical literal order.
+
+    Plan: one orders aggregate keyed (nation, customer) — the
+    customer dimension BROADCASTS onto the orders scan for the nation
+    key — then a nation-grain re-aggregate of that customer-sized
+    frame. Nothing order-scaled survives the first exchange."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long"))
+            .cast("decimal(38,0)")
+            .alias("r")
+        )
+    )
+    agg = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("r").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("r") * F.col("r")).cast("decimal(38,0)").alias("sum_sq"),
+    )
+    return agg.select(
+        "c_nationkey",
+        "n_customers",
+        F.col("tot").cast("long").alias("total_cents"),
+        F.floor(
+            F.col("sum_sq").cast("double")
+            / F.col("tot").cast("double")
+            / F.col("tot").cast("double")
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("hhi_ppm"),
+    )

@@ -651,3 +651,101 @@ def quality_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tb))
         .select(F.col("ta").alias("n_first"), F.col("tb").alias("n_second"), "d_fp")
     )
+
+
+# Cohen's kappa between the corpus's two independent keep/drop gates.
+# Both sides are consumed from their single definitions: the Spark
+# plan CALLS the registered gopher query and the shared
+# quality_score_expr; the oracle embeds _GOPHER_ORACLE and the shared
+# _QSCORE_SQL fragment as CTEs — no re-derived filter logic anywhere
+# (the round-8 single-definition ADVICE discipline).
+_KAPPA_ORACLE = f"""
+WITH g AS ({_GOPHER_ORACLE}),
+q AS ({{qscore}}),
+j AS (
+    SELECT g.keep AS ka, q.score >= 6 AS kb
+    FROM g JOIN q USING (doc_id)
+), c AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+           CAST(SUM(CASE WHEN ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           CAST(SUM(CASE WHEN NOT ka AND kb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           CAST(SUM(CASE WHEN NOT ka AND NOT kb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+    FROM j
+)
+SELECT n AS n_docs, n11, n10, n01, n00,
+       (n11 + n00) * 10000 // n AS agree_bp,
+       CASE WHEN n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0 THEN NULL
+            ELSE round(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+                       / CAST(n * n - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) AS DOUBLE), 6)
+       END AS kappa
+FROM c
+"""
+
+
+@register(
+    "quality_gates_kappa",
+    tags=("ext", "llm", "quality", "eval"),
+    oracle=None,  # set below after the llm module's shared fragment loads
+)
+def quality_gates_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between the corpus's two independent
+    quality gates — the Gopher-style statistical gate
+    (``gopher_quality_gate``) and the 5-term weighted classifier
+    (``operators/text.quality_score_expr`` >= 6). Raw agreement
+    overstates consensus when both gates keep almost everything;
+    kappa subtracts the chance-agreement floor, which is the honest
+    "do these filters measure the same thing?" number a curation
+    pipeline needs before it treats one gate as a cheap proxy for the
+    other. The 2x2 contingency is emitted alongside so the DISAGREEING
+    quadrants (n10/n01) are directly inspectable.
+
+    Exactness: all counts exact; kappa's numerator/denominator are
+    exact int64 products (n^2 <= 2.5e11 at sf1) crossing to double for
+    ONE division in identical literal order (round 6); agreement share
+    is integer basis points.
+
+    Plan: the gopher side is the registered query's own plan (one
+    exchange); the classifier side is row-local expression over the
+    documents scan; one doc_id join, one global aggregate — 5 numbers
+    cross the final exchange."""
+    ga = gopher_quality_gate(spark, sf_dir).select("doc_id", F.col("keep").alias("ka"))
+    docs = load_table(spark, sf_dir, "documents")
+    gb = docs.select("doc_id", (X.quality_score_expr("text") >= 6).alias("kb"))
+    c = ga.join(gb, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("ka") & F.col("kb"), 1).otherwise(0)).cast("long").alias("n11"),
+        F.sum(F.when(F.col("ka") & ~F.col("kb"), 1).otherwise(0)).cast("long").alias("n10"),
+        F.sum(F.when(~F.col("ka") & F.col("kb"), 1).otherwise(0)).cast("long").alias("n01"),
+        F.sum(F.when(~F.col("ka") & ~F.col("kb"), 1).otherwise(0)).cast("long").alias("n00"),
+    )
+    pe = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    den = F.col("n") * F.col("n") - pe
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - pe
+    return c.select(
+        F.col("n").alias("n_docs"),
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr("(n11 + n00) * 10000 div n").alias("agree_bp"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("kappa"),
+    )
+
+
+def _install_kappa_oracle() -> None:
+    """Late-bind the kappa oracle: the classifier's SQL fragment lives
+    in plans/llm (its single definition); importing it at module top
+    would be fine today but this keeps the dependency one-way and
+    explicit."""
+    from flinkstreametl_spark.plans.llm import _QSCORE_SQL
+    from flinkstreametl_spark.plans.registry import REGISTRY
+
+    REGISTRY["quality_gates_kappa"].oracle = _KAPPA_ORACLE.format(qscore=_QSCORE_SQL)
+
+
+_install_kappa_oracle()

@@ -204,3 +204,27 @@ def test_markov_stationary_laws(spark, sf_dir):
     assert 999_995 <= e <= 1_000_000
     for r in rows:
         assert r.stationary_ppm >= 0
+
+
+def test_quality_gates_kappa_laws(spark, sf_dir):
+    rows = REGISTRY["quality_gates_kappa"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert r.n_docs == docs.count()
+    assert r.n11 + r.n10 + r.n01 + r.n00 == r.n_docs
+    assert 0 <= r.agree_bp <= 10000
+    if r.kappa is not None:
+        assert -1.0 <= r.kappa <= 1.0
+    # Marginals match the individual gates' keep counts.
+    gopher_keeps = REGISTRY["gopher_quality_gate"].fn(spark, sf_dir).filter("keep").count()
+    assert r.n11 + r.n10 == gopher_keeps
+
+
+def test_hhi_laws(spark, sf_dir):
+    rows = REGISTRY["hhi_revenue_by_nation"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 1e6/n <= HHI <= 1e6 (floor can dip the lower bound by 1).
+        assert 1_000_000 // r.n_customers - 1 <= r.hhi_ppm <= 1_000_000
+        assert r.total_cents > 0
