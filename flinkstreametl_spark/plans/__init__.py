@@ -171,6 +171,7 @@ _NEW_R11: list[str] = [
     "markov_stationary_event_mix",
     "quality_gates_kappa",
     "hhi_revenue_by_nation",
+    "bootstrap_mean_doclen_ci",
 ]
 
 _WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]

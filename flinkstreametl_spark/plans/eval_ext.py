@@ -669,3 +669,127 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_s"),
     )
+
+
+_BOOT_B = 100  # bootstrap replicates
+#: Poisson(1) CDF in ppm for k = 0..6 (math.exp at build time — the
+#: frozen-constant trick again; P(X > 6) ~ 8e-5 folds into w = 7).
+_POIS_CDF_PPM = [367879, 735759, 919699, 981012, 996340, 999406, 999917]
+
+
+def _pois_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF_PPM)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+_BOOT_ORACLE = f"""
+WITH d AS (
+    SELECT source, doc_id, n_chars FROM documents
+), rep AS (
+    SELECT d.source, d.n_chars,
+           CAST(concat('0x', substr(md5(concat(CAST(d.doc_id AS VARCHAR), ':', CAST(b.b AS VARCHAR))), 1, 15)) AS BIGINT)
+             % 1000000 AS u,
+           b.b
+    FROM d CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+), w AS (
+    SELECT source, b, {_pois_w_sql('u')} AS w, n_chars FROM rep
+), stat AS (
+    SELECT source, b,
+           CAST(SUM(w * n_chars) * 1000 // SUM(w) AS BIGINT) AS mean_fp
+    FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+), r AS (
+    SELECT source, mean_fp,
+           row_number() OVER (PARTITION BY source ORDER BY mean_fp) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS nb
+    FROM stat
+), pt AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) * 1000 // COUNT(*) AS BIGINT) AS mean_chars_fp
+    FROM d GROUP BY 1
+)
+SELECT pt.source, pt.n_docs, pt.mean_chars_fp,
+       CAST(MAX(r.nb) AS BIGINT) AS n_boot,
+       CAST(MIN(CASE WHEN r.rn = (5 * r.nb + 95) // 100 THEN r.mean_fp END) AS BIGINT) AS ci_lo_fp,
+       CAST(MIN(CASE WHEN r.rn = (95 * r.nb + 95) // 100 THEN r.mean_fp END) AS BIGINT) AS ci_hi_fp
+FROM pt JOIN r USING (source)
+GROUP BY pt.source, pt.n_docs, pt.mean_chars_fp
+"""
+
+
+@register("bootstrap_mean_doclen_ci", tags=("ext", "eval", "documents", "stats"), oracle=_BOOT_ORACLE)
+def bootstrap_mean_doclen_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 90% confidence interval for each source's
+    mean document length: 100 deterministic replicates, each weighting
+    every document by an independent Poisson(1) draw, replicate means
+    rank-selected at p5/p95. The Poisson bootstrap IS the distributed
+    bootstrap (Chamandy et al.): classic resampling needs a global
+    index to draw n-of-n with replacement — a non-starter across
+    partitions — while Poisson(1) weights are PER-ROW independent, so
+    the whole procedure is one explode and one aggregate at any scale.
+
+    Determinism: the "randomness" is md5(doc_id:replicate) reduced to
+    ppm, inverted through the FROZEN Poisson(1) CDF table (exp() at
+    build time only); replicate means are fixed-point integer
+    divisions; CI bounds come from the repo's rank-selection formula.
+    Bit-identical across engines and partitionings.
+
+    Plan: documents explode x100 (column-pruned to (source, doc_id,
+    n_chars) BEFORE the explode), map-side partial aggregation to the
+    (source, replicate) grain, then windows over a 5x100-row frame.
+    At 100 TB the exploded stream never materializes — it flows
+    straight into the partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    b = F.explode(F.array(*[F.lit(i) for i in range(_BOOT_B)])).alias("b")
+    rep = docs.select("source", "doc_id", "n_chars", b)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("b").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    w_col = F.lit(7)
+    for k in range(len(_POIS_CDF_PPM) - 1, -1, -1):
+        w_col = F.when(F.col("u") < _POIS_CDF_PPM[k], F.lit(k)).otherwise(w_col)
+    stat = (
+        rep.withColumn("u", u)
+        .withColumn("w", w_col)
+        .groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("_sw"),
+            F.sum("w").alias("_w"),
+        )
+        .filter(F.col("_w") > 0)
+        .select("source", "b", F.expr("_sw * 1000 div _w").alias("mean_fp"))
+    )
+    wr = Window.partitionBy("source").orderBy("mean_fp")
+    wn = Window.partitionBy("source")
+    r = stat.select(
+        "source",
+        "mean_fp",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("nb"),
+    )
+    ci = r.groupBy("source").agg(
+        F.max("nb").cast("long").alias("n_boot"),
+        F.min(F.when(F.col("rn") == F.expr("(5 * nb + 95) div 100"), F.col("mean_fp")))
+        .cast("long")
+        .alias("ci_lo_fp"),
+        F.min(F.when(F.col("rn") == F.expr("(95 * nb + 95) div 100"), F.col("mean_fp")))
+        .cast("long")
+        .alias("ci_hi_fp"),
+    )
+    pt = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("SUM(n_chars) * 1000 div COUNT(*)").cast("long").alias("mean_chars_fp"),
+    )
+    return pt.join(F.broadcast(ci), "source").select(
+        "source", "n_docs", "mean_chars_fp", "n_boot", "ci_lo_fp", "ci_hi_fp"
+    )

@@ -228,3 +228,15 @@ def test_hhi_laws(spark, sf_dir):
         # 1e6/n <= HHI <= 1e6 (floor can dip the lower bound by 1).
         assert 1_000_000 // r.n_customers - 1 <= r.hhi_ppm <= 1_000_000
         assert r.total_cents > 0
+
+
+def test_bootstrap_ci_laws(spark, sf_dir):
+    rows = REGISTRY["bootstrap_mean_doclen_ci"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_boot == 100
+        assert r.ci_lo_fp <= r.ci_hi_fp
+        # The point estimate should sit inside (or at worst graze) the
+        # 90% interval on any non-adversarial fixture.
+        assert r.ci_lo_fp <= r.mean_chars_fp <= r.ci_hi_fp
+        assert r.n_docs > 0
