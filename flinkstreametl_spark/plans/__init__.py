@@ -40,26 +40,42 @@ from flinkstreametl_spark.plans import sketch_ext as _sketch_ext  # noqa: E402,F
 # reconciliations count 2 more distinct historical names than the
 # registry (ADVICE r7).
 #
-# Round 9 executes the rotation recorded in round 8:
-#   1. _NEW_R9 — the 40 round-8 additions that landed after _NEW_R8
-#      hit its capacity cap. Each was oracle-verified locally at
-#      sf0.001 AND sf0.01 on landing (tools/verify_contract.py /
-#      parity_sweep.py) and ALL 40 re-verified at sf1 (docs/ROUND8.md),
-#      but none has a driver verdict yet — they lead the window so a
-#      failure can't be hidden by the [:50] cut.
-#   2. _PRIORITY_R9 — the first 10 of the 49 r5-era stale-evidence
-#      names, in their CORRECTNESS_r05 window order. The remaining 39
-#      lead round 10's window, completing the two-round refresh of the
-#      r5 tier planned in round 8.
-#   3. _NEW_R10 — every round-9 addition, appended the day it lands.
-#      Round 9's window is already full (40 + 10), so additions queue
-#      for the round-10 window; the capacity assert below keeps them
-#      from silently evicting a stale-evidence name. Round-10 window =
-#      _NEW_R10 (cap 11) + the 39 remaining r5-era names.
+# Round 10 executes the rotation recorded in round 9 (CORRECTNESS_r09
+# came back 50/50 green, so the r9 window names all hold fresh
+# verdicts and rotate behind the window):
+#   1. _NEW_R10 — the 11 round-9 additions that fit the round-10
+#      window after the r5-era refresh takes its 39 committed slots.
+#      Never driver-checked; they lead the window so a failure can't
+#      be hidden by the [:50] cut.
+#   2. _PRIORITY_R10 — the 39 remaining r5-era stale-evidence names,
+#      in their CORRECTNESS_r05 window order, completing the
+#      two-round refresh of the r5 tier planned in round 8.
+#   3. _NEW_R11 — the remaining round-9 additions past _NEW_R10's
+#      capacity, PLUS the two round-8 queries the round-9 judge found
+#      orphaned from every queue (containment_dup_pairs,
+#      forecast_feature_table — registered + locally oracle-tested
+#      since round 8 but never scheduled for a driver verdict), PLUS
+#      round-10 additions appended the day each lands. They lead the
+#      round-11 window.
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
-# AUDIT_REGISTRY — queries() stays 100% oracle-backed. If any r9
+# AUDIT_REGISTRY — queries() stays 100% oracle-backed. If any r10
 # window name fails, it jumps the queue after repair.
+#
+# EVIDENCE-STALENESS HORIZON (explicit, per VERDICT r9 item 4): with
+# Q registered queries, 50 driver slots per round, and A additions
+# per round, every addition consumes a future slot, so the steady-
+# state full-refresh period is Q / (50 - A) rounds. At Q=281 and the
+# historical A≈30 that is ~14 rounds — too stale. Round 10 therefore
+# CAPS additions at 15/round (asserted below): horizon ≈ 281/35 ≈ 8
+# rounds, i.e. every registered query's driver verdict is at most ~8
+# rounds old once the never-checked backlog (_NEW_R11) drains over
+# rounds 11-12. Completeness — set(REGISTRY) == ever-driver-checked
+# ∪ queued, the invariant whose violation orphaned the two round-8
+# names — is asserted from the CORRECTNESS_r*.json artifacts in
+# tests/test_rotation.py (the artifacts live at the repo root, out of
+# reach of this package at import time).
+_ROUND10_ADDITION_CAP = 15
 _NEW_R9: list[str] = [
     "linkpred_copurchase_scores",
     "seasonal_decompose_daily",
@@ -105,9 +121,8 @@ _NEW_R9: list[str] = [
 
 _PRIORITY_R9 = [
     # the first 10 of the 49 r5-era stale-evidence names, in their
-    # CORRECTNESS_r05 window order (latest verdict computed from
-    # CORRECTNESS_r01–r08 at round-9 start; the remaining 39 lead the
-    # round-10 window)
+    # CORRECTNESS_r05 window order — all re-verified green in the r9
+    # window (CORRECTNESS_r09 50/50)
     "dim_3way_join",
     "replace_upsert_latest",
     "changelog_op_column",
@@ -118,6 +133,53 @@ _PRIORITY_R9 = [
     "cube_agg",
     "full_outer_nation_counts",
     "group_distinct_agg",
+]
+
+_PRIORITY_R10 = [
+    # The 39 remaining r5-era stale-evidence names (latest verdict
+    # r5, computed from CORRECTNESS_r01–r09 at round-10 start), in
+    # their CORRECTNESS_r05 window order. With _NEW_R10's 11 they
+    # fill the round-10 window exactly and complete the r5-tier
+    # refresh planned in round 8.
+    "grouping_sets_agg",
+    "null_handling_buckets",
+    "pivot_status_qty",
+    "q14_promo_revenue_share",
+    "q18_large_orders",
+    "q4_order_priority",
+    "rollup_agg",
+    "scalar_subquery_above_avg",
+    "semi_join_with_orders",
+    "setop_except_all_keys",
+    "setop_except_nations",
+    "setop_intersect_all_keys",
+    "setop_intersect_nations",
+    "setop_union_all_keys",
+    "setop_union_nations",
+    "sort_events_top50",
+    "topk_orders",
+    "window_rank_top3",
+    "window_running_total",
+    "ivf_recall_curve",
+    "capped_balance_daily",
+    "user_activity_streaks",
+    "cumulative_unique_users",
+    "equidepth_totalprice_bounds",
+    "pareto_frontier_parts",
+    "mode_brand_per_type",
+    "topk_with_ties_orders",
+    "scd2_point_in_time_status",
+    "dau_mau_stickiness",
+    "stats_corr_covar_exact",
+    "redact_documents",
+    "embedding_srp_pairs",
+    "flagship_enrich",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "minhash_lsh_neardup",
+    "simhash_near_pairs",
+    "incremental_minhash_multibatch",
+    "knn_cosine_fast",
 ]
 
 _NEW_R10: list[str] = [
@@ -141,8 +203,10 @@ _NEW_R10: list[str] = [
 _NEW_R11: list[str] = [
     # Round-9 additions past _NEW_R10's 11-slot round-10 capacity (the
     # assert below is the guard that sends them here instead of
-    # evicting a stale-evidence name). Each oracle-verified locally at
-    # sf0.001/sf0.01 on landing; they lead the round-11 window.
+    # evicting a stale-evidence name), the two round-8 rotation
+    # orphans the r9 judge found, and round-10 additions appended the
+    # day each lands. Each oracle-verified locally at sf0.001/sf0.01
+    # on landing; they lead the round-11 window.
     "dedup_flag_propagation_audit",
     "holt_winters_seasonal_daily",
     "hits_order_part_scores",
@@ -172,37 +236,56 @@ _NEW_R11: list[str] = [
     "quality_gates_kappa",
     "hhi_revenue_by_nation",
     "bootstrap_mean_doclen_ci",
+    # --- round-8 rotation orphans (VERDICT r9 "What's wrong"):
+    # registered + locally oracle-tested since round 8, but counted
+    # out of _NEW_R9 when it was pinned at 40 names and never queued.
+    "containment_dup_pairs",
+    "forecast_feature_table",
+    # --- round-10 additions land below this line, capped by
+    # _ROUND10_ADDITION_CAP.
 ]
 
-_WINDOW_R9 = (*_NEW_R9, *_PRIORITY_R9)[:50]
+# Count of names in _NEW_R11 before any round-10 addition; the cap
+# assert below keys off it.
+_NEW_R11_BASE = 31
 
-# Every never-driver-checked round-8 addition AND all 10 scheduled
-# r5-era stale-evidence names must survive the [:50] truncation — and
-# round-9 additions must queue in _NEW_R10 rather than evict either
-# (the discipline that held for rounds 6-8). Round-10 capacity: 50
-# window slots - 39 remaining r5-era names = 11.
-assert len(_NEW_R10) <= 11, (
-    "round-9 additions exceed round-10 window capacity; move the overflow to a _NEW_R11 queue"
+_WINDOW_R10 = (*_NEW_R10, *_PRIORITY_R10)[:50]
+
+# Every never-driver-checked round-9 addition in _NEW_R10 AND all 39
+# scheduled r5-era stale-evidence names must survive the [:50]
+# truncation; round-10 additions must queue in _NEW_R11 rather than
+# evict either (the discipline that held for rounds 6-9).
+assert len(_NEW_R10) + len(_PRIORITY_R10) == 50
+assert all(n in _WINDOW_R10 for n in (*_NEW_R10, *_PRIORITY_R10))
+assert len(_NEW_R11) - _NEW_R11_BASE <= _ROUND10_ADDITION_CAP, (
+    "round-10 additions exceed the per-round cap; the staleness "
+    "horizon arithmetic above no longer holds — raise the cap "
+    "deliberately or stop adding"
 )
-assert all(n in _WINDOW_R9 for n in (*_NEW_R9, *_PRIORITY_R9))
+assert len(_NEW_R11) == len(set(_NEW_R11)), "duplicate names queued in _NEW_R11"
+
+# Exported for tests/test_rotation.py's completeness check
+# (set(REGISTRY) ⊆ ever-driver-checked ∪ QUEUED — the invariant whose
+# violation orphaned the two round-8 names).
+QUEUED_FOR_DRIVER = (*_WINDOW_R10, *_NEW_R11)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R9 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R10 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R9) != len(set(_WINDOW_R9)):
+    if len(_WINDOW_R10) != len(set(_WINDOW_R10)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R9 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R10 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R9 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R9 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R9, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R10 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R10 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R10, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
 
 _reorder()
 
-__all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map"]
+__all__ = ["REGISTRY", "QuerySpec", "queries_map", "oracle_sql_map", "QUEUED_FOR_DRIVER"]
