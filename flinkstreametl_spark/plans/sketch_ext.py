@@ -275,10 +275,14 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIGINTs; min >= truth by construction, so over_cnt >= 0 is a law
     the tests pin."""
     docs = load_table(spark, sf_dir, "documents")
+    # Pinned: tf feeds BOTH the sketch build and the top-20 candidate
+    # pick; without the pin the physical plan scans + wordcounts the
+    # corpus twice (ADVICE r9).
     tf = (
         docs.select(F.explode(tokens("text")).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
 
     def col_i(i_col):

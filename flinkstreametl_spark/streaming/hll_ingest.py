@@ -30,12 +30,24 @@ atomically:
   fully live; the replayed batch re-merges to the identical v{n+1}
   (idempotence) and flips. There is no torn-state window.
 * The per-batch estimate TIMELINE (one row per group per batch — the
-  growth curve dashboards plot) appends AFTER the flip, keyed by
-  batch_id: a crash between flip and append loses only that batch's
-  timeline row, which the replay re-derives from the same registers;
-  duplicates are impossible because replay produces the same
-  (batch_id, grp) key for downstream MERGE — the sinks.py upsert
-  story.
+  growth curve dashboards plot) is written AFTER the flip as an
+  OVERWRITE of its own ``batch_id=N`` partition directory: a crash
+  between flip and write loses only that batch's timeline rows, and
+  an at-least-once replay of the batch overwrites the same partition
+  with the identical rows — duplicates are impossible in the raw
+  files themselves, so direct readers of the timeline directory need
+  no keyed dedup (ADVICE r9: the previous append-mode write deferred
+  that to a downstream MERGE nothing performed).
+
+SINGLE-WRITER CONTRACT: the versioned-state ops here are plain local/
+DFS filesystem calls with no writer lock — correctness relies on
+Structured Streaming's ``foreachBatch`` guarantee that at most one
+maintenance job owns a ``state_dir`` at a time (one query, one
+checkpoint). Pointing two concurrent jobs at the same ``state_dir``
+can lose an update between the CURRENT read and the flip. Fan-in
+belongs UPSTREAM (union the sources into one stream); registers are
+max-mergeable, so a later offline merge of two state dirs is also
+safe — concurrent in-place maintenance is the only unsupported shape.
 """
 
 from __future__ import annotations
@@ -63,14 +75,6 @@ TIMELINE_SUBDIR = "timeline"
 _REG_SCHEMA = "grp STRING, bucket BIGINT, rho INT"
 
 
-def _load_registers(spark: SparkSession, state_dir: str) -> DataFrame:
-    reg_root = os.path.join(state_dir, REGISTERS_SUBDIR)
-    ver = current_version(reg_root)
-    if ver is None:
-        return spark.createDataFrame([], _REG_SCHEMA)
-    return spark.read.schema(_REG_SCHEMA).parquet(version_dir(reg_root, ver))
-
-
 def process_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -94,7 +98,15 @@ def process_batch(
     # building on CURRENT.
     gc_orphans(reg_root)
 
-    state = _load_registers(spark, state_dir)
+    # Read CURRENT exactly once; both the load path and the successor
+    # version derive from the same observation (ADVICE r9 — two reads
+    # widened the lost-update window if the single-writer contract in
+    # the module docstring were ever violated).
+    ver = current_version(reg_root)
+    if ver is None:
+        state = spark.createDataFrame([], _REG_SCHEMA)
+    else:
+        state = spark.read.schema(_REG_SCHEMA).parquet(version_dir(reg_root, ver))
     batch_regs = hll_registers(batch_df, key=key, group=group)
     merged = (
         state.unionByName(batch_regs.select("grp", "bucket", F.col("rho").cast("int")))
@@ -103,17 +115,19 @@ def process_batch(
         .localCheckpoint()
     )
 
-    next_ver = (current_version(reg_root) or 0) + 1
+    next_ver = (ver or 0) + 1
     merged.write.mode("overwrite").parquet(version_dir(reg_root, next_ver))
     flip_current(reg_root, next_ver)  # commit point
 
-    # Timeline row(s): the estimate AFTER this batch, keyed by
-    # batch_id (at-least-once; replay rewrites the same key).
+    # Timeline row(s): the estimate AFTER this batch, OVERWRITING this
+    # batch's own partition directory so at-least-once replay is a
+    # file-level no-op — the raw timeline never holds duplicate
+    # (batch_id, grp) rows.
     summary = hll_estimate_cols(hll_summarize(merged))
     if batch_id is not None:
-        summary.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
-            "append"
-        ).parquet(os.path.join(state_dir, TIMELINE_SUBDIR))
+        summary.write.mode("overwrite").parquet(
+            os.path.join(state_dir, TIMELINE_SUBDIR, f"batch_id={int(batch_id)}")
+        )
 
     n_regs = merged.count()
     return {
