@@ -25,6 +25,7 @@ from flinkstreametl_spark.plans import retrieval_ext as _retrieval_ext  # noqa: 
 from flinkstreametl_spark.plans import ann_ext as _ann_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import eval_ext as _eval_ext  # noqa: E402,F401
 from flinkstreametl_spark.plans import sketch_ext as _sketch_ext  # noqa: E402,F401
+from flinkstreametl_spark.plans import stream_parity_ext as _stream_parity_ext  # noqa: E402,F401
 
 # The driver's correctness gate verifies the FIRST 50 registered queries
 # (registration order == dict order), so ordering decides what gets a
@@ -243,6 +244,9 @@ _NEW_R11: list[str] = [
     "forecast_feature_table",
     # --- round-10 additions land below this line, capped by
     # _ROUND10_ADDITION_CAP.
+    "stream_stream_join_replay",
+    "bloom_saturation_audit",
+    "audio_fingerprint_neardup",
 ]
 
 # Count of names in _NEW_R11 before any round-10 addition; the cap

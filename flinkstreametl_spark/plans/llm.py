@@ -1140,6 +1140,150 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- audio fingerprint near-dup ----------------------------------------------
+# The third leg of the multimodal near-dup triad (text: minhash_lsh /
+# simhash; image: image_phash_neardup; audio: this). Fingerprint =
+# per-window peak energy folded to bits against the track mean — the
+# windowed-energy-signature core of audio fingerprinting (Shazam-style
+# constellation maps replace windows with spectral peaks; the banding
+# + pigeonhole join downstream is identical). 48 windows of 4 frames;
+# the synthetic audio SPACE scales with the corpus exactly like the
+# image fixture: 240 base amplitude patterns x 4 flip positions per
+# 960-doc era, era-dependent texture term decorrelating eras, so
+# near-dup pair count grows LINEARLY with corpus size.
+_AF_N = 48  # analysis windows per track -> 48-bit fingerprint
+_AF_FPW = 4  # PCM frames per window (+A,-A,+A,-A -> window peak == A)
+_AF_BANDS, _AF_WIDTH = 4, 12
+_AF_FAM = 240
+_AF_FLIPS = 4  # flip windows 0/12/24/36
+_AF_ERA = _AF_FAM * _AF_FLIPS
+
+_AFP_ORACLE = f"""
+WITH wv AS (
+    SELECT doc_id, w,
+           CASE WHEN w = ((doc_id // {_AF_FAM}) % {_AF_FLIPS}) * 12
+                THEN 255 - ((doc_id % {_AF_FAM}) * (w + 5) + w * 17 + (doc_id // {_AF_ERA}) * ((w * w) % 241)) % 256
+                ELSE ((doc_id % {_AF_FAM}) * (w + 5) + w * 17 + (doc_id // {_AF_ERA}) * ((w * w) % 241)) % 256 END AS v
+    FROM documents, (SELECT unnest(range({_AF_N})) AS w) r
+), s AS (
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM wv GROUP BY doc_id
+), h AS (
+    SELECT wv.doc_id,
+           SUM(CASE WHEN wv.v * {_AF_N} > s.total THEN (CAST(1 AS BIGINT) << wv.w) ELSE 0 END) AS afp
+    FROM wv JOIN s ON wv.doc_id = s.doc_id
+    GROUP BY wv.doc_id
+), banded AS (
+    SELECT doc_id, afp, band, (afp >> (band * {_AF_WIDTH})) & {(1 << _AF_WIDTH) - 1} AS band_bits
+    FROM h, (SELECT unnest(range({_AF_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
+"""
+
+
+@register("audio_fingerprint_neardup", tags=("llm", "multimodal", "audio", "dedup"), oracle=_AFP_ORACLE)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection through the REAL decode path: each doc
+    synthesizes a deterministic 16-bit PCM RIFF/WAVE track whose 48
+    analysis windows carry amplitude 100 + 120*v(doc, w) (the
+    constants block states v's closed form; one flip window per
+    pattern is inverted, era-textured so the audio space grows with
+    the corpus), the stdlib-wave parser in
+    ``operators/multimodal.decode_wav`` decodes the bytes back
+    executor-side, per-window PEAKS recover v exactly (the affine map
+    is strictly increasing, so peak-vs-mean and v-vs-mean bits agree),
+    an energy-hash folds each track to 48 bits (bit w set iff window
+    w's level is strictly above the track mean), and candidate pairs
+    come from the pigeonhole banded equi-join with the exact hamming
+    filter — image_phash_neardup's machinery applied to audio, closing
+    the text/image/audio near-dup triad (VERDICT r9 item 3b).
+
+    The oracle states the closed form of the whole chain (synth ->
+    RIFF round-trip -> window peaks -> bits -> bands -> pairs), so an
+    encode bug, a sample-order bug, a window-boundary bug, or a
+    banding bug all break parity. Both mapInPandas stages are
+    Arrow-batched; payloads never leave executors — at 100 TB swap the
+    synth stage for the object-store read and decode_wav for a codec
+    library; every downstream operator is unchanged."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from flinkstreametl_spark.operators.multimodal import decode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        import io as _io
+        import struct as _struct
+        import wave as _wave
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = [
+                    ((did % _AF_FAM) * (w + 5) + w * 17 + (did // _AF_ERA) * ((w * w) % 241)) % 256
+                    for w in range(_AF_N)
+                ]
+                flip = ((did // _AF_FAM) % _AF_FLIPS) * 12
+                vals[flip] = 255 - vals[flip]
+                buf = _io.BytesIO()
+                with _wave.open(buf, "wb") as wav:
+                    wav.setnchannels(1)
+                    wav.setsampwidth(2)
+                    wav.setframerate(8000)
+                    wav.writeframes(
+                        b"".join(
+                            _struct.pack(
+                                "<h", (100 + 120 * v) if i % 2 == 0 else -(100 + 120 * v)
+                            )
+                            for v in vals
+                            for i in range(_AF_FPW)
+                        )
+                    )
+                payloads.append(buf.getvalue())
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id LONG, payload BINARY")
+
+    def afp(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                _sr, _nch, samples = decode_wav(bytes(payload))
+                vs = [
+                    (max(abs(s) for s in samples[w * _AF_FPW : (w + 1) * _AF_FPW]) - 100) // 120
+                    for w in range(_AF_N)
+                ]
+                total = sum(vs)
+                h = 0
+                for w, v in enumerate(vs):
+                    if v * _AF_N > total:
+                        h |= 1 << w
+                out.append({"media_id": int(mid), "afp": h})
+            yield _pd.DataFrame(out, columns=["media_id", "afp"])
+
+    hashes = media.mapInPandas(afp, schema="media_id LONG, afp LONG")
+    band_idx = F.explode(F.array([F.lit(i) for i in range(_AF_BANDS)])).alias("band")
+    banded = hashes.select("media_id", "afp", band_idx).withColumn(
+        "band_bits", F.expr(f"(afp >> (band * {_AF_WIDTH})) & {(1 << _AF_WIDTH) - 1}")
+    )
+    a = banded.select(F.col("media_id").alias("media_a"), F.col("afp").alias("ha"), "band", "band_bits")
+    b = banded.select(F.col("media_id").alias("media_b"), F.col("afp").alias("hb"), "band", "band_bits")
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
 # --- near-dup source matrix --------------------------------------------------
 # WHO copies from WHOM: the verified near-dup pair stream cross-
 # tabulated by source pair — the governance view a curation team reads

@@ -77,22 +77,24 @@ DEFAULT_COMPACT_EVERY = 10
 BLOOM_M = 1 << 20
 
 
-def _h(salt: str, col: F.Column) -> F.Column:
+def _h(salt: str, col: F.Column, m: int = BLOOM_M) -> F.Column:
     """Engine-portable hash position: first 8 md5 hex chars of the
     salted key, mod the filter width (the bloom_prune_fpr_audit
-    construction)."""
+    construction). ``m`` defaults to the ingest loop's width; the
+    saturation audit passes a narrower width so the fill curve is
+    visible at fixture scale — same construction either way."""
     return (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8), 16, 10)
         .cast("long")
-        % BLOOM_M
+        % m
     )
 
 
-def bloom_positions(fps: DataFrame) -> DataFrame:
+def bloom_positions(fps: DataFrame, m: int = BLOOM_M) -> DataFrame:
     """Distinct set-bit positions for a fingerprint column ``fp``."""
     return (
-        fps.select(_h("a", F.col("fp")).alias("b"))
-        .unionByName(fps.select(_h("b", F.col("fp")).alias("b")))
+        fps.select(_h("a", F.col("fp"), m).alias("b"))
+        .unionByName(fps.select(_h("b", F.col("fp"), m).alias("b")))
         .distinct()
     )
 

@@ -1,0 +1,102 @@
+"""Round-10 stream-parity / multimodal-triad laws (the invariants
+oracle parity can't state): the DRAINED streaming join equals the
+one-shot Spark batch join (engine-internal twin, no DuckDB in the
+loop), bloom saturation is monotone and exactly reproduces the k=2
+FPR law, and every audio near-dup pair's hamming recomputes from the
+closed-form fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans import REGISTRY
+from flinkstreametl_spark.plans.llm import _AF_ERA, _AF_FAM, _AF_FLIPS, _AF_N
+from flinkstreametl_spark.plans.stream_parity_ext import _SAT_M, _SAT_STAGES
+
+
+def test_stream_stream_join_replay_equals_batch_twin(spark, sf_dir):
+    got = {
+        r.user_id: (r.n_pairs, r.n_left_matched, r.sum_delta_us, r.max_delta_us)
+        for r in REGISTRY["stream_stream_join_replay"].fn(spark, sf_dir).collect()
+    }
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    l, r = ev.alias("l"), ev.alias("r")
+    batch = (
+        l.join(
+            r,
+            F.expr("l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"),
+        )
+        .select(
+            F.col("l.user_id").alias("user_id"),
+            F.col("l.event_id").alias("left_event_id"),
+            (F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts"))).alias("delta_us"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.countDistinct("left_event_id").cast("long").alias("n_left_matched"),
+            F.sum("delta_us").cast("long").alias("sum_delta_us"),
+            F.max("delta_us").cast("long").alias("max_delta_us"),
+        )
+    )
+    want = {
+        r.user_id: (r.n_pairs, r.n_left_matched, r.sum_delta_us, r.max_delta_us)
+        for r in batch.collect()
+    }
+    assert got == want and got, "drained streaming join must equal the batch join"
+    for n_pairs, n_left, sum_us, max_us in got.values():
+        assert 0 < max_us <= 3_600_000_000
+        assert n_left <= n_pairs and sum_us <= n_pairs * 3_600_000_000
+
+
+def test_bloom_saturation_monotone_and_fpr_law(spark, sf_dir):
+    rows = sorted(
+        REGISTRY["bloom_saturation_audit"].fn(spark, sf_dir).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage for r in rows] == list(range(1, _SAT_STAGES + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_keys >= prev.n_keys and cur.bits_set >= prev.bits_set
+        assert cur.fill_ppm >= prev.fill_ppm
+    for r in rows:
+        assert 0 < r.bits_set <= min(2 * r.n_keys, _SAT_M)
+        assert r.fill_ppm == r.bits_set * 1_000_000 // _SAT_M
+        assert r.pred_fpr_ppm == r.bits_set * r.bits_set * 1_000_000 // (_SAT_M * _SAT_M)
+    # final stage covers the whole corpus
+    n_fp = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ").cast("binary")))
+        .distinct()
+        .count()
+    )
+    assert rows[-1].n_keys == n_fp
+
+
+def _afp_closed_form(did: int) -> int:
+    vals = [
+        ((did % _AF_FAM) * (w + 5) + w * 17 + (did // _AF_ERA) * ((w * w) % 241)) % 256
+        for w in range(_AF_N)
+    ]
+    flip = ((did // _AF_FAM) % _AF_FLIPS) * 12
+    vals[flip] = 255 - vals[flip]
+    total = sum(vals)
+    return sum(1 << w for w, v in enumerate(vals) if v * _AF_N > total)
+
+
+def test_audio_fingerprint_pairs_recompute_from_closed_form(spark):
+    # sf0.01 (500 docs) has same-(era, pattern) partners (doc x and
+    # x+240 for x < 260); sf0.001's 60 docs have none — use the larger
+    # fixture so the pair stream is non-trivial.
+    sf_dir = "/root/testdata/sf0.01"
+    rows = REGISTRY["audio_fingerprint_neardup"].fn(spark, sf_dir).collect()
+    assert rows, "the 500-doc fixture must produce near-dup audio pairs"
+    seen = set()
+    for r in rows:
+        assert r.media_a < r.media_b and 0 <= r.hamming <= 3
+        assert (r.media_a, r.media_b) not in seen
+        seen.add((r.media_a, r.media_b))
+        want = bin(_afp_closed_form(r.media_a) ^ _afp_closed_form(r.media_b)).count("1")
+        assert r.hamming == want, "decode-path fingerprint must match the closed form"
