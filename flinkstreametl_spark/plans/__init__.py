@@ -247,6 +247,10 @@ _NEW_R11: list[str] = [
     "stream_stream_join_replay",
     "bloom_saturation_audit",
     "audio_fingerprint_neardup",
+    "video_fingerprint_neardup",
+    "stream_dedup_replay",
+    "stream_window_agg_replay",
+    "stream_cdc_upsert_replay",
 ]
 
 # Count of names in _NEW_R11 before any round-10 addition; the cap

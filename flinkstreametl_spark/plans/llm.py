@@ -1783,3 +1783,127 @@ def token_pair_lift_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift_x100").desc(), "term_a", "term_b")
         .limit(_TLIFT_TOPK)
     )
+
+
+# --- video fingerprint near-dup ----------------------------------------------
+# The FOURTH leg of the multimodal near-dup family (text: minhash_lsh /
+# simhash; image: image_phash_neardup; audio: audio_fingerprint_neardup;
+# video: this). Fingerprint = per-frame mean luminance folded to bits
+# against the track mean — the temporal-luminance-signature core of
+# video copy detection (production systems swap the solid-color frames
+# for downsampled real frames; the bit fold, banding, and pigeonhole
+# join downstream are identical). 48 frames of 4x4 gray pixels; the
+# synthetic video SPACE scales with the corpus exactly like the
+# image/audio fixtures: 240 base luminance patterns x 4 flip positions
+# per 960-doc era, era-dependent texture term decorrelating eras, so
+# near-dup pair count grows LINEARLY with corpus size.
+_VF_N = 48  # frames per video -> 48-bit fingerprint
+_VF_BANDS, _VF_WIDTH = 4, 12
+_VF_FAM = 240
+_VF_FLIPS = 4  # flip frames 0/12/24/36
+_VF_ERA = _VF_FAM * _VF_FLIPS
+
+_VFP_ORACLE = f"""
+WITH fv AS (
+    SELECT doc_id, f,
+           CASE WHEN f = ((doc_id // {_VF_FAM}) % {_VF_FLIPS}) * 12
+                THEN 255 - ((doc_id % {_VF_FAM}) * (f + 9) + f * 23 + (doc_id // {_VF_ERA}) * ((f * f) % 233)) % 256
+                ELSE ((doc_id % {_VF_FAM}) * (f + 9) + f * 23 + (doc_id // {_VF_ERA}) * ((f * f) % 233)) % 256 END AS v
+    FROM documents, (SELECT unnest(range({_VF_N})) AS f) r
+), s AS (
+    SELECT doc_id, CAST(SUM(v) AS BIGINT) AS total FROM fv GROUP BY doc_id
+), h AS (
+    SELECT fv.doc_id,
+           SUM(CASE WHEN fv.v * {_VF_N} > s.total THEN (CAST(1 AS BIGINT) << fv.f) ELSE 0 END) AS vfp
+    FROM fv JOIN s ON fv.doc_id = s.doc_id
+    GROUP BY fv.doc_id
+), banded AS (
+    SELECT doc_id, vfp, band, (vfp >> (band * {_VF_WIDTH})) & {(1 << _VF_WIDTH) - 1} AS band_bits
+    FROM h, (SELECT unnest(range({_VF_BANDS})) AS band) b
+)
+SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b,
+       CAST(bit_count(xor(a.vfp, b.vfp)) AS BIGINT) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.band_bits = b.band_bits AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
+"""
+
+
+@register("video_fingerprint_neardup", tags=("llm", "multimodal", "video", "dedup"), oracle=_VFP_ORACLE)
+def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup detection through the REAL container decode path:
+    each doc synthesizes a deterministic 48-frame concatenated-P6 video
+    whose frame f is a solid 4x4 gray of luminance v(doc, f) (closed
+    form in the constants block; one flip frame per pattern is
+    inverted, era-textured so the video space grows with the corpus),
+    ``operators/multimodal.decode_video_ppm`` re-parses the container
+    executor-side, per-frame floor-mean luminance recovers v exactly
+    (solid frames — the mean IS the value), a temporal hash folds each
+    video to 48 bits (bit f set iff frame f's level is strictly above
+    the video mean), and candidate pairs come from the pigeonhole
+    banded equi-join with the exact hamming filter —
+    image_phash_neardup's machinery applied along the TIME axis,
+    completing the text/image/audio/video near-dup family (VERDICT r9
+    item 3b sequel).
+
+    The oracle states the closed form of the whole chain (synth -> P6
+    container round-trip -> frame means -> bits -> bands -> pairs), so
+    a container-offset bug, a frame-order bug, a raster-mean bug, or a
+    banding bug all break parity. Both mapInPandas stages are
+    Arrow-batched; payloads never leave executors — at 100 TB swap the
+    synth stage for the object-store read and decode_video_ppm for a
+    codec library; every downstream operator is unchanged."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as _pd
+
+    from flinkstreametl_spark.operators.multimodal import decode_video_ppm, encode_video_ppm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vals = [
+                    ((did % _VF_FAM) * (f + 9) + f * 23 + (did // _VF_ERA) * ((f * f) % 233)) % 256
+                    for f in range(_VF_N)
+                ]
+                flip = ((did // _VF_FAM) % _VF_FLIPS) * 12
+                vals[flip] = 255 - vals[flip]
+                frames = [(4, 4, [float(v)] * 48) for v in vals]
+                payloads.append(encode_video_ppm(frames))
+            yield _pd.DataFrame({"media_id": pdf["doc_id"].astype("int64"), "payload": payloads})
+
+    media = docs.mapInPandas(synth, schema="media_id LONG, payload BINARY")
+
+    def vfp(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_video_ppm(bytes(payload))
+                vs = [sum(int(s) for s in px) // (w * h * 3) for w, h, px in frames]
+                total = sum(vs)
+                h = 0
+                for f, v in enumerate(vs):
+                    if v * _VF_N > total:
+                        h |= 1 << f
+                out.append({"media_id": int(mid), "vfp": h})
+            yield _pd.DataFrame(out, columns=["media_id", "vfp"])
+
+    hashes = media.mapInPandas(vfp, schema="media_id LONG, vfp LONG")
+    band_idx = F.explode(F.array([F.lit(i) for i in range(_VF_BANDS)])).alias("band")
+    banded = hashes.select("media_id", "vfp", band_idx).withColumn(
+        "band_bits", F.expr(f"(vfp >> (band * {_VF_WIDTH})) & {(1 << _VF_WIDTH) - 1}")
+    )
+    a = banded.select(F.col("media_id").alias("media_a"), F.col("vfp").alias("ha"), "band", "band_bits")
+    b = banded.select(F.col("media_id").alias("media_b"), F.col("vfp").alias("hb"), "band", "band_bits")
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

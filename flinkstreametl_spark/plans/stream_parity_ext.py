@@ -44,6 +44,7 @@ operator under test is the production one, unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
@@ -51,6 +52,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from flinkstreametl_spark.functions.exact import dsum, sql_dsum
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
@@ -59,6 +61,26 @@ from flinkstreametl_spark.streaming.pipeline import stream_stream_interval_join
 
 _SSJ_CHUNKS = 3
 _SSJ_SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG"
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
+    streaming query start. Stateful streaming operators materialize one
+    state store per shuffle partition and AQE does NOT coalesce them,
+    so a session at Spark's 200 default pays ~200 store open/commit
+    cycles per micro-batch regardless of data volume (measured: 82s ->
+    ~8s at sf0.001 on stream_dedup_replay). On a real cluster this is
+    the `numShufflePartitions`-at-first-checkpoint sizing decision —
+    state partitioning is fixed at query birth, so it is pinned HERE,
+    per query, not inherited from whatever batch tuning the session
+    carries. Restores the previous value even on failure."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
@@ -140,14 +162,15 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             left, right, watermark="30 minutes", max_delay_expr="INTERVAL 1 HOUR"
         )
         out_dir = os.path.join(tmp, "out")
-        q = (
-            joined.writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _state_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
         pairs = spark.read.parquet(out_dir)
         delta = F.unix_micros(F.col("right_ts")) - F.unix_micros(F.col("left_ts"))
@@ -259,3 +282,368 @@ def bloom_saturation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pred_fpr_ppm"),
         )
     )
+
+
+# --- streaming dedup replay ---------------------------------------------------
+# The streaming counterpart of exact_dup_groups / keep-first dedup: the
+# engine's watermark-bounded dedup operator (dropDuplicatesWithinWatermark)
+# fed an AT-LEAST-ONCE stream — every chunk boundary redelivers the
+# previous chunk's 40-second tail — and graded against the one-shot
+# batch DISTINCT the oracle states. Event time is derived FROM the
+# dedup key (md5-prefix of the fingerprint), which makes the parity a
+# THEOREM instead of luck: (1) all copies of a key carry the identical
+# (source, fp, ts) triple, so whichever copy survives is byte-identical;
+# (2) same-key copies always share ts, so they land in the same
+# event-time chunk (in-batch dedup) or arrive as the redelivered tail
+# within the 60s watermark with live state (2*60 > 40 — cross-batch
+# dedup), never outside it; (3) redelivered rows sit above the
+# post-batch watermark (40 < 60), so the late-drop path stays cold.
+_SDD_TAIL_S = 40
+_SDD_WM = "60 seconds"
+_SDD_SPREAD_S = 400
+_SDD_SCHEMA = "source STRING, fp STRING, ts TIMESTAMP"
+
+_SDD_ORACLE = f"""
+WITH d AS (
+    SELECT source, {X.sql_fingerprint('text')} AS fp FROM documents
+)
+SELECT source,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_rows_out
+FROM d GROUP BY source
+"""
+
+
+@register(
+    "stream_dedup_replay",
+    tags=("ext", "streaming", "dedup", "parity"),
+    oracle=_SDD_ORACLE,
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup through the REAL micro-batch
+    engine: document (source, fingerprint) keys arrive as 3 event-time
+    chunk files where every chunk k>1 REDELIVERS chunk k-1's 40-second
+    tail (the at-least-once upstream shape the bloom/minhash ingest
+    loops guard against), the engine's own
+    ``dropDuplicatesWithinWatermark`` drops in-batch and cross-batch
+    copies with state bounded by the 60s watermark, and the drained
+    exactly-once parquet output must aggregate to the batch
+    COUNT(DISTINCT fp) per source — n_rows_out == n_unique pins that
+    not a single redelivered copy leaked past the operator. Event time
+    is a pure function of the key (md5-prefix mod 400s), so parity is
+    deterministic by construction (block comment above carries the
+    proof). 100 TB story: dedup state is bounded by keys-per-watermark-
+    window, not stream history — the law this query puts in the
+    driver's gate; full-history exact dedup stays the batch operator's
+    job (exact_dup_groups)."""
+    epoch = F.lit("2020-01-01 00:00:00").cast("timestamp")
+    keyed = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", X.fingerprint("text").alias("fp"))
+        .select(
+            "source",
+            "fp",
+            (
+                epoch
+                + F.make_interval(
+                    secs=F.conv(F.substring(F.md5(F.col("fp")), 1, 8), 16, 10).cast("long")
+                    % _SDD_SPREAD_S
+                )
+            ).alias("ts"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="sdd_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir, exist_ok=True)
+        staged = keyed.withColumn("_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("ts", "fp")))
+        staged = staged.localCheckpoint()  # pin the chunk split across the per-chunk writes
+        # chunk-boundary max event times — a 3-row parameter table
+        bounds = {
+            r["_b"]: r["mx"]
+            for r in staged.groupBy("_b").agg(F.max("ts").alias("mx")).collect()
+        }
+        base_mtime = 1_600_000_000
+        for i in range(1, _SSJ_CHUNKS + 1):
+            chunk = staged.filter(F.col("_b") == i)
+            if i > 1:
+                tail_lo = F.lit(bounds[i - 1]) - F.make_interval(secs=F.lit(_SDD_TAIL_S))
+                chunk = chunk.unionByName(
+                    staged.filter((F.col("_b") == i - 1) & (F.col("ts") >= tail_lo))
+                )
+            stage = os.path.join(src_dir, f"_stage{i}")
+            chunk.drop("_b").coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"b{i}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+        deduped = (
+            spark.readStream.schema(_SDD_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("ts", _SDD_WM)
+            .dropDuplicatesWithinWatermark(["source", "fp"])
+        )
+        out_dir = os.path.join(tmp, "out")
+        with _state_partitions(spark, 8):
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        out = spark.read.parquet(out_dir)
+        return (
+            out.groupBy("source")
+            .agg(
+                F.countDistinct("fp").cast("long").alias("n_unique"),
+                F.count(F.lit(1)).cast("long").alias("n_rows_out"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming windowed aggregation replay ------------------------------------
+# Completes the streaming-parity trio (join / dedup / WINDOWED AGG —
+# the three stateful operators every Flink ETL job composes from). The
+# tumbling-window aggregate runs in the REAL micro-batch engine in
+# append mode, fed event-time-ordered chunks PLUS (a) a late-poison
+# file that redelivers the stream's first hour after the watermark has
+# advanced ~the whole fixture span — the engine must drop every copy or
+# a duplicate (window_start, event_type) key reaches the output and the
+# hash breaks — and (b) two far-future sentinel files that advance the
+# watermark past every real window end so append mode FLUSHES all real
+# windows before the drain terminates (emission needs a batch running
+# AFTER the watermark update; sentinel #2's batch is that batch for
+# sentinel #1's update, making the flush independent of whether the
+# engine schedules a trailing no-data batch). Sentinel rows aggregate
+# into their own far-future windows which the post-drain event_type
+# filter removes if they ever emit, so the oracle is the PLAIN batch
+# tumbling group-by — no closure predicate needed.
+_SWA_WM = "30 minutes"
+_SWA_SCHEMA = "event_id LONG, ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+_SWA_ORACLE = f"""
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+         AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value', 18, 6)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_window_agg_replay",
+    tags=("ext", "streaming", "window", "parity"),
+    oracle=_SWA_ORACLE,
+)
+def stream_window_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation through the REAL
+    micro-batch engine (the reference's streaming-agg shape,
+    Main.java:102-106, run as Flink would run it): events arrive as 3
+    event-time-ordered chunk files, a 4th file REDELIVERS the stream's
+    entire first hour long after the 30-minute watermark has passed it
+    (at-least-once upstream), and two sentinel files advance the
+    watermark past every real window end so append mode flushes the
+    full window set before Trigger.AvailableNow terminates. The drained
+    exactly-once parquet output must hash-match the one-shot batch
+    tumbling group-by — count AND exact decimal value sum per
+    (window, event_type) — so a single late-poison row leaking into a
+    closed window, a missed final-window flush, or a double-emitted
+    window all break parity (block comment above carries the
+    construction). 100 TB story: window state is bounded by
+    windows-per-watermark-horizon × group keys, never stream history,
+    and the flush discipline is exactly how a production drain hands
+    off to a downstream batch consumer."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    tmp = tempfile.mkdtemp(prefix="swa_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+
+        def _one_file(df: DataFrame, name: str, mtime: int) -> None:
+            stage = os.path.join(src_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, name)
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (mtime, mtime))
+
+        base_mtime = 1_600_000_000
+        poison = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
+        s1 = spark.createDataFrame(
+            [(-1, hi + _dt.timedelta(days=1), "__sentinel__", 0.0)], schema=ev.schema
+        )
+        s2 = spark.createDataFrame(
+            [(-2, hi + _dt.timedelta(days=2), "__sentinel__", 0.0)], schema=ev.schema
+        )
+        _one_file(poison.unionByName(s1), "b4.parquet", base_mtime + 40)
+        _one_file(s2, "b5.parquet", base_mtime + 50)
+
+        agg = (
+            spark.readStream.schema(_SWA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("ts", _SWA_WM)
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), dsum("value", 18, 6).alias("sum_value"))
+            .select(
+                F.col("win.start").alias("window_start"), "event_type", "n", "sum_value"
+            )
+        )
+        # The sentinel filter must NOT sit in the streaming plan:
+        # event_type is a grouping column, so Catalyst pushes the
+        # predicate through the Aggregate AND the EventTimeWatermark
+        # node down to the scan — the sentinel rows then never reach
+        # the watermark tracker and the final real windows are never
+        # flushed (observed: watermark stuck at maxTs(b3)-30min).
+        # Filtering the drained OUTPUT removes the sentinel's own
+        # window whether or not the engine schedules the trailing
+        # no-data batch that emits it, keeping the result set
+        # deterministic across engine versions.
+        out_dir = os.path.join(tmp, "out")
+        with _state_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("event_type") != "__sentinel__")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming CDC upsert replay ----------------------------------------------
+# The reference END-TO-END, through the real engine: a changelog stream
+# (op derived per row: 'error' events are DELETE tombstones, everything
+# else upserts — changelog_op_column's law) replayed as at-least-once
+# micro-batches into the PRODUCTION KeyedParquetUpsertSink
+# (REPLACE-INTO semantics, SinkToMySQL.java:35), and the final keyed
+# table must equal the batch latest-row-per-key with deleted keys
+# absent. Why redelivery cannot regress a key: chunks are ntile'd over
+# the total order (ts, event_id), so every chunk-(k-1) row outranks
+# every chunk-(k-2) row; the redelivered tail is a ts-suffix OF chunk
+# k-1, so if key K has any row in batch k, the batch's latest-for-K is
+# either a genuinely newer chunk-k row or K's stored latest itself
+# (K's overall latest r* lives in the highest chunk containing K; if
+# that is chunk k-1 and any K-row clears the tail cutoff, r* does too,
+# since r* is the latest) — the sink's blind REPLACE therefore never
+# overwrites with an older row, matching MySQL REPLACE under the same
+# ordered-with-bounded-redelivery delivery contract.
+_SCU_TAIL_S = 6 * 3600
+
+_SCU_ORACLE = """
+SELECT event_id, user_id, event_type, value, ts
+FROM (
+    SELECT e.*,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e
+) t
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "stream_cdc_upsert_replay",
+    tags=("ext", "streaming", "cdc", "upsert", "parity"),
+    oracle=_SCU_ORACLE,
+)
+def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference pipeline end-to-end in the REAL micro-batch engine:
+    an event changelog ('error' rows become DELETE tombstones, the
+    retract law of changelog_op_column; everything else upserts)
+    arrives as 3 event-time-ordered chunks where each chunk k>1
+    REDELIVERS chunk k-1's 6-hour tail (at-least-once upstream), and
+    foreachBatch drives the PRODUCTION KeyedParquetUpsertSink —
+    in-batch last-write-wins dedup, tombstone withholding, anti-join
+    merge, atomic directory swap (streaming/sinks.py, the Spark
+    re-expression of SinkToMySQL.java:31-65's REPLACE INTO). The final
+    keyed table must hash-match the batch latest-row-per-key oracle
+    with tombstoned keys absent — every column exact, so a redelivered
+    row regressing a key, a tombstone leak, or a lost upsert all break
+    parity (the block comment above carries the no-regression proof).
+    100 TB story: per-batch cost is |batch| + one key-merge against the
+    keyed table — MERGE INTO on Delta/Iceberg on a cluster — and
+    redelivery safety comes from the delivery contract, not from
+    history kept in state."""
+    from flinkstreametl_spark.streaming.sinks import KeyedParquetUpsertSink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="scu_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir, exist_ok=True)
+        staged = ev.withColumn("_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("ts", "event_id")))
+        staged = staged.localCheckpoint()  # pin the chunk split across the per-chunk writes
+        bounds = {
+            r["_b"]: r["mx"]
+            for r in staged.groupBy("_b").agg(F.max("ts").alias("mx")).collect()
+        }
+        base_mtime = 1_600_000_000
+        for i in range(1, _SSJ_CHUNKS + 1):
+            chunk = staged.filter(F.col("_b") == i)
+            if i > 1:
+                tail_lo = F.lit(bounds[i - 1]) - F.make_interval(secs=F.lit(_SCU_TAIL_S))
+                chunk = chunk.unionByName(
+                    staged.filter((F.col("_b") == i - 1) & (F.col("ts") >= tail_lo))
+                )
+            stage = os.path.join(src_dir, f"_stage{i}")
+            chunk.drop("_b").coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, f"b{i}.parquet")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+        changelog = (
+            spark.readStream.schema(
+                "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withColumn(
+                "_op",
+                F.when(F.col("event_type") == "error", F.lit("DELETE")).otherwise(
+                    F.lit("UPSERT")
+                ),
+            )
+        )
+        sink = KeyedParquetUpsertSink(
+            os.path.join(tmp, "table"), ["user_id"], ["ts", "event_id"]
+        )
+        with _state_partitions(spark, 8):
+            q = (
+                changelog.writeStream.foreachBatch(sink.process_batch)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        final = sink.read(spark)
+        return final.select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
