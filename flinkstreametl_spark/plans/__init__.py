@@ -251,6 +251,7 @@ _NEW_R11: list[str] = [
     "stream_dedup_replay",
     "stream_window_agg_replay",
     "stream_cdc_upsert_replay",
+    "unigram_surprisal_by_source",
 ]
 
 # Count of names in _NEW_R11 before any round-10 addition; the cap

@@ -749,3 +749,74 @@ def _install_kappa_oracle() -> None:
 
 
 _install_kappa_oracle()
+
+
+# --- unigram surprisal (perplexity-proxy quality score) -----------------------
+# The log-free member of the quality-score family: per-source mean token
+# surprisal against the CORPUS unigram distribution. True surprisal is
+# -log2(n_w / N); runtime ln/log2 over doubles is banned from oracles
+# (last-ulp divergence across engines — the sketch_ext precedent), so the
+# metric quantizes to INTEGER bits: bits(w) = floor(log2(N // n_w)) =
+# length(bin(N // n_w)) - 1, exact 64-bit arithmetic in both engines
+# (Spark bin() and DuckDB bin() agree on positive BIGINT by definition of
+# binary notation). Low mean surprisal = repetitive/boilerplate source;
+# high = rare-token-heavy (OCR noise, code, multilingual) — the unigram
+# cross-entropy signal CCNet/Gopher-style pipelines threshold on.
+_SUR_FP = 1_000_000
+
+_SUR_ORACLE = f"""
+WITH st AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (SELECT source, unnest({X.sql_tokens('text')}) AS tok FROM documents)
+    GROUP BY source, tok
+), tf AS (
+    SELECT tok, CAST(SUM(cnt) AS BIGINT) AS n FROM st GROUP BY tok
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM tf)
+SELECT st.source,
+       CAST(SUM(st.cnt) AS BIGINT) AS n_tokens,
+       CAST(SUM(st.cnt * (length(bin(tot.nn // tf.n)) - 1)) AS BIGINT) AS sum_bits,
+       CAST(SUM(st.cnt * (length(bin(tot.nn // tf.n)) - 1)) * {_SUR_FP} // SUM(st.cnt) AS BIGINT)
+         AS mean_surprisal_ubits
+FROM st JOIN tf USING (tok), tot
+GROUP BY st.source
+"""
+
+
+@register("unigram_surprisal_by_source", tags=("ext", "llm", "quality"), oracle=_SUR_ORACLE)
+def unigram_surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean token surprisal vs the corpus unigram model —
+    the perplexity-proxy quality gate (spec + why integer bits in the
+    block comment above). Plan: ONE corpus scan into the (source, token)
+    hash aggregate (map-side partial), localCheckpoint-pinned because it
+    feeds BOTH the corpus term-frequency re-aggregate and the scoring
+    join; the corpus total is a broadcast 1-row frame (scalar-subquery
+    idiom). The scoring join shuffles on token — the wordcount exchange,
+    |vocab|-sized, never corpus-sized. At 100 TB the unigram table is a
+    dictionary-sized artifact broadcast to the scorers; nothing here is
+    driver-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select("source", F.explode(X.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    tf = st.groupBy("tok").agg(F.sum("cnt").alias("n"))
+    tot = tf.agg(F.sum("n").alias("nn"))
+    joined = st.join(tf, "tok").crossJoin(F.broadcast(tot))
+    bits = F.expr("length(bin(nn div n)) - 1")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * bits).cast("long").alias("sum_bits"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "sum_bits",
+            F.expr(f"CAST(sum_bits * {_SUR_FP} DIV n_tokens AS BIGINT)").alias(
+                "mean_surprisal_ubits"
+            ),
+        )
+    )
