@@ -100,3 +100,91 @@ def test_audio_fingerprint_pairs_recompute_from_closed_form(spark):
         seen.add((r.media_a, r.media_b))
         want = bin(_afp_closed_form(r.media_a) ^ _afp_closed_form(r.media_b)).count("1")
         assert r.hamming == want, "decode-path fingerprint must match the closed form"
+
+
+def test_stream_window_agg_replay_equals_batch_twin(spark, sf_dir):
+    """The drained append-mode window stream — late-poison redelivery,
+    sentinel-driven final flush — must equal the one-shot Spark batch
+    tumbling aggregate (engine-internal twin; a leaked late copy shows
+    up as a duplicate (window_start, event_type) key, a missed flush as
+    a missing final window)."""
+    from flinkstreametl_spark.functions.exact import dsum
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in REGISTRY["stream_window_agg_replay"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", 18, 6).alias("sum_value"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    want = {(r.window_start, r.event_type): (r.n, r.sum_value) for r in batch.collect()}
+    assert got == want and got, "drained window stream must equal the batch tumbling agg"
+    assert len({k for k in got}) == len(got)  # no double-emitted window
+
+
+def test_stream_cdc_upsert_replay_tombstones_and_latest(spark, sf_dir):
+    """The final keyed table after the at-least-once changelog replay
+    must be exactly the batch latest-row-per-key with 'error'-latest
+    keys tombstoned away (engine-internal twin of the oracle)."""
+    from flinkstreametl_spark.operators.cdc import latest_by_key
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    out = REGISTRY["stream_cdc_upsert_replay"].fn(spark, sf_dir).collect()
+    assert out and all(r.event_type != "error" for r in out)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    want = {
+        r.user_id: (r.event_id, r.event_type, r.value, r.ts)
+        for r in latest_by_key(ev, ["user_id"], ["ts", "event_id"]).collect()
+        if r.event_type != "error"
+    }
+    got = {r.user_id: (r.event_id, r.event_type, r.value, r.ts) for r in out}
+    assert got == want
+
+
+def test_video_fingerprint_pairs_recompute_from_closed_form(spark):
+    from flinkstreametl_spark.plans.llm import _VF_ERA, _VF_FAM, _VF_FLIPS, _VF_N
+
+    def closed_form(did: int) -> int:
+        vals = [
+            ((did % _VF_FAM) * (f + 9) + f * 23 + (did // _VF_ERA) * ((f * f) % 233)) % 256
+            for f in range(_VF_N)
+        ]
+        flip = ((did // _VF_FAM) % _VF_FLIPS) * 12
+        vals[flip] = 255 - vals[flip]
+        total = sum(vals)
+        return sum(1 << f for f, v in enumerate(vals) if v * _VF_N > total)
+
+    sf_dir = "/root/testdata/sf0.01"  # 500 docs: same-(era, pattern) partners exist
+    rows = REGISTRY["video_fingerprint_neardup"].fn(spark, sf_dir).collect()
+    assert rows, "the 500-doc fixture must produce near-dup video pairs"
+    seen = set()
+    for r in rows:
+        assert r.media_a < r.media_b and 0 <= r.hamming <= 3
+        assert (r.media_a, r.media_b) not in seen
+        seen.add((r.media_a, r.media_b))
+        want = bin(closed_form(r.media_a) ^ closed_form(r.media_b)).count("1")
+        assert r.hamming == want, "container decode path must match the closed form"
+
+
+def test_unigram_surprisal_laws(spark, sf_dir):
+    """Conservation + construction laws the hash compare can't state:
+    per-source token counts sum to the corpus total, the fixed-point
+    mean recomputes from (sum_bits, n_tokens), and every mean is
+    non-negative and bounded by 64 integer bits."""
+    rows = REGISTRY["unigram_surprisal_by_source"].fn(spark, sf_dir).collect()
+    assert rows
+    from flinkstreametl_spark.operators import text as X
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(F.explode(X.tokens("text"))).count()
+    assert sum(r.n_tokens for r in rows) == total
+    for r in rows:
+        assert r.mean_surprisal_ubits == r.sum_bits * 1_000_000 // r.n_tokens
+        assert 0 <= r.mean_surprisal_ubits <= 64_000_000
