@@ -676,20 +676,26 @@ def _hits_oracle() -> str:
     steps = []
     prev_a = "a0"
     for i in range(1, _HITS_ITERS + 1):
+        # every intermediate CTE is MATERIALIZED: each is referenced
+        # twice (body + MAX scalar subquery, or next half-step + final
+        # select), and DuckDB INLINES non-materialized CTEs per
+        # reference — the recompute compounds ~2x per half-step, and
+        # at sf1 the unrolled chain spilled past the container's disk
+        # (round-10 sweep). Materialization changes nothing semantically.
         steps.append(
-            f"hraw{i} AS (\n"
+            f"hraw{i} AS MATERIALIZED (\n"
             f"    SELECT e.o AS node, CAST(SUM(a.s) AS BIGINT) AS raw\n"
             f"    FROM e JOIN {prev_a} a ON a.node = e.p GROUP BY e.o\n"
             f"),\n"
-            f"h{i} AS (\n"
+            f"h{i} AS MATERIALIZED (\n"
             f"    SELECT node, raw * {_HITS_SCALE} // (SELECT MAX(raw) FROM hraw{i}) AS s\n"
             f"    FROM hraw{i}\n"
             f"),\n"
-            f"araw{i} AS (\n"
+            f"araw{i} AS MATERIALIZED (\n"
             f"    SELECT e.p AS node, CAST(SUM(h.s) AS BIGINT) AS raw\n"
             f"    FROM e JOIN h{i} h ON h.node = e.o GROUP BY e.p\n"
             f"),\n"
-            f"a{i} AS (\n"
+            f"a{i} AS MATERIALIZED (\n"
             f"    SELECT node, raw * {_HITS_SCALE} // (SELECT MAX(raw) FROM araw{i}) AS s\n"
             f"    FROM araw{i}\n"
             f")"

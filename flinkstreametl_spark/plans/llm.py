@@ -1829,7 +1829,7 @@ WHERE bit_count(xor(a.vfp, b.vfp)) <= 3
 """
 
 
-@register("video_fingerprint_neardup", tags=("llm", "multimodal", "video", "dedup"), oracle=_VFP_ORACLE)
+@register("video_fingerprint_neardup", tags=("llm", "multimodal", "video", "dedup", "bench"), oracle=_VFP_ORACLE)
 def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup detection through the REAL container decode path:
     each doc synthesizes a deterministic 48-frame concatenated-P6 video

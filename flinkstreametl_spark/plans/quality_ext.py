@@ -782,7 +782,7 @@ GROUP BY st.source
 """
 
 
-@register("unigram_surprisal_by_source", tags=("ext", "llm", "quality"), oracle=_SUR_ORACLE)
+@register("unigram_surprisal_by_source", tags=("ext", "llm", "quality", "bench"), oracle=_SUR_ORACLE)
 def unigram_surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source mean token surprisal vs the corpus unigram model —
     the perplexity-proxy quality gate (spec + why integer bits in the

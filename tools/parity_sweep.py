@@ -64,6 +64,11 @@ def main() -> int:
     # whole local[*] JVM) long before they stress the algorithms —
     # learned the hard way: the first sf1 run OOMed at query 48.
     ap.add_argument("--driver-mem", default="24g")
+    # DuckDB runs IN-PROCESS: an unbounded oracle at sf1 can take the
+    # whole box down (learned the hard way — containment_dup_pairs'
+    # sf1 oracle OOM-killed the sweep at 107 GB RSS). A memory limit
+    # plus a temp directory makes DuckDB spill instead.
+    ap.add_argument("--duck-mem", default="48GB")
     args = ap.parse_args()
 
     done: set[str] = set()
@@ -86,6 +91,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    con.sql(f"SET memory_limit='{args.duck_mem}'")
+    # per-process spill dir: two DuckDB instances sharing one temp
+    # directory delete each other's files (one cleanup aborts the
+    # other's pending spill with a fatal IOException)
+    con.sql(f"SET temp_directory='/tmp/duck_spill_{os.getpid()}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
