@@ -1115,14 +1115,19 @@ def _bfs_oracle(max_h: int = _BFS_HOPS) -> str:
     FROM lineitem a JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
 )""",
-        "edges AS (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs)",
-        "l0 AS (SELECT CAST(MIN(u) AS BIGINT) AS node FROM pairs)",
+        "edges AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs UNION ALL SELECT v, u FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT CAST(MIN(u) AS BIGINT) AS node FROM pairs)",
     ]
     visited = ["SELECT node FROM l0"]
     for i in range(1, max_h + 1):
         vprev = " UNION ".join(visited)
+        # MATERIALIZED is load-bearing: l{i} references l{i-1} AND the
+        # union of ALL earlier levels; DuckDB inlines non-materialized
+        # CTEs per reference, so the expansion compounds exponentially
+        # over the hops (sf1: spilled past the container's disk before
+        # the fix — same failure as the HITS chain).
         ctes.append(
-            f"l{i} AS (SELECT DISTINCT e.b AS node FROM edges e"
+            f"l{i} AS MATERIALIZED (SELECT DISTINCT e.b AS node FROM edges e"
             f" JOIN l{i - 1} p ON e.a = p.node"
             f" WHERE e.b NOT IN (SELECT node FROM ({vprev}) t))"
         )
