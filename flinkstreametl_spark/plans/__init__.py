@@ -252,6 +252,7 @@ _NEW_R11: list[str] = [
     "stream_window_agg_replay",
     "stream_cdc_upsert_replay",
     "unigram_surprisal_by_source",
+    "stream_session_window_replay",
 ]
 
 # Count of names in _NEW_R11 before any round-10 addition; the cap

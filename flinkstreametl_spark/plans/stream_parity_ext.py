@@ -647,3 +647,128 @@ def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming session window replay ------------------------------------------
+# The fourth stateful-operator shape (after join / dedup / tumbling
+# agg): MERGING window state. Session windows can't pre-assign rows to
+# buckets — the engine must merge an arriving event into an open
+# session and extend its end, so the state transition is
+# fundamentally different from the tumbling case. Why the replay is
+# deterministic: chunks are event-time-ordered (ntile over (ts,
+# event_id)), so an event in chunk k+1 has ts >= maxTs(k); a session
+# emitted before chunk k+1 has end <= watermark(k) = maxTs(k) - 30min
+# < any future ts, and merging requires ts < end — so no emitted
+# session can ever be extended (no premature emission), and every
+# still-extendable session is still in state. The poison file
+# redelivers the stream's first hour (watermark long past: must drop),
+# and the two sentinel files flush all real sessions exactly as in
+# stream_window_agg_replay (same post-drain filter, same
+# Catalyst-pushdown caveat).
+_SSW_GAP = "30 minutes"
+
+_SSW_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts, value, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE OR
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           THEN 1 ELSE 0 END AS is_new
+    FROM events
+), numbered AS (
+    SELECT user_id, ts, value,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 18, 6)} AS sum_value
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+@register(
+    "stream_session_window_replay",
+    tags=("ext", "streaming", "window", "sessionize", "parity"),
+    oracle=_SSW_ORACLE,
+)
+def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGING session-window aggregation through the REAL micro-batch
+    engine: events arrive as 3 event-time-ordered chunks (+ late-poison
+    + two flush sentinels), the engine's own session_window operator
+    merges arrivals into open sessions across micro-batch boundaries,
+    and the drained exactly-once output must hash-match the batch
+    gaps-and-islands sessionization (lag -> break flag -> running-sum
+    session id) — the SAME oracle session_window_agg pins for the batch
+    operator, now proving the streaming state machine: a session split
+    at a chunk boundary, a merge into an already-emitted session, a
+    leaked late event, or a missed final flush all break parity (the
+    no-premature-emission proof is in the block comment). 100 TB
+    story: session state is bounded by OPEN sessions per key within
+    the watermark horizon — the merging-window law that makes
+    sessionization viable on unbounded streams."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    tmp = tempfile.mkdtemp(prefix="ssw_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+
+        def _one_file(df: DataFrame, name: str, mtime: int) -> None:
+            stage = os.path.join(src_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
+            dst = os.path.join(src_dir, name)
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (mtime, mtime))
+
+        base_mtime = 1_600_000_000
+        poison = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
+        s1 = spark.createDataFrame(
+            [(-1, hi + _dt.timedelta(days=1), -1, 0.0)], schema=ev.schema
+        )
+        s2 = spark.createDataFrame(
+            [(-2, hi + _dt.timedelta(days=2), -1, 0.0)], schema=ev.schema
+        )
+        _one_file(poison.unionByName(s1), "b4.parquet", base_mtime + 40)
+        _one_file(s2, "b5.parquet", base_mtime + 50)
+
+        agg = (
+            spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .withWatermark("ts", _SSW_GAP)
+            .groupBy(F.session_window("ts", _SSW_GAP).alias("win"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 18, 6).alias("sum_value"))
+            .select(
+                "user_id",
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"),
+                "n_events",
+                "sum_value",
+            )
+        )
+        out_dir = os.path.join(tmp, "out")
+        with _state_partitions(spark, 8):
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(out_dir)
+            .filter(F.col("user_id") != -1)
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -188,3 +188,34 @@ def test_unigram_surprisal_laws(spark, sf_dir):
     for r in rows:
         assert r.mean_surprisal_ubits == r.sum_bits * 1_000_000 // r.n_tokens
         assert 0 <= r.mean_surprisal_ubits <= 64_000_000
+
+
+def test_stream_session_window_replay_equals_batch_twin(spark, sf_dir):
+    """The drained MERGING-window stream must equal the batch
+    session_window aggregate (engine-internal twin): a session split at
+    a chunk boundary, a merge into an emitted session, or a missed
+    final flush all surface as key/value mismatches."""
+    from flinkstreametl_spark.functions.exact import dsum
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in REGISTRY["stream_session_window_replay"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", 18, 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and got, "drained session stream must equal the batch session agg"
