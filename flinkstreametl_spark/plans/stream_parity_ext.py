@@ -772,3 +772,88 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- custom stateful operator replay ------------------------------------------
+# The fifth stateful shape: CUSTOM keyed state (applyInPandasWithState —
+# the Spark form of Flink's KeyedProcessFunction, the API the
+# reference would need for its implied continuous occupancy counter).
+# The per-key running count emits ONE cumulative snapshot per
+# micro-batch in which the key appears, so the drained output is not
+# just a final value but the whole emission TRAJECTORY — and the
+# trajectory is deterministic because the chunk split is the same
+# ntile(3) over (ts, event_id) the oracle restates: the snapshot set
+# per user equals the prefix sums of that user's per-chunk row counts.
+# A key emitting without data, state lost between batches, or a batch
+# boundary drifting by one row all change the set and break the hash.
+_SCS_ORACLE = """
+WITH b AS (
+    SELECT user_id, NTILE(3) OVER (ORDER BY ts, event_id) AS bk FROM events
+), g AS (
+    SELECT user_id, bk, COUNT(*) AS c FROM b GROUP BY user_id, bk
+)
+SELECT user_id,
+       CAST(SUM(c) OVER (PARTITION BY user_id ORDER BY bk) AS BIGINT) AS running_n
+FROM g
+"""
+
+
+@register(
+    "stream_custom_state_replay",
+    tags=("ext", "streaming", "stateful", "parity"),
+    oracle=_SCS_ORACLE,
+)
+def stream_custom_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state through the REAL micro-batch engine: the
+    production ``streaming_running_counts`` operator
+    (applyInPandasWithState, update mode — streaming/stateful.py)
+    carries a per-user running event count in keyed state across 3
+    event-time-ordered micro-batches, foreachBatch appends each batch's
+    emitted snapshots, and the drained snapshot TRAJECTORY must
+    hash-match the oracle's prefix-sum restatement of the same ntile
+    chunk split (block comment above: one cumulative row per (user,
+    chunk-with-rows)). This puts the Arrow-batched custom-state path —
+    state row round-trip, per-key invocation contract, cross-batch
+    state carry — under the driver gate next to the engine-native
+    operators the other replays cover. 100 TB story: keyed state is
+    one fixed-width row per key, the operator touches only keys
+    present in the batch, and emission volume is |active keys| per
+    batch — the KeyedProcessFunction cost model."""
+    from flinkstreametl_spark.streaming.stateful import streaming_running_counts
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    tmp = tempfile.mkdtemp(prefix="scs_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
+        stream = (
+            spark.readStream.schema(_SSJ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        counted = streaming_running_counts(stream, "user_id")
+        out_dir = os.path.join(tmp, "out")
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            # per-batch subdirectory overwrite: replay-idempotent the
+            # same way the HLL timeline is (ADVICE r9 closure)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch_id={int(batch_id)}")
+            )
+
+        with _state_partitions(spark, 8):
+            q = (
+                counted.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+        return out.select(
+            F.col("key").cast("long").alias("user_id"),
+            F.col("n_total").alias("running_n"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
