@@ -254,6 +254,7 @@ _NEW_R11: list[str] = [
     "unigram_surprisal_by_source",
     "stream_session_window_replay",
     "stream_custom_state_replay",
+    "stream_outer_join_replay",
 ]
 
 # Count of names in _NEW_R11 before any round-10 addition; the cap

@@ -857,3 +857,135 @@ def stream_custom_state_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming LEFT-OUTER interval join replay --------------------------------
+# The inner replay proves match emission; this one proves the harder
+# half: NULL emission. A left row may produce its null-padded row ONLY
+# when the engine can PROVE no match will ever arrive (right watermark
+# past left.ts + max_delay) — emit early and a late match double-counts
+# the left; never emit and unmatched lefts are lost. Why the replay is
+# deterministic: (1) no null-then-match — a right arriving after the
+# null emission has ts >= maxTs(prev chunk) >= watermark + 30min >
+# left.ts + 1h, so it cannot satisfy the interval; (2) no match-then-
+# null — the engine's matched-flag state, which is exactly the law
+# under test (a violation adds a null row for a matched left and breaks
+# n_rows); (3) all real unmatched lefts flush — the two sentinel files
+# on BOTH sides advance the min-of-sources watermark past every real
+# left.ts + 1h, and the second sentinel's batch runs with the first's
+# watermark (the stream_window_agg_replay discipline applied to join
+# eviction). Sentinel rows (user_id = -1) match nothing on either side
+# and are filtered post-drain, so their own (engine-version-dependent)
+# null rows never reach the output.
+_SOJ_ORACLE = """
+WITH pr AS (
+    SELECT l.user_id,
+           l.event_id AS lid,
+           r.event_id AS rid,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delta_us
+    FROM events l
+    LEFT JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts > l.ts
+     AND r.ts <= l.ts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(rid) AS BIGINT) AS n_matched,
+       CAST(SUM(CASE WHEN rid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       CAST(SUM(COALESCE(delta_us, 0)) AS BIGINT) AS sum_delta_us
+FROM pr
+GROUP BY user_id
+"""
+
+
+@register(
+    "stream_outer_join_replay",
+    tags=("ext", "streaming", "join", "parity"),
+    oracle=_SOJ_ORACLE,
+)
+def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join through the REAL
+    micro-batch engine: the production operator
+    (``stream_stream_interval_join(how='left_outer')``) over 3
+    event-time-ordered chunk files per side plus two flush-sentinel
+    files per side, drained exactly-once and aggregated per user —
+    n_rows / n_matched / n_unmatched / exact delta sum must hash-match
+    the one-shot batch LEFT JOIN. This gates the null-emission law the
+    inner replay cannot see: nulls exactly for match-free lefts,
+    emitted exactly once, only after the watermark proves no match can
+    arrive (determinism argument in the block comment above). 100 TB
+    story: outer-join state carries a matched bit per buffered row and
+    is evicted on the same watermark bound as the inner join — the
+    time-interval condition is what makes outer stream-stream joins
+    expressible at all."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    tmp = tempfile.mkdtemp(prefix="soj_replay_")
+    try:
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        for side in ("left", "right"):
+            side_dir = os.path.join(tmp, side)
+            _write_ts_chunks(ev, side_dir, _SSJ_CHUNKS)
+            for k, (eid, days) in enumerate([(-1, 1), (-2, 2)], start=4):
+                s = spark.createDataFrame(
+                    [(eid, hi + _dt.timedelta(days=days), -1)], schema=ev.schema
+                )
+                stage = os.path.join(side_dir, f"_stage_s{k}")
+                s.coalesce(1).write.mode("overwrite").parquet(stage)
+                part = next(
+                    f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
+                )
+                dst = os.path.join(side_dir, f"b{k}.parquet")
+                os.replace(os.path.join(stage, part), dst)
+                shutil.rmtree(stage)
+                os.utime(dst, (1_600_000_000 + 10 * k, 1_600_000_000 + 10 * k))
+
+        left = (
+            spark.readStream.schema(_SSJ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "left"))
+        )
+        right = (
+            spark.readStream.schema(_SSJ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "right"))
+        )
+        joined = stream_stream_interval_join(
+            left,
+            right,
+            watermark="30 minutes",
+            max_delay_expr="INTERVAL 1 HOUR",
+            how="left_outer",
+        )
+        out_dir = os.path.join(tmp, "out")
+        with _state_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        pairs = spark.read.parquet(out_dir).filter(F.col("user_id") != -1)
+        delta = F.when(
+            F.col("right_event_id").isNotNull(),
+            F.unix_micros(F.col("right_ts")) - F.unix_micros(F.col("left_ts")),
+        ).otherwise(F.lit(0))
+        return (
+            pairs.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count("right_event_id").cast("long").alias("n_matched"),
+                F.sum(
+                    F.when(F.col("right_event_id").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_unmatched"),
+                F.sum(delta).cast("long").alias("sum_delta_us"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -219,3 +219,46 @@ def test_stream_session_window_replay_equals_batch_twin(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want and got, "drained session stream must equal the batch session agg"
+
+
+def test_stream_outer_join_replay_null_emission_laws(spark, sf_dir):
+    """Laws the hash compare states but a reader should see asserted:
+    per user n_rows == n_matched + n_unmatched (nulls exactly for
+    match-free lefts, no double emission), and the engine twin — the
+    batch left-outer interval join — agrees on every aggregate."""
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    got = {
+        r.user_id: (r.n_rows, r.n_matched, r.n_unmatched, r.sum_delta_us)
+        for r in REGISTRY["stream_outer_join_replay"].fn(spark, sf_dir).collect()
+    }
+    assert got
+    for n_rows, n_matched, n_unmatched, _ in got.values():
+        assert n_rows == n_matched + n_unmatched
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    l, r = ev.alias("l"), ev.alias("r")
+    delta = F.when(
+        F.col("r.event_id").isNotNull(),
+        F.unix_micros(F.col("r.ts")) - F.unix_micros(F.col("l.ts")),
+    ).otherwise(F.lit(0))
+    batch = (
+        l.join(
+            r,
+            F.expr("l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR"),
+            "left_outer",
+        )
+        .groupBy(F.col("l.user_id").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count("r.event_id").cast("long").alias("n_matched"),
+            F.sum(F.when(F.col("r.event_id").isNull(), 1).otherwise(0)).cast("long").alias("n_unmatched"),
+            F.sum(delta).cast("long").alias("sum_delta_us"),
+        )
+    )
+    want = {
+        r.user_id: (r.n_rows, r.n_matched, r.n_unmatched, r.sum_delta_us)
+        for r in batch.collect()
+    }
+    assert got == want
