@@ -318,3 +318,119 @@ def cms_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") - F.col("exact_cnt")).cast("long").alias("over_cnt"),
         )
     )
+
+
+# --- mergeable grid-quantile sketch -------------------------------------------
+# Completes the sketch triad: HLL (distinct), CMS (frequency), and now
+# quantiles. Engine KLL/t-digest built-ins are approximation-
+# nondeterministic across engines (AUDIT_REGISTRY tier); this is the
+# deterministic mergeable alternative: a 256-bin equal-width histogram
+# over the fixed-point value domain. Each partition contributes a
+# <=256-row (bin, cnt) summary, partial aggregation combines them
+# map-side, and quantile q is answered from the cumulative bin counts
+# as the LOWER EDGE of the first bin whose cumulative count reaches
+# rank ceil(q*n/100) — so the estimate's error is bounded by one bin
+# width BY CONSTRUCTION, and the audit computes estimate, exact
+# rank-selected truth, and |error| side by side (err_fp <= bound_fp is
+# the law the tests pin). All arithmetic is int64 on the
+# floor(value * 2^20) domain: bin assignment, rank, and edges are
+# integer-exact in both engines, so the sketch AND the audit sit
+# behind the exact-hash gate.
+_QSK_BINS = 256
+_QSK_FP = 1 << 20
+_QSK_QS = (50, 90, 99)
+
+_QSK_ORACLE = f"""
+WITH v AS (SELECT CAST(floor(value * {_QSK_FP}) AS BIGINT) AS vf FROM events),
+st AS (SELECT MIN(vf) AS mn, MAX(vf) AS mx, COUNT(*) AS n FROM v),
+b AS (
+    SELECT (vf - mn) * {_QSK_BINS} // (mx - mn + 1) AS bin, COUNT(*) AS cnt
+    FROM v, st GROUP BY 1
+),
+c AS (SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM b),
+qs AS (SELECT UNNEST([{", ".join(str(q) for q in _QSK_QS)}]) AS q),
+rk AS (SELECT q, (q * n + 99) // 100 AS r, mn, mx, n FROM qs, st),
+est AS (
+    SELECT rk.q, rk.n, rk.mn + MIN(c.bin) * (rk.mx - rk.mn + 1) // {_QSK_BINS} AS est_fp,
+           rk.r, rk.mn, rk.mx
+    FROM rk JOIN c ON c.cum >= rk.r
+    GROUP BY rk.q, rk.n, rk.r, rk.mn, rk.mx
+),
+tr AS (
+    SELECT rk.q, t.vf AS true_fp
+    FROM (SELECT vf, ROW_NUMBER() OVER (ORDER BY vf) AS rn FROM v) t
+    JOIN rk ON t.rn = rk.r
+)
+SELECT CAST(est.q AS BIGINT) AS q,
+       CAST(est.n AS BIGINT) AS n,
+       CAST(est.est_fp AS BIGINT) AS est_fp,
+       CAST(tr.true_fp AS BIGINT) AS true_fp,
+       CAST(abs(est.est_fp - tr.true_fp) AS BIGINT) AS err_fp,
+       CAST((est.mx - est.mn + 1) // {_QSK_BINS} + 1 AS BIGINT) AS bound_fp
+FROM est JOIN tr USING (q)
+"""
+
+
+@register("quantile_sketch_audit", tags=("ext", "sketch", "audit"), oracle=_QSK_ORACLE)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 from the 256-bin mergeable grid sketch next to the
+    exact rank-selected truth, with the one-bin-width error bound
+    (construction + determinism in the block comment above). Plan
+    shape: one scan builds the fixed-point values; min/max/count is a
+    1-row broadcast; the bin histogram is a 256-row partial-aggregated
+    group-by — the ONLY corpus-sized exchange, and it carries 256 rows
+    out; quantile selection runs on the 256-row cumulative table. The
+    exact-truth side (global rank selection) is the audit anchor, not
+    the production path — at 100 TB you ship the sketch and this query
+    is how you certify its error before you do."""
+    v = load_table(spark, sf_dir, "events").select(
+        F.expr(f"CAST(floor(value * {_QSK_FP}) AS BIGINT)").alias("vf")
+    ).localCheckpoint()
+    st = v.agg(
+        F.min("vf").alias("mn"), F.max("vf").alias("mx"), F.count(F.lit(1)).alias("n")
+    )
+    binned = (
+        v.crossJoin(F.broadcast(st))
+        .select(F.expr(f"(vf - mn) * {_QSK_BINS} div (mx - mn + 1)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as _W
+
+    cum = binned.withColumn(
+        "cum", F.sum("cnt").over(_W.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0))
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q")
+    )
+    rk = qs.crossJoin(F.broadcast(st)).select(
+        "q", F.expr("(q * n + 99) div 100").alias("r"), "mn", "mx", "n"
+    )
+    est = (
+        rk.join(cum, cum["cum"] >= rk["r"])
+        .groupBy("q", "n", "r", "mn", "mx")
+        .agg(F.min("bin").alias("bin_lo"))
+        .select(
+            "q",
+            "n",
+            "r",
+            "mn",
+            "mx",
+            F.expr(f"mn + bin_lo * (mx - mn + 1) div {_QSK_BINS}").alias("est_fp"),
+        )
+    )
+    ranked = v.withColumn("rn", F.row_number().over(_W.orderBy("vf")))
+    tr = ranked.join(
+        rk.select("q", "r"), ranked["rn"] == F.col("r")
+    ).select("q", F.col("vf").alias("true_fp"))
+    return (
+        est.join(tr, "q")
+        .select(
+            F.col("q").cast("long").alias("q"),
+            F.col("n").cast("long").alias("n"),
+            F.col("est_fp").cast("long").alias("est_fp"),
+            F.col("true_fp").cast("long").alias("true_fp"),
+            F.expr("CAST(abs(est_fp - true_fp) AS BIGINT)").alias("err_fp"),
+            F.expr(f"CAST((mx - mn + 1) div {_QSK_BINS} + 1 AS BIGINT)").alias("bound_fp"),
+        )
+    )

@@ -71,3 +71,15 @@ def test_cms_estimate_upper_bound(spark, sf_dir):
     rows = REGISTRY["cms_heavy_hitters_audit"].fn(spark, sf_dir).collect()
     for r in rows:
         assert r.cms_est <= total
+
+
+def test_quantile_sketch_one_bin_error_law(spark, sf_dir):
+    """Grid-sketch construction law: the rank-r value lies in the first
+    bin whose cumulative count reaches r, and the estimate is that
+    bin's LOWER edge — so 0 <= true - est <= one bin width, always."""
+    rows = REGISTRY["quantile_sketch_audit"].fn(spark, sf_dir).collect()
+    assert sorted(r.q for r in rows) == [50, 90, 99]
+    for r in rows:
+        assert 0 <= r.true_fp - r.est_fp <= r.bound_fp
+        assert r.err_fp == r.true_fp - r.est_fp
+        assert r.n > 0
