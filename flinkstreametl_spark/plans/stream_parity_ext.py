@@ -90,7 +90,11 @@ def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
     analogue). ntile over a total order (ts, event_id) makes the split
     deterministic under any input partitioning."""
     os.makedirs(out_dir, exist_ok=True)
-    staged = df.withColumn("_b", F.ntile(n).over(Window.orderBy("ts", "event_id")))
+    # pin the split: without this, each chunk's filter re-runs the
+    # global ntile sort (n sorts of the whole table per replay)
+    staged = df.withColumn(
+        "_b", F.ntile(n).over(Window.orderBy("ts", "event_id"))
+    ).localCheckpoint()
     base_mtime = 1_600_000_000
     for i in range(1, n + 1):
         stage = os.path.join(out_dir, f"_stage{i}")
