@@ -993,3 +993,103 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming HLL maintenance replay -----------------------------------------
+# Promotes the streaming sketch-state axis from tests-only to the
+# driver gate. The replay is deliberately brutal about delivery: every
+# chunk k>1 redelivers ALL of chunk k-1 (full at-least-once
+# duplication), because the register merge (max per (grp, bucket)) is
+# commutative AND idempotent — redelivery is a no-op BY CONSTRUCTION,
+# with no dedup bookkeeping at all (the property the bloom/shard
+# ingest loops have to engineer explicitly). The final persisted
+# registers after the 3-batch drain must therefore be bit-identical to
+# the one-shot batch sketch, and the query emits the SAME estimator
+# audit as hll_distinct_audit (same oracle): register census, dyadic
+# harmonic sum, two-branch estimate, signed error vs the exact
+# distinct count.
+@register(
+    "stream_hll_maintenance_replay",
+    tags=("ext", "streaming", "sketch", "parity"),
+    oracle=None,  # installed below — shares hll_distinct_audit's oracle verbatim
+)
+def stream_hll_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL cardinality maintenance through the PRODUCTION
+    ingest loop (streaming/hll_ingest.run_hll_stream: foreachBatch
+    merge into versioned register state with atomic CURRENT flips),
+    fed 3 JSONL micro-batches where every batch k>1 REDELIVERS all of
+    batch k-1 — and the persisted registers after the drain must yield
+    the exact same estimator audit as the one-shot batch sketch
+    (hll_distinct_audit's oracle, verbatim): max-merge idempotence
+    makes at-least-once delivery invisible, which is the whole reason
+    sketch state needs no replay guards. 100 TB story: state is
+    bounded at |groups| x 1024 register rows forever, each micro-batch
+    ships one map-side-combined register aggregate, and crash recovery
+    is the versioned-pointer protocol (streaming/versioned.py) — no
+    corpus-sized frame exists at any point."""
+    from flinkstreametl_spark.plans.sketch_ext import hll_estimate_cols, hll_summarize
+    from flinkstreametl_spark.streaming.hll_ingest import (
+        REGISTERS_SUBDIR,
+        _REG_SCHEMA,
+        run_hll_stream,
+    )
+    from flinkstreametl_spark.streaming.versioned import current_version, version_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="shm_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir, exist_ok=True)
+        staged = ev.withColumn(
+            "_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("event_id"))
+        ).localCheckpoint()
+        base_mtime = 1_600_000_000
+        for i in range(1, _SSJ_CHUNKS + 1):
+            chunk = staged.filter(F.col("_b") == i)
+            if i > 1:
+                chunk = chunk.unionByName(staged.filter(F.col("_b") == i - 1))
+            stage = os.path.join(src_dir, f"_stage{i}")
+            chunk.drop("_b").coalesce(1).write.mode("overwrite").json(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".json"))
+            dst = os.path.join(src_dir, f"b{i}.json")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+        state_dir = os.path.join(tmp, "state")
+        with _state_partitions(spark, 8):
+            q = run_hll_stream(spark, src_dir, state_dir, available_now=True)
+            q.awaitTermination()
+
+        reg_root = os.path.join(state_dir, REGISTERS_SUBDIR)
+        ver = current_version(reg_root)
+        regs = spark.read.schema(_REG_SCHEMA).parquet(version_dir(reg_root, ver))
+        s = hll_summarize(regs).withColumnRenamed("grp", "event_type")
+        ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+        est = hll_estimate_cols(s.join(ex, "event_type"))
+        return est.select(
+            "event_type",
+            "n_buckets",
+            "s_scaled",
+            "n_exact",
+            "method",
+            "hll_est",
+            F.round(
+                (F.col("hll_est") - F.col("n_exact")) / F.col("n_exact") * 10000, 1
+            ).alias("err_bp"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _install_shm_oracle() -> None:
+    # Shares hll_distinct_audit's oracle VERBATIM: the streamed
+    # registers must reproduce the batch sketch bit-for-bit, so the
+    # same SQL grades both.
+    from flinkstreametl_spark.plans.registry import REGISTRY as _R
+    from flinkstreametl_spark.plans.sketch_ext import _HLL_ORACLE
+
+    _R["stream_hll_maintenance_replay"].oracle = _HLL_ORACLE
+
+
+_install_shm_oracle()
