@@ -257,6 +257,7 @@ _NEW_R11: list[str] = [
     "stream_outer_join_replay",
     "quantile_sketch_audit",
     "stream_hll_maintenance_replay",
+    "stream_bloom_dedup_replay",
 ]
 
 # Count of names in _NEW_R11 before any round-10 addition; the cap

@@ -1093,3 +1093,118 @@ def _install_shm_oracle() -> None:
 
 
 _install_shm_oracle()
+
+
+# --- streaming bloom-fronted dedup ingest replay ------------------------------
+# Promotes the SECOND streaming-state module to the driver gate. Unlike
+# the HLL registers (idempotent by algebra), the bloom loop has to
+# ENGINEER its replay safety: in-batch self-dedup, the exact history
+# anti-join behind the bloom front, and the accepted -> bits -> history
+# write order that keeps bits ⊇ hashes(history) through any crash. The
+# replay feeds full at-least-once duplication (every chunk k>1
+# redelivers ALL of chunk k-1) and then grades the POST-DRAIN state:
+# history must hold each unique fingerprint exactly once
+# (n_history_rows == n_unique_fp pins zero leaked redeliveries), and
+# the persisted bit table must be exactly the salted-md5 positions of
+# that history (the no-false-negative invariant, stated as equality
+# because no crash occurred in the clean drain).
+_SBD_H_SQL = {
+    salt: "CAST(concat('0x', substr(md5('%s' || fp), 1, 8)) AS BIGINT) %% %d" % (salt, 1 << 20)
+    for salt in ("a", "b")
+}
+
+_SBD_ORACLE = f"""
+WITH d AS (SELECT DISTINCT {X.sql_fingerprint('text')} AS fp FROM documents),
+pos AS (
+    SELECT {_SBD_H_SQL['a']} AS b FROM d
+    UNION ALL
+    SELECT {_SBD_H_SQL['b']} AS b FROM d
+)
+SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_history_rows,
+       CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_unique_fp,
+       CAST(COUNT(DISTINCT b) AS BIGINT) AS n_bits_set,
+       CAST(COUNT(DISTINCT b) * 1000000 // {1 << 20} AS BIGINT) AS fill_ppm
+FROM pos
+"""
+
+
+@register(
+    "stream_bloom_dedup_replay",
+    tags=("ext", "streaming", "dedup", "parity"),
+    oracle=_SBD_ORACLE,
+)
+def stream_bloom_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-fronted exact-dedup ingest through the PRODUCTION loop
+    (streaming/bloom_ingest.run_bloom_stream: foreachBatch with the
+    m=2^20 k=2 filter fast path, history anti-join slow path, and the
+    accepted->bits->history crash ordering), fed 3 JSONL micro-batches
+    where every batch k>1 REDELIVERS all of batch k-1. Post-drain
+    parity (oracle above): the history holds each unique document
+    fingerprint EXACTLY once and the persisted bit table equals the
+    salted-md5 position set of those fingerprints — a leaked
+    redelivery, a dropped new doc, or a bit written for a rejected row
+    all break the hash. Complements bloom_saturation_audit (which
+    grades the filter MATH on cumulative prefixes) by grading the
+    STATE the real loop persists. 100 TB story: per batch, bloom-MISS
+    rows skip the history probe entirely — only |dups| + fpr·|new|
+    rows pay the exact anti-join — and the filter is a ≤2^20-row
+    broadcast."""
+    from flinkstreametl_spark.streaming.bloom_ingest import (
+        BITS_SUBDIR,
+        BLOOM_M,
+        HISTORY_SUBDIR,
+        run_bloom_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="sbd_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir, exist_ok=True)
+        staged = docs.withColumn(
+            "_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("doc_id"))
+        ).localCheckpoint()
+        base_mtime = 1_600_000_000
+        for i in range(1, _SSJ_CHUNKS + 1):
+            chunk = staged.filter(F.col("_b") == i)
+            if i > 1:
+                chunk = chunk.unionByName(staged.filter(F.col("_b") == i - 1))
+            stage = os.path.join(src_dir, f"_stage{i}")
+            chunk.drop("_b").coalesce(1).write.mode("overwrite").json(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".json"))
+            dst = os.path.join(src_dir, f"b{i}.json")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+        state_dir = os.path.join(tmp, "state")
+        with _state_partitions(spark, 8):
+            q = run_bloom_stream(spark, src_dir, state_dir, available_now=True)
+            q.awaitTermination()
+
+        history = spark.read.schema("fp STRING").parquet(
+            os.path.join(state_dir, HISTORY_SUBDIR)
+        )
+        bits = spark.read.schema("b LONG").parquet(os.path.join(state_dir, BITS_SUBDIR))
+        return (
+            history.agg(
+                F.count(F.lit(1)).cast("long").alias("n_history_rows"),
+                F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    bits.agg(F.countDistinct("b").cast("long").alias("n_bits_set"))
+                )
+            )
+            .select(
+                "n_history_rows",
+                "n_unique_fp",
+                "n_bits_set",
+                F.expr(f"CAST(n_bits_set * 1000000 DIV {BLOOM_M} AS BIGINT)").alias(
+                    "fill_ppm"
+                ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
