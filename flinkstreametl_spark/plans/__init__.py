@@ -41,26 +41,26 @@ from flinkstreametl_spark.plans import stream_parity_ext as _stream_parity_ext  
 # reconciliations count 2 more distinct historical names than the
 # registry (ADVICE r7).
 #
-# Round 10 executes the rotation recorded in round 9 (CORRECTNESS_r09
-# came back 50/50 green, so the r9 window names all hold fresh
-# verdicts and rotate behind the window):
-#   1. _NEW_R10 — the 11 round-9 additions that fit the round-10
-#      window after the r5-era refresh takes its 39 committed slots.
-#      Never driver-checked; they lead the window so a failure can't
-#      be hidden by the [:50] cut.
-#   2. _PRIORITY_R10 — the 39 remaining r5-era stale-evidence names,
-#      in their CORRECTNESS_r05 window order, completing the
-#      two-round refresh of the r5 tier planned in round 8.
-#   3. _NEW_R11 — the remaining round-9 additions past _NEW_R10's
-#      capacity, PLUS the two round-8 queries the round-9 judge found
-#      orphaned from every queue (containment_dup_pairs,
-#      forecast_feature_table — registered + locally oracle-tested
-#      since round 8 but never scheduled for a driver verdict), PLUS
-#      round-10 additions appended the day each lands. They lead the
-#      round-11 window.
+# Round 11 executes the rotation the round-10 judge prescribed
+# (VERDICT r10 item 1). CORRECTNESS_r10 came back 50/50 green, so the
+# r10 window names all hold fresh verdicts and rotate behind the
+# window; the latest-verdict distribution entering round 11 is
+# r10=50, r9=50, r8=50, r7=50, r6=50 over the 250 ever-checked names.
+# The round-11 window:
+#   1. _NEW_R11 — ALL 45 never-driver-checked names (round-9/10
+#      additions + the two round-8 orphans). After this window every
+#      registry entry has a driver verdict for the first time in the
+#      project's history. They lead so a failure can't be hidden by
+#      the [:50] cut.
+#   2. _PRIORITY_R11 — the first 5 r6-era stale-evidence names in
+#      their CORRECTNESS_r06 window order (oldest evidence in the
+#      registry), filling the window to exactly 50. The remaining 45
+#      r6-era names are the round-12 refresh tier.
+#   3. _NEW_R12 — round-11 additions queue there the day each lands
+#      (capped at 15), never evicting a committed window slot.
 # Verified queries move behind the window (their recorded evidence
 # stands). The 3 sketch queries (HLL/KLL/moments) live in
-# AUDIT_REGISTRY — queries() stays 100% oracle-backed. If any r10
+# AUDIT_REGISTRY — queries() stays 100% oracle-backed. If any r11
 # window name fails, it jumps the queue after repair.
 #
 # EVIDENCE-STALENESS HORIZON (explicit, per VERDICT r9 item 4): with
@@ -70,13 +70,13 @@ from flinkstreametl_spark.plans import stream_parity_ext as _stream_parity_ext  
 # historical A≈30 that is ~14 rounds — too stale. Round 10 therefore
 # CAPS additions at 15/round (asserted below): horizon ≈ 281/35 ≈ 8
 # rounds, i.e. every registered query's driver verdict is at most ~8
-# rounds old once the never-checked backlog (_NEW_R11) drains over
-# rounds 11-12. Completeness — set(REGISTRY) == ever-driver-checked
+# rounds old once the never-checked backlog (_NEW_R11) drains THIS
+# round. Completeness — set(REGISTRY) == ever-driver-checked
 # ∪ queued, the invariant whose violation orphaned the two round-8
 # names — is asserted from the CORRECTNESS_r*.json artifacts in
 # tests/test_rotation.py (the artifacts live at the repo root, out of
 # reach of this package at import time).
-_ROUND10_ADDITION_CAP = 15
+_ROUND11_ADDITION_CAP = 15
 _NEW_R9: list[str] = [
     "linkpred_copurchase_scores",
     "seasonal_decompose_daily",
@@ -260,43 +260,59 @@ _NEW_R11: list[str] = [
     "stream_bloom_dedup_replay",
 ]
 
-# Count of names in _NEW_R11 before any round-10 addition; the cap
-# assert below keys off it.
-_NEW_R11_BASE = 31
+_PRIORITY_R11 = [
+    # The 5 oldest-evidence names (latest verdict r6, computed from
+    # CORRECTNESS_r01–r10 at round-11 start), in their
+    # CORRECTNESS_r06 window order. With _NEW_R11's 45 they fill the
+    # round-11 window exactly; the remaining 45 r6-era names are the
+    # committed round-12 refresh tier.
+    "occupancy_rate_by_region",
+    "q2_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+]
 
-_WINDOW_R10 = (*_NEW_R10, *_PRIORITY_R10)[:50]
+_NEW_R12: list[str] = [
+    # Round-11 additions land here the day each lands (oracle-verified
+    # locally at sf0.001/sf0.01 on landing), capped by
+    # _ROUND11_ADDITION_CAP; they lead the round-12 window ahead of
+    # the 45 remaining r6-era stale-evidence names.
+]
 
-# Every never-driver-checked round-9 addition in _NEW_R10 AND all 39
-# scheduled r5-era stale-evidence names must survive the [:50]
-# truncation; round-10 additions must queue in _NEW_R11 rather than
-# evict either (the discipline that held for rounds 6-9).
-assert len(_NEW_R10) + len(_PRIORITY_R10) == 50
-assert all(n in _WINDOW_R10 for n in (*_NEW_R10, *_PRIORITY_R10))
-assert len(_NEW_R11) - _NEW_R11_BASE <= _ROUND10_ADDITION_CAP, (
-    "round-10 additions exceed the per-round cap; the staleness "
+_WINDOW_R11 = (*_NEW_R11, *_PRIORITY_R11)[:50]
+
+# Every never-driver-checked name in _NEW_R11 AND the 5 scheduled
+# r6-era stale-evidence names must survive the [:50] truncation;
+# round-11 additions must queue in _NEW_R12 rather than evict either
+# (the discipline that held for rounds 6-10).
+assert len(_NEW_R11) + len(_PRIORITY_R11) == 50
+assert all(n in _WINDOW_R11 for n in (*_NEW_R11, *_PRIORITY_R11))
+assert len(_NEW_R12) <= _ROUND11_ADDITION_CAP, (
+    "round-11 additions exceed the per-round cap; the staleness "
     "horizon arithmetic above no longer holds — raise the cap "
     "deliberately or stop adding"
 )
-assert len(_NEW_R11) == len(set(_NEW_R11)), "duplicate names queued in _NEW_R11"
+assert len(_NEW_R12) == len(set(_NEW_R12)), "duplicate names queued in _NEW_R12"
 
 # Exported for tests/test_rotation.py's completeness check
 # (set(REGISTRY) ⊆ ever-driver-checked ∪ QUEUED — the invariant whose
 # violation orphaned the two round-8 names).
-QUEUED_FOR_DRIVER = (*_WINDOW_R10, *_NEW_R11)
+QUEUED_FOR_DRIVER = (*_WINDOW_R11, *_NEW_R12)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R10 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R11 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R10) != len(set(_WINDOW_R10)):
+    if len(_WINDOW_R11) != len(set(_WINDOW_R11)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R10 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R11 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R10 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R10 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R10, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R11 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R11 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R11, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
