@@ -775,7 +775,8 @@ WITH st AS (
 SELECT st.source,
        CAST(SUM(st.cnt) AS BIGINT) AS n_tokens,
        CAST(SUM(st.cnt * (length(bin(tot.nn // tf.n)) - 1)) AS BIGINT) AS sum_bits,
-       CAST(SUM(st.cnt * (length(bin(tot.nn // tf.n)) - 1)) * {_SUR_FP} // SUM(st.cnt) AS BIGINT)
+       CAST(CAST(SUM(st.cnt * (length(bin(tot.nn // tf.n)) - 1)) AS HUGEINT) * {_SUR_FP}
+              // SUM(st.cnt) AS BIGINT)
          AS mean_surprisal_ubits
 FROM st JOIN tf USING (tok), tot
 GROUP BY st.source
@@ -815,8 +816,15 @@ def unigram_surprisal_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_tokens",
             "sum_bits",
-            F.expr(f"CAST(sum_bits * {_SUR_FP} DIV n_tokens AS BIGINT)").alias(
-                "mean_surprisal_ubits"
-            ),
+            # The fixed-point multiply widens to DECIMAL(38,0) before
+            # scaling (ADVICE r10): at <=63 bits/token, int64 sum_bits
+            # * 1e6 overflows once a source holds ~1.5e11 tokens —
+            # inside the 100 TB envelope. DECIMAL DIV returns the
+            # exact integral quotient; the DuckDB twin widens to
+            # HUGEINT the same way. The mean itself (<= 64e6) always
+            # fits BIGINT.
+            F.expr(
+                f"CAST(CAST(sum_bits AS DECIMAL(38,0)) * {_SUR_FP} DIV n_tokens AS BIGINT)"
+            ).alias("mean_surprisal_ubits"),
         )
     )

@@ -395,10 +395,17 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window as _W
-
-    cum = binned.withColumn(
-        "cum", F.sum("cnt").over(_W.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0))
+    # Cumulative counts over the <=256-row bin table. A global-sort
+    # Window would be harmless here (parameter-sized, never
+    # corpus-sized) but noisy — and Catalyst folds away a literal
+    # partition key — so the prefix sum is a <=256x256 triangle join
+    # instead: same result, no single-partition WindowExec anywhere in
+    # the audit plan.
+    b2 = binned.select(F.col("bin").alias("bin2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        binned.join(b2, F.col("bin2") <= F.col("bin"))
+        .groupBy("bin", "cnt")
+        .agg(F.sum("cnt2").alias("cum"))
     )
     qs = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q")
@@ -419,7 +426,14 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"mn + bin_lo * (mx - mn + 1) div {_QSK_BINS}").alias("est_fp"),
         )
     )
-    ranked = v.withColumn("rn", F.row_number().over(_W.orderBy("vf")))
+    # Exact-truth rank selection without the single-partition global
+    # sort (ADVICE r10): two-phase exact rank via operators/ranks.py —
+    # range-repartition by vf, partition-local row_number, prefix-sum
+    # offset lift. Ties in vf are rank-permutation-arbitrary either
+    # way, but value-at-rank is tie-invariant, so true_fp is exact.
+    from flinkstreametl_spark.operators.ranks import with_global_rank
+
+    ranked = with_global_rank(v, ["vf"], "rn")
     tr = ranked.join(
         rk.select("q", "r"), ranked["rn"] == F.col("r")
     ).select("q", F.col("vf").alias("true_fp"))

@@ -45,6 +45,7 @@ operator under test is the production one, unchanged.
 from __future__ import annotations
 
 import contextlib
+import datetime
 import os
 import shutil
 import tempfile
@@ -54,6 +55,7 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.functions.exact import dsum, sql_dsum
 from flinkstreametl_spark.operators import text as X
+from flinkstreametl_spark.operators.ranks import with_global_rank
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 from flinkstreametl_spark.streaming.bloom_ingest import _h as bloom_h
@@ -83,18 +85,68 @@ def _state_partitions(spark: SparkSession, n: int):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def _ntile_chunks(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
+    """Exact NTILE(``n``) over the total order ``order_cols`` WITHOUT
+    the single-partition global-sort Window (VERDICT r10 item 3 — the
+    old ``Window.orderBy(...)`` funneled the whole table through one
+    task: 6M rows on one core at sf1).
+
+    Two-phase global rank: range-repartition on the order key, rank
+    locally per range partition (a PARTITIONED window — every task
+    sorts only its slice), then lift local ranks to global ranks with
+    the per-partition count prefix sums (a <=P-row driver collect, the
+    parameter-sized pattern the graph/ANN operators already use).
+    Range partitions are non-overlapping in key order, so
+    global rank = offset[pid] + local rank wherever the sampled range
+    boundaries land — boundary placement affects load balance only,
+    never chunk membership. Chunk contents are therefore DETERMINISTIC
+    and bit-identical to the NTILE(n) the replay oracles state in SQL
+    (tests/test_chunk_split.py pins both laws).
+
+    The rank machinery is single-sourced in ``operators/ranks.py``
+    (the quantile-sketch audit shares it). Returns the input columns
+    plus the 1-based ``_b`` tile column."""
+    ranked = with_global_rank(df, order_cols, "_grank")
+    total = ranked.count()  # checkpointed — a metadata-cheap count
+    grank = F.col("_grank")
+    # NTILE(n) over `total` rows: the first `total % n` tiles hold
+    # one row more than the rest.
+    q, rem = divmod(total, n)
+    big_cut = rem * (q + 1)
+    tile = F.when(
+        grank <= F.lit(big_cut), F.floor((grank - 1) / F.lit(q + 1)) + 1
+    ).otherwise(
+        F.lit(rem) + F.floor((grank - F.lit(big_cut) - 1) / F.lit(max(q, 1))) + 1
+    )
+    return ranked.withColumn("_b", tile.cast("int")).drop("_grank")
+
+
+def _require_span(lo: datetime.datetime, hi: datetime.datetime, what: str) -> None:
+    """Late-poison precondition (ADVICE r10): the poison file
+    redelivers the stream's first hour, and dropping it requires the
+    30-minute watermark to have advanced past every first-hour
+    window/session end before the poison batch runs — i.e. the fixture
+    must span comfortably more than 1h (poisoned prefix) + 1h
+    (window/gap rounding) + 30min (watermark). Below ~2.5h the replay
+    silently flips to "late rows accepted" and diverges from the
+    oracle; fail loudly instead of diverging (the shipped fixtures
+    span ~30 days at every SF)."""
+    if hi - lo < datetime.timedelta(hours=3):
+        raise ValueError(
+            f"{what}: events fixture spans only {hi - lo}; the late-poison "
+            "replay construction requires >= 3h of event time"
+        )
+
+
 def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
     """Split ``df`` into ``n`` event-time-ordered chunk files with
     strictly increasing mtimes, so the streaming file source replays
     them as in-order micro-batches (the Kafka-partition time-order
-    analogue). ntile over a total order (ts, event_id) makes the split
-    deterministic under any input partitioning."""
+    analogue). The split is the exact NTILE(n) over the total order
+    (ts, event_id) — deterministic under any input partitioning —
+    computed scalably by ``_ntile_chunks``."""
     os.makedirs(out_dir, exist_ok=True)
-    # pin the split: without this, each chunk's filter re-runs the
-    # global ntile sort (n sorts of the whole table per replay)
-    staged = df.withColumn(
-        "_b", F.ntile(n).over(Window.orderBy("ts", "event_id"))
-    ).localCheckpoint()
+    staged = _ntile_chunks(df, n, ["ts", "event_id"])
     base_mtime = 1_600_000_000
     for i in range(1, n + 1):
         stage = os.path.join(out_dir, f"_stage{i}")
@@ -360,7 +412,7 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src_dir = os.path.join(tmp, "in")
         os.makedirs(src_dir, exist_ok=True)
-        staged = keyed.withColumn("_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("ts", "fp")))
+        staged = _ntile_chunks(keyed, _SSJ_CHUNKS, ["ts", "fp"])
         staged = staged.localCheckpoint()  # pin the chunk split across the per-chunk writes
         # chunk-boundary max event times — a 3-row parameter table
         bounds = {
@@ -476,6 +528,7 @@ def stream_window_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = os.path.join(tmp, "in")
         _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        _require_span(lo, hi, "stream_window_agg_replay")
 
         def _one_file(df: DataFrame, name: str, mtime: int) -> None:
             stage = os.path.join(src_dir, f"_stage_{name}")
@@ -599,7 +652,7 @@ def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src_dir = os.path.join(tmp, "in")
         os.makedirs(src_dir, exist_ok=True)
-        staged = ev.withColumn("_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("ts", "event_id")))
+        staged = _ntile_chunks(ev, _SSJ_CHUNKS, ["ts", "event_id"])
         staged = staged.localCheckpoint()  # pin the chunk split across the per-chunk writes
         bounds = {
             r["_b"]: r["mx"]
@@ -723,6 +776,7 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = os.path.join(tmp, "in")
         _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        _require_span(lo, hi, "stream_session_window_replay")
 
         def _one_file(df: DataFrame, name: str, mtime: int) -> None:
             stage = os.path.join(src_dir, f"_stage_{name}")
@@ -790,9 +844,11 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per user equals the prefix sums of that user's per-chunk row counts.
 # A key emitting without data, state lost between batches, or a batch
 # boundary drifting by one row all change the set and break the hash.
-_SCS_ORACLE = """
+# NTILE tile count interpolated from _SSJ_CHUNKS (ADVICE r10: a
+# hardcoded 3 silently decoupled the oracle from the plan's split).
+_SCS_ORACLE = f"""
 WITH b AS (
-    SELECT user_id, NTILE(3) OVER (ORDER BY ts, event_id) AS bk FROM events
+    SELECT user_id, NTILE({_SSJ_CHUNKS}) OVER (ORDER BY ts, event_id) AS bk FROM events
 ), g AS (
     SELECT user_id, bk, COUNT(*) AS c FROM b GROUP BY user_id, bk
 )
@@ -1040,9 +1096,7 @@ def stream_hll_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     try:
         src_dir = os.path.join(tmp, "in")
         os.makedirs(src_dir, exist_ok=True)
-        staged = ev.withColumn(
-            "_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("event_id"))
-        ).localCheckpoint()
+        staged = _ntile_chunks(ev, _SSJ_CHUNKS, ["event_id"]).localCheckpoint()
         base_mtime = 1_600_000_000
         for i in range(1, _SSJ_CHUNKS + 1):
             chunk = staged.filter(F.col("_b") == i)
@@ -1161,9 +1215,7 @@ def stream_bloom_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         src_dir = os.path.join(tmp, "in")
         os.makedirs(src_dir, exist_ok=True)
-        staged = docs.withColumn(
-            "_b", F.ntile(_SSJ_CHUNKS).over(Window.orderBy("doc_id"))
-        ).localCheckpoint()
+        staged = _ntile_chunks(docs, _SSJ_CHUNKS, ["doc_id"]).localCheckpoint()
         base_mtime = 1_600_000_000
         for i in range(1, _SSJ_CHUNKS + 1):
             chunk = staged.filter(F.col("_b") == i)

@@ -1,0 +1,58 @@
+"""Laws for the scalable micro-batch chunk split (VERDICT r10 item 3):
+``_ntile_chunks`` must (a) reproduce the exact NTILE(n) the replay
+oracles state in SQL — same tile per row as the single-partition
+global-sort Window it replaced — (b) be deterministic across
+invocations (range-boundary sampling must not leak into membership),
+and (c) keep the plan free of the unpartitioned-Window funnel."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flinkstreametl_spark.plans.stream_parity_ext import _ntile_chunks
+from flinkstreametl_spark.sources.parquet import load_table
+
+
+def _tiles(df, n, order_cols):
+    return {
+        tuple(r[c] for c in order_cols): r["_b"]
+        for r in _ntile_chunks(df, n, order_cols).collect()
+    }
+
+
+def test_matches_global_ntile_exactly(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    got = _tiles(ev, 3, ["ts", "event_id"])
+    want = {
+        (r["ts"], r["event_id"]): r["_b"]
+        for r in ev.withColumn(
+            "_b", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_deterministic_across_invocations(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    assert _tiles(ev, 3, ["ts", "event_id"]) == _tiles(ev, 3, ["ts", "event_id"])
+
+
+def test_uneven_and_tiny_totals(spark):
+    # total < n: NTILE gives one row per tile for the first `total`
+    # tiles; total % n != 0: the first rem tiles hold one extra row.
+    two = spark.createDataFrame([(1,), (2,)], "k LONG")
+    assert _tiles(two, 3, ["k"]) == {(1,): 1, (2,): 2}
+    seven = spark.createDataFrame([(i,) for i in range(7)], "k LONG")
+    got = _tiles(seven, 3, ["k"])
+    assert got == {(0,): 1, (1,): 1, (2,): 1, (3,): 2, (4,): 2, (5,): 3, (6,): 3}
+
+
+def test_no_unpartitioned_window_in_plan(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    plan = _ntile_chunks(ev, 3, ["ts", "event_id"])._jdf.queryExecution().executedPlan().toString()
+    # The window in the plan must be partitioned by _pid — an empty
+    # partition spec would resurrect the single-task global sort.
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "_pid" in line, f"unpartitioned window resurfaced: {line}"

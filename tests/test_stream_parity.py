@@ -86,11 +86,11 @@ def _afp_closed_form(did: int) -> int:
     return sum(1 << w for w, v in enumerate(vals) if v * _AF_N > total)
 
 
-def test_audio_fingerprint_pairs_recompute_from_closed_form(spark):
-    # sf0.01 (500 docs) has same-(era, pattern) partners (doc x and
-    # x+240 for x < 260); sf0.001's 60 docs have none — use the larger
-    # fixture so the pair stream is non-trivial.
-    sf_dir = "/root/testdata/sf0.01"
+def test_audio_fingerprint_pairs_recompute_from_closed_form(spark, sf_dir):
+    # The 500-doc fixtures (sf0.001 and sf0.01 both span doc_id
+    # 0..499) carry same-(era, pattern) partners (doc x and x+240 for
+    # x < 260), so the pair stream is non-trivial at the default test
+    # fixture (ADVICE r10: no hardcoded /root/testdata path).
     rows = REGISTRY["audio_fingerprint_neardup"].fn(spark, sf_dir).collect()
     assert rows, "the 500-doc fixture must produce near-dup audio pairs"
     seen = set()
@@ -147,7 +147,7 @@ def test_stream_cdc_upsert_replay_tombstones_and_latest(spark, sf_dir):
     assert got == want
 
 
-def test_video_fingerprint_pairs_recompute_from_closed_form(spark):
+def test_video_fingerprint_pairs_recompute_from_closed_form(spark, sf_dir):
     from flinkstreametl_spark.plans.llm import _VF_ERA, _VF_FAM, _VF_FLIPS, _VF_N
 
     def closed_form(did: int) -> int:
@@ -160,7 +160,8 @@ def test_video_fingerprint_pairs_recompute_from_closed_form(spark):
         total = sum(vals)
         return sum(1 << f for f, v in enumerate(vals) if v * _VF_N > total)
 
-    sf_dir = "/root/testdata/sf0.01"  # 500 docs: same-(era, pattern) partners exist
+    # 500-doc fixture: same-(era, pattern) partners exist (see the
+    # audio test above for the fixture-span note).
     rows = REGISTRY["video_fingerprint_neardup"].fn(spark, sf_dir).collect()
     assert rows, "the 500-doc fixture must produce near-dup video pairs"
     seen = set()
