@@ -278,6 +278,7 @@ _NEW_R12: list[str] = [
     # locally at sf0.001/sf0.01 on landing), capped by
     # _ROUND11_ADDITION_CAP; they lead the round-12 window ahead of
     # the 45 remaining r6-era stale-evidence names.
+    "stream_dead_letter_replay",
 ]
 
 _WINDOW_R11 = (*_NEW_R11, *_PRIORITY_R11)[:50]

@@ -183,7 +183,10 @@ GROUP BY user_id
 
 @register(
     "stream_stream_join_replay",
-    tags=("ext", "streaming", "join", "parity"),
+    # "bench": VERDICT r10 item 6 — the bench set had no stream-parity
+    # entry, so a state-store or watermark regression was invisible to
+    # BENCH. AvailableNow-bounded, so it times deterministically.
+    tags=("ext", "streaming", "join", "parity", "bench"),
     oracle=_SSJ_ORACLE,
 )
 def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,7 +625,9 @@ WHERE rn = 1 AND event_type <> 'error'
 
 @register(
     "stream_cdc_upsert_replay",
-    tags=("ext", "streaming", "cdc", "upsert", "parity"),
+    # "bench": see stream_stream_join_replay — the CDC upsert replay
+    # covers the keyed-state + exactly-once sink path in BENCH.
+    tags=("ext", "streaming", "cdc", "upsert", "parity", "bench"),
     oracle=_SCU_ORACLE,
 )
 def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1255,6 +1260,150 @@ def stream_bloom_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(f"CAST(n_bits_set * 1000000 DIV {BLOOM_M} AS BIGINT)").alias(
                     "fill_ppm"
                 ),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming dead-letter (quarantine) observability replay ------------------
+# The missing observability family (VERDICT r10 item 8): the batch
+# split_dead_letters operator (operators/cdc.py — the hardening the
+# reference omits: its unguarded fastjson parse, JsonFilter.java:24,
+# crash-loops on one bad Kafka record) has carried unit tests since
+# round 3, but no driver-graded query ever ran the QUARANTINE path
+# through the real micro-batch engine and graded the resulting
+# drop-rate ledger. This replay does: a mixed-validity Canal line
+# stream is synthesized from the events table under a closed-form
+# corruption law (event_id mod 7 == 3 -> payload truncated mid-token,
+# syntactically broken; == 5 -> well-formed JSON missing every Canal
+# required field; else a parseable envelope), replayed as at-least-once
+# micro-batches (each batch redelivers its predecessor), routed by the
+# PRODUCTION splitter inside foreachBatch into separate good/quarantine
+# ledgers, and the final observability readout — per-class distinct
+# record counts and ppm drop rates — is hash-compared against the
+# closed form stated directly on events.
+#
+# The quarantine ledger is keyed by record identity (raw line for dead
+# rows, envelope id for good rows), so redelivered corruption doesn't
+# double-bill the drop rate — at-least-once delivery + identity-keyed
+# ledger = effectively-once observability, the same composition rule
+# the upsert sink uses for data. A misrouted class (parse accepting a
+# truncated line, or a schema-shaped line quarantined), a leaked
+# redelivery, or a lost quarantine row all change a count and break
+# the hash.
+_SDL_ORACLE = """
+WITH cls AS (
+    SELECT CASE WHEN event_id % 7 = 3 THEN 'UNPARSEABLE_JSON'
+                WHEN event_id % 7 = 5 THEN 'MISSING_REQUIRED_FIELDS'
+                ELSE 'good' END AS klass
+    FROM events
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cls)
+SELECT klass,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) * 1000000 // tot.t AS BIGINT) AS rate_ppm
+FROM cls, tot
+GROUP BY klass, tot.t
+"""
+
+
+@register(
+    "stream_dead_letter_replay",
+    tags=("ext", "streaming", "quarantine", "parity"),
+    oracle=_SDL_ORACLE,
+)
+def stream_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing through the REAL micro-batch engine with a
+    driver-graded drop-rate ledger (spec, corruption law, and the
+    at-least-once/identity-dedup argument in the block comment above).
+    100 TB story: the split is one map-side predicate per batch (no
+    shuffle), the quarantine ledger is append-only storage keyed by
+    record identity, and the rate readout is a 3-row aggregate — the
+    shape a production pipeline dashboards continuously."""
+    from flinkstreametl_spark.operators.cdc import split_dead_letters
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.lit("t_meeting_info").alias("table"),
+            F.lit("INSERT").alias("type"),
+            F.lit(False).alias("isDdl"),
+        )
+    )
+    lines = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 7 == 3,
+            F.substring(payload, 1, F.length(payload) - F.lit(3)),
+        )
+        .when(
+            F.col("event_id") % 7 == 5,
+            F.to_json(F.struct(F.col("event_id").alias("event_id"))),
+        )
+        .otherwise(payload)
+        .alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sdl_replay_")
+    try:
+        src_dir = os.path.join(tmp, "in")
+        os.makedirs(src_dir, exist_ok=True)
+        staged = _ntile_chunks(lines, _SSJ_CHUNKS, ["event_id"]).localCheckpoint()
+        base_mtime = 1_600_000_000
+        for i in range(1, _SSJ_CHUNKS + 1):
+            chunk = staged.filter(F.col("_b") == i)
+            if i > 1:  # at-least-once upstream: redeliver batch i-1
+                chunk = chunk.unionByName(staged.filter(F.col("_b") == i - 1))
+            stage = os.path.join(src_dir, f"_stage{i}")
+            chunk.select("value").coalesce(1).write.mode("overwrite").text(stage)
+            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".txt"))
+            dst = os.path.join(src_dir, f"b{i}.txt")
+            os.replace(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+        good_dir = os.path.join(tmp, "good")
+        dead_dir = os.path.join(tmp, "quarantine")
+
+        def _route(batch_df: DataFrame, batch_id: int) -> None:
+            # cache: good and dead are two plans over the same parse —
+            # pay it once per batch (the split_dead_letters contract).
+            batch_df.cache()
+            try:
+                good, dead = split_dead_letters(batch_df)
+                good.select("id").write.mode("append").parquet(good_dir)
+                dead.select("raw_value", "error").write.mode("append").parquet(dead_dir)
+            finally:
+                batch_df.unpersist()
+
+        with _state_partitions(spark, 8):
+            q = (
+                spark.readStream.text(src_dir)
+                .writeStream.foreachBatch(_route)
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .option("maxFilesPerTrigger", 1)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        good = spark.read.schema("id LONG").parquet(good_dir)
+        dead = spark.read.schema("raw_value STRING, error STRING").parquet(dead_dir)
+        cls = good.agg(F.countDistinct("id").alias("n")).select(
+            F.lit("good").alias("klass"), "n"
+        ).unionByName(
+            dead.groupBy(F.col("error").alias("klass")).agg(
+                F.countDistinct("raw_value").alias("n")
+            )
+        )
+        tot = cls.agg(F.sum("n").alias("t"))
+        return (
+            cls.crossJoin(F.broadcast(tot))
+            .select(
+                "klass",
+                F.col("n").cast("long").alias("n"),
+                F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("rate_ppm"),
             )
             .localCheckpoint()
         )

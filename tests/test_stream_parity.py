@@ -263,3 +263,19 @@ def test_stream_outer_join_replay_null_emission_laws(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_dead_letter_replay_rates_and_identity_dedup(spark, sf_dir):
+    """Laws the hash compare doesn't state: all three classes surface,
+    the identity-keyed ledger swallows the redelivered batches (total
+    n == |events|, not ~5/3 of it), and the ppm rates are the exact
+    integer shares of the total."""
+    rows = {r.klass: (r.n, r.rate_ppm) for r in
+            REGISTRY["stream_dead_letter_replay"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"good", "UNPARSEABLE_JSON", "MISSING_REQUIRED_FIELDS"}
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(n for n, _ in rows.values()) == total
+    for n, ppm in rows.values():
+        assert ppm == n * 1_000_000 // total
