@@ -162,11 +162,12 @@ def decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     )
 
 
-def default_decoder(payload: bytes) -> tuple[int, int, list[float]]:
-    """Real default decode + feature map: decode PPM/BMP pixels, emit an
-    8-dim deterministic feature (w, h, per-channel means, luminance
-    min/max/mean) — compact enough for a feature column at any scale."""
-    w, h, px = decode_image(payload)
+def feature_map(w: int, h: int, px: list[float]) -> tuple[int, int, list[float]]:
+    """The default 8-dim feature fold over decoded RGB pixels (w, h,
+    per-channel means, luminance min/max/mean) — factored out so any
+    codec plugged into the decoder seam (operators/codecs_ext.py's PNG
+    path, a PIL/opencv callable) reuses the exact same feature math as
+    the built-in PPM/BMP path."""
     n = max(1, w * h)
     chan = [0.0, 0.0, 0.0]
     lum_min, lum_max, lum_sum = 255.0, 0.0, 0.0
@@ -180,6 +181,12 @@ def default_decoder(payload: bytes) -> tuple[int, int, list[float]]:
         lum_max = max(lum_max, lum)
         lum_sum += lum
     return w, h, [float(w), float(h), chan[0] / n, chan[1] / n, chan[2] / n, lum_min, lum_max, lum_sum / n]
+
+
+def default_decoder(payload: bytes) -> tuple[int, int, list[float]]:
+    """Real default decode + feature map: decode PPM/BMP pixels, then
+    the shared ``feature_map`` fold."""
+    return feature_map(*decode_image(payload))
 
 
 def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:

@@ -1,0 +1,118 @@
+"""The multimodal decoder seam carrying a REAL compressed codec
+(VERDICT r10 item 7): pure-Python PNG (stdlib-zlib DEFLATE +
+predictive scanline filters) round-trips, flows through
+extract_features' mapInPandas seam unchanged, and produces the SAME
+fingerprints as the uncompressed PPM path — payload format is
+invisible to the downstream chain, which is the seam's whole
+contract. Gated on an import-try per house rule, though the codec is
+stdlib-only so the gate never fires in this container."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+codecs_ext = pytest.importorskip("flinkstreametl_spark.operators.codecs_ext")
+
+from flinkstreametl_spark.operators.codecs_ext import (  # noqa: E402
+    decode_png,
+    encode_png,
+    png_decoder,
+)
+from flinkstreametl_spark.operators.multimodal import (  # noqa: E402
+    decode_image,
+    default_decoder,
+    encode_ppm,
+)
+from flinkstreametl_spark.plans.llm import _PH_ERA, _PH_FAM, _PH_FLIPS, _PH_N  # noqa: E402
+
+
+def _synth_pixels(did: int) -> list[float]:
+    # image_phash_neardup's synth law (plans/llm.py) — the fixture the
+    # fingerprint chain is pinned against.
+    vals = [
+        ((did % _PH_FAM) * (i + 3) + i * 13 + (did // _PH_ERA) * ((i * i) % 251)) % 256
+        for i in range(_PH_N)
+    ]
+    flip = ((did // _PH_FAM) % _PH_FLIPS) * 15
+    vals[flip] = 255 - vals[flip]
+    return [float(v) for v in vals]
+
+
+def _ahash(samples: list[float]) -> int:
+    iv = [int(v) for v in samples[:_PH_N]]
+    total = sum(iv)
+    return sum(1 << i for i, v in enumerate(iv) if v * _PH_N > total)
+
+
+def test_png_roundtrip_all_encoder_filters():
+    px = _synth_pixels(7)
+    for ft in (0, 1, 2):
+        payload = encode_png(10, 2, px, filter_type=ft)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        w, h, got = decode_png(payload)
+        assert (w, h) == (10, 2) and got == px
+
+
+def test_png_is_actually_compressed_and_rejected_by_builtin():
+    # A boilerplate-heavy image must come out SMALLER than raw pixels
+    # (DEFLATE is real), and the built-in decode_image must refuse it —
+    # the seam is the only way in, which is the point.
+    px = [128.0] * 3000
+    payload = encode_png(100, 10, px)
+    assert len(payload) < 3000
+    with pytest.raises(ValueError):
+        decode_image(payload)
+
+
+def test_fingerprint_chain_is_payload_format_invariant():
+    # aHash over PNG-decoded samples == aHash over PPM-decoded samples
+    # for partner docs (x, x+240) — the near-dup chain doesn't care
+    # which codec fed it.
+    for did in (3, 243, 7, 247):
+        px = _synth_pixels(did)
+        via_png = _ahash(decode_png(encode_png(10, 2, px))[2])
+        via_ppm = _ahash(decode_image(encode_ppm(10, 2, px))[2])
+        assert via_png == via_ppm == _ahash(px)
+
+
+def test_seam_carries_png_through_mapinpandas(spark):
+    from flinkstreametl_spark.operators.multimodal import extract_features
+
+    rows = [(did, bytearray(encode_png(10, 2, _synth_pixels(did)))) for did in range(6)]
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(df, decoder=png_decoder).collect()
+    }
+    assert len(feats) == 6
+    for did in range(6):
+        # identical features to the uncompressed path on the same pixels
+        want = default_decoder(encode_ppm(10, 2, _synth_pixels(did)))[2]
+        assert feats[did] == pytest.approx(want)
+
+
+def test_grayscale_and_unsupported_variants():
+    # grayscale (color 0) decodes to expanded RGB; exotic variants fail
+    # loudly rather than silently misdecoding.
+    px = [float(v) for v in (0, 64, 128, 255)]
+    import struct as _s
+    import zlib as _z
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    ihdr = _s.pack(">IIBBBBB", 4, 1, 8, 0, 0, 0, 0)  # 4x1 grayscale
+    idat = _z.compress(bytes([0, 0, 64, 128, 255]))
+    gray = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    w, h, out = decode_png(gray)
+    assert (w, h) == (4, 1)
+    assert out == [v for p in px for v in (p, p, p)]
+
+    bad_ihdr = _s.pack(">IIBBBBB", 4, 1, 16, 0, 0, 0, 0)  # 16-bit: unsupported
+    bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
