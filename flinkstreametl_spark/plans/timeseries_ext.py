@@ -347,11 +347,15 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     end to end either way).
 
     Plan: sessionize (one user_id exchange) -> 2 rows per session ->
-    ONE global sort for the sweep. The global window is a deliberate
-    single-partition stage over the SESSION-level stream (2 rows per
-    session, not per event — the same bounded-reduction argument as
-    the vocabulary curve); at 100 TB, shard the sweep by day and carry
-    each shard's closing concurrency into the next as an offset."""
+    the sweep's running sum via operators/ranks.with_running_sum: a
+    range exchange on the sweep order, partition-local prefix scans,
+    and the per-partition delta totals lifted through a <=P-row driver
+    collect — the "shard the sweep and carry each shard's closing
+    concurrency into the next as an offset" scale plan, implemented
+    rather than promised (r11; the old unpartitioned window funneled 2
+    rows per session through one task)."""
+    from flinkstreametl_spark.operators.ranks import with_running_sum
+
     events = load_table(spark, sf_dir, "events")
     sess = (
         sessionize(events, "user_id", "ts", gap_seconds=1800)
@@ -364,14 +368,7 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sess.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_id")
     )
     order_cols = [F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")]
-    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run = sweep.select(
-        "t",
-        "delta",
-        "user_id",
-        "session_id",
-        F.sum("delta").over(w).alias("concurrent"),
-    )
+    run = with_running_sum(sweep, order_cols, "delta", "concurrent")
     day = (epoch_micros(run, "t") / F.lit(_US_PER_DAY)).cast("long")
     wd = (
         Window.partitionBy("day")

@@ -438,13 +438,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order at a fixed anchor, order count, exact total spend, then
     quartile codes via NTILE(4) composed into the 3-digit RFM segment.
     NTILE is deterministic only under a TOTAL order, so every quartile
-    window tie-breaks on the customer key (the engines would otherwise
+    tie-breaks on the customer key (the engines would otherwise
     disagree on bucket boundaries for tied values). Plan: one hash
-    aggregate (map-side partial) on o_custkey, then three single-pass
-    windows over the CUSTOMER-level frame — the windows sort customers,
-    not orders, so the global sorts are over the already-reduced
-    aggregate (a deliberate, bounded single-partition stage, same
-    reasoning as the vocabulary coverage curve)."""
+    aggregate (map-side partial) on o_custkey, then three quartile
+    passes over the CUSTOMER-level frame via operators/ranks.with_ntile
+    — each is a range exchange + partition-local rank, never a
+    single-partition sort (r11: this was the last corpus-growing frame
+    in the package funneled through an unpartitioned NTILE window; at
+    100 TB the customer frame is hundreds of millions of rows)."""
+    from flinkstreametl_spark.operators.ranks import with_ntile
+
     orders = load_table(spark, sf_dir, "orders")
     anchor = F.lit(_RFM_ANCHOR).cast(orders.schema["o_orderdate"].dataType)
     per_cust = orders.groupBy("o_custkey").agg(
@@ -452,11 +455,11 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         dsum("o_totalprice", 14, 2).alias("monetary"),
     )
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    wm = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    r, f_, m = (F.ntile(4).over(w).cast("long") for w in (wr, wf, wm))
-    return per_cust.select(
+    seg = with_ntile(per_cust, 4, ["recency_days", "o_custkey"], "_r")
+    seg = with_ntile(seg, 4, [F.col("frequency").desc(), F.col("o_custkey")], "_f")
+    seg = with_ntile(seg, 4, [F.col("monetary").desc(), F.col("o_custkey")], "_m")
+    r, f_, m = (F.col(c).cast("long") for c in ("_r", "_f", "_m"))
+    return seg.select(
         "o_custkey",
         "recency_days",
         "frequency",

@@ -56,3 +56,42 @@ def test_no_unpartitioned_window_in_plan(spark, sf_dir):
     for line in plan.splitlines():
         if "Window" in line and "row_number" in line:
             assert "_pid" in line, f"unpartitioned window resurfaced: {line}"
+
+
+def test_with_ntile_desc_matches_window_ntile(spark, sf_dir):
+    from flinkstreametl_spark.operators.ranks import with_ntile
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    got = {
+        r["event_id"]: r["_q"]
+        for r in with_ntile(
+            ev, 4, [F.col("value").desc(), F.col("event_id")], "_q"
+        ).collect()
+    }
+    want = {
+        r["event_id"]: r["_q"]
+        for r in ev.withColumn(
+            "_q", F.ntile(4).over(Window.orderBy(F.col("value").desc(), "event_id"))
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_with_running_sum_matches_window_scan(spark, sf_dir):
+    from flinkstreametl_spark.operators.ranks import with_running_sum
+    from flinkstreametl_spark.sources.parquet import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 5 - 2).cast("long").alias("d")
+    )
+    got = {
+        r["event_id"]: r["run"]
+        for r in with_running_sum(ev, ["event_id"], "d", "run").collect()
+    }
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["event_id"]: r["run"]
+        for r in ev.withColumn("run", F.sum("d").over(w)).collect()
+    }
+    assert got == want and got
