@@ -170,3 +170,38 @@ def test_token_balanced_shards_partition_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert outs[0] == outs[1]
+
+
+def test_global_rank_primitives_partition_independent(spark, sf_dir):
+    """The two-phase rank/scan primitives (operators/ranks.py): range
+    boundaries come from sampling and move with the partition count,
+    but ranks/tiles/prefix sums are lifted through exact per-partition
+    summaries, so the RESULTS must be bit-identical under any input
+    partitioning AND any shuffle.partitions setting — the property
+    that makes the micro-batch chunk split and the sweep-line replays
+    reproducible under cluster resizes."""
+    from flinkstreametl_spark.operators.ranks import (
+        with_global_rank,
+        with_ntile,
+        with_running_sum,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", (F.col("event_id") % 5 - 2).cast("long").alias("d")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    outs = []
+    try:
+        for nshuf, nrep in ((1, 1), (17, 7)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nshuf))
+            src = ev.repartition(nrep)
+            outs.append(
+                (
+                    _rows(with_global_rank(src, ["event_id"], "rn")),
+                    _rows(with_ntile(src, 4, ["event_id"], "q")),
+                    _rows(with_running_sum(src, ["event_id"], "d", "run")),
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert outs[0] == outs[1]
