@@ -46,7 +46,12 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
     """PNG bytes -> (width, height, flat RGB floats) — the decode_image
-    contract. 8-bit RGB/grayscale, non-interlaced; all 5 filters."""
+    contract. 8-bit RGB/grayscale, non-interlaced; all 5 filters.
+    EVERY malformed input raises ValueError (truncated chunks, CRC
+    mismatches, corrupt DEFLATE streams included) so a caller
+    dispatching codecs by catching ValueError — the decode_image
+    pattern — falls through instead of crashing on zlib/struct
+    internals."""
     if payload is None or len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG payload")
     payload = bytes(payload)
@@ -57,8 +62,15 @@ def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"PNG chunk {ctype!r} fails its CRC")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("malformed PNG IHDR")
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or color not in (0, 2) or comp != 0 or filt != 0 or interlace != 0:
                 raise ValueError(
@@ -72,7 +84,10 @@ def decode_png(payload: bytes) -> tuple[int, int, list[float]]:
             break
     if w is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG DEFLATE stream: {e}") from e
     bpp = 3 if color == 2 else 1
     stride = w * bpp
     if len(raw) != h * (stride + 1):

@@ -1199,15 +1199,12 @@ def bfs_hop_profile_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         lv = lv.unionAll(o)
     counts = lv.groupBy("level").agg(F.count(F.lit(1)).cast("long").alias("n_first_reached"))
-    # Running total over the <=7-row hop histogram: a parameter-sized
-    # triangle join (the sketch_ext prefix-sum idiom) instead of an
-    # unpartitioned Window, keeping the single-partition-Window
+    # Running total over the <=7-row hop histogram: the shared
+    # parameter-sized triangle-join idiom (operators/ranks.py) instead
+    # of an unpartitioned Window, keeping the single-partition-Window
     # warning out of every graph plan.
-    c2 = counts.select(
-        F.col("level").alias("level2"), F.col("n_first_reached").alias("n2")
-    )
-    return (
-        counts.join(c2, F.col("level2") <= F.col("level"))
-        .groupBy("level", "n_first_reached")
-        .agg(F.sum("n2").cast("long").alias("cum_reached"))
+    from flinkstreametl_spark.operators.ranks import prefix_sum_small
+
+    return prefix_sum_small(counts, "level", "n_first_reached", "cum_reached").select(
+        "level", "n_first_reached", F.col("cum_reached").cast("long").alias("cum_reached")
     )

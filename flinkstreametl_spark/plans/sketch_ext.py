@@ -398,15 +398,12 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cumulative counts over the <=256-row bin table. A global-sort
     # Window would be harmless here (parameter-sized, never
     # corpus-sized) but noisy — and Catalyst folds away a literal
-    # partition key — so the prefix sum is a <=256x256 triangle join
-    # instead: same result, no single-partition WindowExec anywhere in
+    # partition key — so the prefix sum is the shared triangle-join
+    # idiom: same result, no single-partition WindowExec anywhere in
     # the audit plan.
-    b2 = binned.select(F.col("bin").alias("bin2"), F.col("cnt").alias("cnt2"))
-    cum = (
-        binned.join(b2, F.col("bin2") <= F.col("bin"))
-        .groupBy("bin", "cnt")
-        .agg(F.sum("cnt2").alias("cum"))
-    )
+    from flinkstreametl_spark.operators.ranks import prefix_sum_small
+
+    cum = prefix_sum_small(binned, "bin", "cnt", "cum")
     qs = spark.range(1).select(
         F.explode(F.array(*[F.lit(q) for q in _QSK_QS])).alias("q")
     )

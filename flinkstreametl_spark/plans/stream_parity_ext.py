@@ -134,7 +134,9 @@ def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
     (ts, event_id) — deterministic under any input partitioning —
     computed scalably by ``_ntile_chunks``."""
     os.makedirs(out_dir, exist_ok=True)
-    staged = _ntile_chunks(df, n, ["ts", "event_id"])
+    # pin the tile column: each of the n chunk filters would otherwise
+    # re-run the (partition-local) rank window + lift join.
+    staged = _ntile_chunks(df, n, ["ts", "event_id"]).localCheckpoint()
     base_mtime = 1_600_000_000
     for i in range(1, n + 1):
         stage = os.path.join(out_dir, f"_stage{i}")

@@ -95,3 +95,22 @@ def test_with_running_sum_matches_window_scan(spark, sf_dir):
         for r in ev.withColumn("run", F.sum("d").over(w)).collect()
     }
     assert got == want and got
+
+
+def test_with_running_sum_rejects_non_integral_values(spark):
+    from flinkstreametl_spark.operators.ranks import with_running_sum
+
+    df = spark.createDataFrame([(1, 1.5), (2, 2.5)], "k LONG, v DOUBLE")
+    import pytest
+
+    with pytest.raises(TypeError, match="integral"):
+        with_running_sum(df, ["k"], "v", "run")
+
+
+def test_with_running_sum_survives_all_null_partition(spark):
+    from flinkstreametl_spark.operators.ranks import with_running_sum
+
+    rows = [(i, None if i < 50 else 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "k LONG, v LONG")
+    out = {r["k"]: r["run"] for r in with_running_sum(df, ["k"], "v", "run").collect()}
+    assert out[99] == 50 and out[0] == 0  # leading nulls scan to 0, tail sums

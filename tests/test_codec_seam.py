@@ -116,3 +116,27 @@ def test_grayscale_and_unsupported_variants():
     bad = sig + chunk(b"IHDR", bad_ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
     with pytest.raises(ValueError):
         decode_png(bad)
+
+
+def test_malformed_png_always_raises_valueerror():
+    # The dispatch contract: corrupt input of ANY kind -> ValueError,
+    # never a leaked zlib.error/struct.error.
+    good = encode_png(10, 2, _synth_pixels(1))
+    # flip a byte inside the IDAT body -> CRC mismatch
+    bad_crc = bytearray(good)
+    bad_crc[50] ^= 0xFF
+    # corrupt DEFLATE but fix the CRC so decompression is reached
+    import struct as _s
+    import zlib as _z
+
+    idat_start = good.index(b"IDAT") - 4
+    (idat_len,) = _s.unpack(">I", good[idat_start : idat_start + 4])
+    body = bytearray(good[idat_start + 8 : idat_start + 8 + idat_len])
+    body[0] ^= 0xFF
+    fixed_crc = _s.pack(">I", _z.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF)
+    bad_deflate = (
+        good[: idat_start + 8] + bytes(body) + fixed_crc + good[idat_start + 12 + idat_len :]
+    )
+    for payload in (good[:20], bytes(bad_crc), bad_deflate, b"\x89PNG\r\n\x1a\n"):
+        with pytest.raises(ValueError):
+            decode_png(payload)
