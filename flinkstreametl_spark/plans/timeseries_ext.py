@@ -2086,8 +2086,11 @@ def mann_kendall_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair join on the calendar-bounded daily grain (days^2 rows
     per type per year), after the single event-volume-proportional
-    daily reduction — the Pettitt plan shape exactly."""
-    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp")
+    daily reduction — the Pettitt plan shape exactly. The daily frame
+    is pinned: THREE consumers (both pair-join sides + the tie pass)
+    would otherwise each replay the events aggregation (caught by
+    tools/scan_audit.py in round 11)."""
+    daily = _daily(spark, sf_dir).select("event_type", "day", "s_fp").localCheckpoint()
     a, b = daily.alias("a"), daily.alias("b")
     sign = (
         F.when(F.col("b.s_fp") > F.col("a.s_fp"), 1)

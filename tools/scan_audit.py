@@ -26,6 +26,9 @@ materialization):
   nucleus_sample_per_source 3, pareto_frontier_parts 3,
   resample_ffill_hourly 3, session_gap_sensitivity 3 (one narrow pass
   per timeout variant), temperature_mix_sample 3, tfidf_top_terms 3.
+Round-11 history: the audit caught mann_kendall_trend_daily replaying
+the _daily events aggregation for each of its 3 consumers — fixed by
+pinning the daily frame (timeseries_ext.py), restoring the table above.
 Round-9 history: the audit caught four fresh additions
 (funnel_conversion_steps at SEVEN events scans — unpinned stage
 lineage replayed per consumer — plus cohort/mannwhitney/dataset_card
