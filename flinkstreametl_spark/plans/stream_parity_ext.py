@@ -1368,11 +1368,16 @@ def stream_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 batch_df.unpersist()
 
         with _state_partitions(spark, 8):
+            # maxFilesPerTrigger is a SOURCE option — on the reader, so
+            # each chunk file really is its own micro-batch (set on the
+            # writer it is silently ignored and the directory drains as
+            # ONE batch, collapsing the at-least-once replay structure;
+            # caught by the crash-recovery test in round 11).
             q = (
-                spark.readStream.text(src_dir)
+                spark.readStream.option("maxFilesPerTrigger", 1)
+                .text(src_dir)
                 .writeStream.foreachBatch(_route)
                 .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
-                .option("maxFilesPerTrigger", 1)
                 .trigger(availableNow=True)
                 .start()
             )
