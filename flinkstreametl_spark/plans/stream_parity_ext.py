@@ -50,7 +50,7 @@ import os
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flinkstreametl_spark.functions.exact import dsum, sql_dsum
@@ -119,11 +119,44 @@ def _require_span(lo: datetime.datetime, hi: datetime.datetime, what: str) -> No
     silently flips to "late rows accepted" and diverges from the
     oracle; fail loudly instead of diverging (the shipped fixtures
     span ~30 days at every SF)."""
+    if lo is None or hi is None:
+        raise ValueError(f"{what}: events fixture is empty — nothing to replay")
     if hi - lo < datetime.timedelta(hours=3):
         raise ValueError(
             f"{what}: events fixture spans only {hi - lo}; the late-poison "
             "replay construction requires >= 3h of event time"
         )
+
+
+def _one_file(df: DataFrame, dst: str, mtime: int, fmt: str = "parquet") -> None:
+    """Write ``df`` as exactly ONE data file at ``dst`` with a pinned
+    mtime — the micro-batch fixture-prep dance every replay uses
+    (stage dir -> coalesce(1) -> promote the part file -> utime).
+    Single-sourced (round 11 review: it was copy-pasted 8 times)."""
+    stage = dst + "._stage"
+    getattr(df.coalesce(1).write.mode("overwrite"), fmt)(stage)
+    suffix = ".txt" if fmt == "text" else f".{fmt}"
+    part = next(f for f in sorted(os.listdir(stage)) if f.endswith(suffix))
+    os.replace(os.path.join(stage, part), dst)
+    shutil.rmtree(stage)
+    os.utime(dst, (mtime, mtime))
+
+
+def _copy_chunk_dir(src_dir: str, dst_dir: str) -> None:
+    """Duplicate a staged chunk directory for the second side of a
+    stream-stream join, preserving the pinned mtimes (copy2) — the
+    chunk split is deterministic, so copying beats recomputing it."""
+    os.makedirs(dst_dir, exist_ok=True)
+    for f in sorted(os.listdir(src_dir)):
+        shutil.copy2(os.path.join(src_dir, f), os.path.join(dst_dir, f))
+
+
+def _not_sentinel(col: str, sentinel) -> Column:
+    """Drop sentinel rows ONLY: a plain ``col != sentinel`` would also
+    drop NULL-keyed groups through three-valued logic, silently
+    diverging from the oracles (which keep NULL groups) if the fixture
+    ever carries NULL keys."""
+    return ~F.col(col).eqNullSafe(F.lit(sentinel))
 
 
 def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
@@ -139,15 +172,11 @@ def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
     staged = _ntile_chunks(df, n, ["ts", "event_id"]).localCheckpoint()
     base_mtime = 1_600_000_000
     for i in range(1, n + 1):
-        stage = os.path.join(out_dir, f"_stage{i}")
-        staged.filter(F.col("_b") == i).drop("_b").coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-        dst = os.path.join(out_dir, f"b{i}.parquet")
-        os.replace(os.path.join(stage, part), dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+        _one_file(
+            staged.filter(F.col("_b") == i).drop("_b"),
+            os.path.join(out_dir, f"b{i}.parquet"),
+            base_mtime + 10 * i,
+        )
 
 
 _SSJ_ORACLE = """
@@ -194,8 +223,12 @@ def stream_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     tmp = tempfile.mkdtemp(prefix="ssj_replay_")
     try:
-        for side in ("left", "right"):
-            _write_ts_chunks(ev, os.path.join(tmp, side), _SSJ_CHUNKS)
+        # the split is deterministic over the total order, so stage
+        # once and hard-copy for the second side (mtimes preserved)
+        # instead of running the two-phase split + writes twice
+        # (round-11 review: halves the fixture-prep cost).
+        _write_ts_chunks(ev, os.path.join(tmp, "left"), _SSJ_CHUNKS)
+        _copy_chunk_dir(os.path.join(tmp, "left"), os.path.join(tmp, "right"))
 
         left = (
             spark.readStream.schema(_SSJ_SCHEMA)
@@ -420,13 +453,11 @@ def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunk = chunk.unionByName(
                     staged.filter((F.col("_b") == i - 1) & (F.col("ts") >= tail_lo))
                 )
-            stage = os.path.join(src_dir, f"_stage{i}")
-            chunk.drop("_b").coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"b{i}.parquet")
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+            _one_file(
+                chunk.drop("_b"),
+                os.path.join(src_dir, f"b{i}.parquet"),
+                base_mtime + 10 * i,
+            )
 
         deduped = (
             spark.readStream.schema(_SDD_SCHEMA)
@@ -513,35 +544,24 @@ def stream_window_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows-per-watermark-horizon × group keys, never stream history,
     and the flush discipline is exactly how a production drain hands
     off to a downstream batch consumer."""
-    import datetime as _dt
-
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
     tmp = tempfile.mkdtemp(prefix="swa_replay_")
     try:
         src_dir = os.path.join(tmp, "in")
-        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
         _require_span(lo, hi, "stream_window_agg_replay")
-
-        def _one_file(df: DataFrame, name: str, mtime: int) -> None:
-            stage = os.path.join(src_dir, f"_stage_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, name)
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (mtime, mtime))
+        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
 
         base_mtime = 1_600_000_000
         poison = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
         s1 = spark.createDataFrame(
-            [(-1, hi + _dt.timedelta(days=1), "__sentinel__", 0.0)], schema=ev.schema
+            [(-1, hi + datetime.timedelta(days=1), "__sentinel__", 0.0)], schema=ev.schema
         )
         s2 = spark.createDataFrame(
-            [(-2, hi + _dt.timedelta(days=2), "__sentinel__", 0.0)], schema=ev.schema
+            [(-2, hi + datetime.timedelta(days=2), "__sentinel__", 0.0)], schema=ev.schema
         )
-        _one_file(poison.unionByName(s1), "b4.parquet", base_mtime + 40)
-        _one_file(s2, "b5.parquet", base_mtime + 50)
+        _one_file(poison.unionByName(s1), os.path.join(src_dir, "b4.parquet"), base_mtime + 40)
+        _one_file(s2, os.path.join(src_dir, "b5.parquet"), base_mtime + 50)
 
         agg = (
             spark.readStream.schema(_SWA_SCHEMA)
@@ -576,7 +596,7 @@ def stream_window_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         return (
             spark.read.parquet(out_dir)
-            .filter(F.col("event_type") != "__sentinel__")
+            .filter(_not_sentinel("event_type", "__sentinel__"))
             .localCheckpoint()
         )
     finally:
@@ -661,13 +681,11 @@ def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 chunk = chunk.unionByName(
                     staged.filter((F.col("_b") == i - 1) & (F.col("ts") >= tail_lo))
                 )
-            stage = os.path.join(src_dir, f"_stage{i}")
-            chunk.drop("_b").coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, f"b{i}.parquet")
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+            _one_file(
+                chunk.drop("_b"),
+                os.path.join(src_dir, f"b{i}.parquet"),
+                base_mtime + 10 * i,
+            )
 
         changelog = (
             spark.readStream.schema(
@@ -763,35 +781,24 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     story: session state is bounded by OPEN sessions per key within
     the watermark horizon — the merging-window law that makes
     sessionization viable on unbounded streams."""
-    import datetime as _dt
-
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
     tmp = tempfile.mkdtemp(prefix="ssw_replay_")
     try:
         src_dir = os.path.join(tmp, "in")
-        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
         _require_span(lo, hi, "stream_session_window_replay")
-
-        def _one_file(df: DataFrame, name: str, mtime: int) -> None:
-            stage = os.path.join(src_dir, f"_stage_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".parquet"))
-            dst = os.path.join(src_dir, name)
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (mtime, mtime))
+        _write_ts_chunks(ev, src_dir, _SSJ_CHUNKS)
 
         base_mtime = 1_600_000_000
         poison = ev.filter(F.col("ts") < F.lit(lo) + F.expr("INTERVAL 1 HOUR"))
         s1 = spark.createDataFrame(
-            [(-1, hi + _dt.timedelta(days=1), -1, 0.0)], schema=ev.schema
+            [(-1, hi + datetime.timedelta(days=1), -1, 0.0)], schema=ev.schema
         )
         s2 = spark.createDataFrame(
-            [(-2, hi + _dt.timedelta(days=2), -1, 0.0)], schema=ev.schema
+            [(-2, hi + datetime.timedelta(days=2), -1, 0.0)], schema=ev.schema
         )
-        _one_file(poison.unionByName(s1), "b4.parquet", base_mtime + 40)
-        _one_file(s2, "b5.parquet", base_mtime + 50)
+        _one_file(poison.unionByName(s1), os.path.join(src_dir, "b4.parquet"), base_mtime + 40)
+        _one_file(s2, os.path.join(src_dir, "b5.parquet"), base_mtime + 50)
 
         agg = (
             spark.readStream.schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
@@ -820,7 +827,7 @@ def stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
         return (
             spark.read.parquet(out_dir)
-            .filter(F.col("user_id") != -1)
+            .filter(_not_sentinel("user_id", -1))
             .localCheckpoint()
         )
     finally:
@@ -974,28 +981,22 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     is evicted on the same watermark bound as the inner join — the
     time-interval condition is what makes outer stream-stream joins
     expressible at all."""
-    import datetime as _dt
-
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
     tmp = tempfile.mkdtemp(prefix="soj_replay_")
     try:
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-        for side in ("left", "right"):
-            side_dir = os.path.join(tmp, side)
-            _write_ts_chunks(ev, side_dir, _SSJ_CHUNKS)
-            for k, (eid, days) in enumerate([(-1, 1), (-2, 2)], start=4):
-                s = spark.createDataFrame(
-                    [(eid, hi + _dt.timedelta(days=days), -1)], schema=ev.schema
-                )
-                stage = os.path.join(side_dir, f"_stage_s{k}")
-                s.coalesce(1).write.mode("overwrite").parquet(stage)
-                part = next(
-                    f for f in sorted(os.listdir(stage)) if f.endswith(".parquet")
-                )
-                dst = os.path.join(side_dir, f"b{k}.parquet")
-                os.replace(os.path.join(stage, part), dst)
-                shutil.rmtree(stage)
-                os.utime(dst, (1_600_000_000 + 10 * k, 1_600_000_000 + 10 * k))
+        _write_ts_chunks(ev, os.path.join(tmp, "left"), _SSJ_CHUNKS)
+        for k, (eid, days) in enumerate([(-1, 1), (-2, 2)], start=4):
+            s = spark.createDataFrame(
+                [(eid, hi + datetime.timedelta(days=days), -1)], schema=ev.schema
+            )
+            _one_file(
+                s,
+                os.path.join(tmp, "left", f"b{k}.parquet"),
+                1_600_000_000 + 10 * k,
+            )
+        # stage-once-copy, as in the inner-join replay above
+        _copy_chunk_dir(os.path.join(tmp, "left"), os.path.join(tmp, "right"))
 
         left = (
             spark.readStream.schema(_SSJ_SCHEMA)
@@ -1025,7 +1026,7 @@ def stream_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             q.awaitTermination()
 
-        pairs = spark.read.parquet(out_dir).filter(F.col("user_id") != -1)
+        pairs = spark.read.parquet(out_dir).filter(_not_sentinel("user_id", -1))
         delta = F.when(
             F.col("right_event_id").isNotNull(),
             F.unix_micros(F.col("right_ts")) - F.unix_micros(F.col("left_ts")),
@@ -1097,13 +1098,12 @@ def stream_hll_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             chunk = staged.filter(F.col("_b") == i)
             if i > 1:
                 chunk = chunk.unionByName(staged.filter(F.col("_b") == i - 1))
-            stage = os.path.join(src_dir, f"_stage{i}")
-            chunk.drop("_b").coalesce(1).write.mode("overwrite").json(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".json"))
-            dst = os.path.join(src_dir, f"b{i}.json")
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+            _one_file(
+                chunk.drop("_b"),
+                os.path.join(src_dir, f"b{i}.json"),
+                base_mtime + 10 * i,
+                fmt="json",
+            )
 
         state_dir = os.path.join(tmp, "state")
         with _state_partitions(spark, 8):
@@ -1112,6 +1112,11 @@ def stream_hll_maintenance_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
         reg_root = os.path.join(state_dir, REGISTERS_SUBDIR)
         ver = current_version(reg_root)
+        if ver is None:
+            raise ValueError(
+                "stream_hll_maintenance_replay: the drain committed no "
+                "register version — empty or missing events fixture"
+            )
         regs = spark.read.schema(_REG_SCHEMA).parquet(version_dir(reg_root, ver))
         s = hll_summarize(regs).withColumnRenamed("grp", "event_type")
         ex = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
@@ -1157,8 +1162,13 @@ _install_shm_oracle()
 # the persisted bit table must be exactly the salted-md5 positions of
 # that history (the no-false-negative invariant, stated as equality
 # because no crash occurred in the clean drain).
+# BLOOM_M interpolated from the production module (round-11 review:
+# a hardcoded 1 << 20 would silently decouple the oracle from the
+# loop the day the filter is re-sized — the _SSJ_CHUNKS lesson).
+from flinkstreametl_spark.streaming.bloom_ingest import BLOOM_M as _SBD_M  # noqa: E402
+
 _SBD_H_SQL = {
-    salt: "CAST(concat('0x', substr(md5('%s' || fp), 1, 8)) AS BIGINT) %% %d" % (salt, 1 << 20)
+    salt: f"CAST(concat('0x', substr(md5('{salt}' || fp), 1, 8)) AS BIGINT) % {_SBD_M}"
     for salt in ("a", "b")
 }
 
@@ -1172,7 +1182,7 @@ pos AS (
 SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_history_rows,
        CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_unique_fp,
        CAST(COUNT(DISTINCT b) AS BIGINT) AS n_bits_set,
-       CAST(COUNT(DISTINCT b) * 1000000 // {1 << 20} AS BIGINT) AS fill_ppm
+       CAST(COUNT(DISTINCT b) * 1000000 // {_SBD_M} AS BIGINT) AS fill_ppm
 FROM pos
 """
 
@@ -1216,13 +1226,12 @@ def stream_bloom_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = staged.filter(F.col("_b") == i)
             if i > 1:
                 chunk = chunk.unionByName(staged.filter(F.col("_b") == i - 1))
-            stage = os.path.join(src_dir, f"_stage{i}")
-            chunk.drop("_b").coalesce(1).write.mode("overwrite").json(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".json"))
-            dst = os.path.join(src_dir, f"b{i}.json")
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+            _one_file(
+                chunk.drop("_b"),
+                os.path.join(src_dir, f"b{i}.json"),
+                base_mtime + 10 * i,
+                fmt="json",
+            )
 
         state_dir = os.path.join(tmp, "state")
         with _state_partitions(spark, 8):
@@ -1345,13 +1354,12 @@ def stream_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = staged.filter(F.col("_b") == i)
             if i > 1:  # at-least-once upstream: redeliver batch i-1
                 chunk = chunk.unionByName(staged.filter(F.col("_b") == i - 1))
-            stage = os.path.join(src_dir, f"_stage{i}")
-            chunk.select("value").coalesce(1).write.mode("overwrite").text(stage)
-            part = next(f for f in sorted(os.listdir(stage)) if f.endswith(".txt"))
-            dst = os.path.join(src_dir, f"b{i}.txt")
-            os.replace(os.path.join(stage, part), dst)
-            shutil.rmtree(stage)
-            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+            _one_file(
+                chunk.select("value"),
+                os.path.join(src_dir, f"b{i}.txt"),
+                base_mtime + 10 * i,
+                fmt="text",
+            )
 
         good_dir = os.path.join(tmp, "good")
         dead_dir = os.path.join(tmp, "quarantine")
