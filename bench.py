@@ -24,8 +24,14 @@ from flinkstreametl_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: the reference-centerpiece enrich join + the heavy
-# aggregate/join/dedup/similarity queries (tag "bench").
-BENCH_QUERIES = [name for name, spec in REGISTRY.items() if "bench" in spec.tags]
+# aggregate/join/dedup/similarity queries (tag "bench"). Sorted by
+# name so the bench order is CANONICAL — independent of registry
+# order, which the driver-window rotation reshuffles every round
+# (VERDICT r11 item 1: the r11 registry reorder moved four unchanged
+# queries to the front of the run and their medians inflated 4-15×;
+# a name-sorted order makes round-over-round comparisons
+# position-stable).
+BENCH_QUERIES = sorted(name for name, spec in REGISTRY.items() if "bench" in spec.tags)
 
 
 def main() -> None:
@@ -75,6 +81,7 @@ def main() -> None:
     # already tight (r11: 10.56s of [12.47, 9.74, 10.56]) and 5 runs
     # would add ~30s of bench wall-clock for no extra signal.
     times: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         samples = []
         for _ in range(heavy_runs if name in heavy else runs):
@@ -82,12 +89,18 @@ def main() -> None:
             n = REGISTRY[name].fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(samples), 4)
+        all_samples[name] = [round(s, 4) for s in samples]
         print(
             f"# {name}: median {times[name]:.2f}s of {[round(s, 2) for s in samples]} ({n} rows)",
             file=sys.stderr,
         )
 
     total = round(sum(times.values()), 4)
+    # "samples" persists every per-run measurement into the artifact
+    # itself: the r11 bench anomaly could not be adjudicated because
+    # only the last 3 stderr lines survived (VERDICT r11 item 1b) —
+    # the JSON line is what the driver records, so the evidence rides
+    # along with the medians now.
     print(
         json.dumps(
             {
@@ -95,10 +108,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "samples": all_samples,
                 "sf": sf_val,
                 "runs": runs,
                 "runs_heavy": {n: heavy_runs for n in sorted(heavy) if n in times},
                 "agg": "median",
+                "order": "sorted(name)",
             }
         )
     )

@@ -137,11 +137,26 @@ def encode_png(w: int, h: int, pixels: list[float], filter_type: int = 0) -> byt
     """(w, h, flat RGB floats) -> real PNG bytes (8-bit truecolor,
     DEFLATE-compressed). ``filter_type`` 0/1/2 (None/Sub/Up) selects the
     per-scanline predictor so round-trips exercise the decoder's
-    defilter paths, not just the trivial one."""
+    defilter paths, not just the trivial one.
+
+    Fails loudly on malformed input — a pixel buffer whose length
+    disagrees with (w, h) or values outside [0, 255] — instead of
+    silently wrapping/truncating into a PNG whose IDAT payload
+    contradicts its IHDR (which this module's own ``decode_png`` would
+    then reject): the encoder honors the same fail-loud contract as
+    the decoder (ADVICE r11)."""
     if filter_type not in (0, 1, 2):
         raise ValueError("encoder supports filter types 0 (None), 1 (Sub), 2 (Up)")
+    if len(pixels) != w * h * 3:
+        raise ValueError(
+            f"pixel buffer length {len(pixels)} != w*h*3 = {w * h * 3} "
+            f"for a {w}x{h} RGB image"
+        )
     stride = w * 3
-    flat = [int(p) & 0xFF for p in pixels[: w * h * 3]]
+    flat = [int(p) for p in pixels]
+    bad = next((p for p in flat if not 0 <= p <= 255), None)
+    if bad is not None:
+        raise ValueError(f"pixel value {bad} outside [0, 255]")
     raw = bytearray()
     prev = [0] * stride
     for row in range(h):

@@ -49,7 +49,16 @@ def _two_phase(df: DataFrame, order_cols: list, summary: Column):
     """
     spark = df.sparkSession
     exprs = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
-    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    # Vendor distributions set spark.sql.shuffle.partitions to
+    # non-numeric values ("auto"); fall back to defaultParallelism
+    # rather than failing every rank/scan primitive at plan time
+    # (ADVICE r11). The partition COUNT never affects results — range
+    # partitions compose exactly whatever the boundaries — only load
+    # balance.
+    try:
+        nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    except (TypeError, ValueError):
+        nparts = max(int(spark.sparkContext.defaultParallelism), 1)
     keyed = (
         df.repartitionByRange(nparts, *exprs)
         .withColumn("_tp_pid", F.spark_partition_id())
@@ -123,13 +132,17 @@ def with_running_sum(
 def ntile_from_rank(rank: Column, total: int, n: int) -> Column:
     """NTILE(``n``) as a closed form over a 1-based exact global rank:
     with q, rem = divmod(total, n), the first ``rem`` tiles hold q+1
-    rows. Bit-identical to the SQL NTILE the oracles state."""
+    rows. Bit-identical to the SQL NTILE the oracles state — the tile
+    index is computed with Spark's integral ``div`` on LONGs (the
+    module's exactness discipline), not double division + floor, so
+    exactness never leans on float rounding (ADVICE r11)."""
     q, rem = divmod(total, n)
     big_cut = rem * (q + 1)
+    idiv = lambda a, b: F.call_function("div", a.cast("long"), F.lit(b).cast("long"))  # noqa: E731
     return F.when(
-        rank <= F.lit(big_cut), F.floor((rank - 1) / F.lit(q + 1)) + 1
+        rank <= F.lit(big_cut), idiv(rank - 1, q + 1) + 1
     ).otherwise(
-        F.lit(rem) + F.floor((rank - F.lit(big_cut) - 1) / F.lit(max(q, 1))) + 1
+        F.lit(rem) + idiv(rank - F.lit(big_cut) - 1, max(q, 1)) + 1
     )
 
 
@@ -148,16 +161,51 @@ def with_ntile(df: DataFrame, n: int, order_cols: list, out_col: str) -> DataFra
     )
 
 
+# prefix_sum_small is a triangle join: O(k^2) pairs. The contract is
+# parameter-sized frames ONLY (bin tables, hop histograms); this cap
+# turns a future corpus-growing caller into a loud failure instead of
+# a silent quadratic join (VERDICT r11 item 4).
+PREFIX_SUM_MAX_ROWS = 10_000
+
+
 def prefix_sum_small(
     df: DataFrame, order_col: str, value_col: str, out_col: str, inclusive: bool = True
 ) -> DataFrame:
     """Cumulative ``SUM(value_col)`` ordered by ``order_col`` for
     PARAMETER-SIZED frames (bin tables, hop histograms — never
     corpus-growing data) as a triangle self-join: same result as a
-    global-sort window, no single-partition WindowExec in the plan.
-    O(k^2) pairs, intended for k in the hundreds at most; use
+    global-sort ROWS window *given the enforced contract below*, with
+    no single-partition WindowExec in the plan. O(k^2) pairs; use
     ``with_running_sum`` for anything that grows with the corpus.
-    Preserves all original columns."""
+    Preserves all original columns.
+
+    ENFORCED contract (ADVICE r11): ``order_col`` must be UNIQUE and
+    NON-NULL per row, and the frame must hold at most
+    ``PREFIX_SUM_MAX_ROWS`` rows — both checked eagerly, raising
+    ``ValueError``. Under uniqueness the triangle join's RANGE-style
+    tie semantics coincide with a ROWS frame and identical rows cannot
+    collapse through the groupBy, so the window-equivalence claim
+    holds unconditionally. The input is localCheckpoint-pinned first:
+    the guard aggregate and the join's two branches then all read one
+    materialized (parameter-sized) frame instead of recomputing the
+    upstream lineage three times."""
+    df = df.localCheckpoint()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.count_distinct(F.col(order_col)).alias("d")
+    ).collect()[0]
+    if stats["n"] > PREFIX_SUM_MAX_ROWS:
+        raise ValueError(
+            f"prefix_sum_small got {stats['n']} rows (cap {PREFIX_SUM_MAX_ROWS}): "
+            "the O(k^2) triangle join is for parameter-sized frames only — "
+            "use with_running_sum for corpus-growing data"
+        )
+    if stats["d"] != stats["n"]:
+        raise ValueError(
+            f"prefix_sum_small requires a unique, non-null {order_col!r} "
+            f"({stats['n']} rows, {stats['d']} distinct non-null keys): with "
+            "duplicate or null keys the running sum is tie-ambiguous and "
+            "identical rows would collapse in the groupBy"
+        )
     cond = (
         F.col(f"_ps_{order_col}") <= F.col(order_col)
         if inclusive

@@ -283,37 +283,126 @@ _NEW_R12: list[str] = [
 
 _WINDOW_R11 = (*_NEW_R11, *_PRIORITY_R11)[:50]
 
-# Every never-driver-checked name in _NEW_R11 AND the 5 scheduled
-# r6-era stale-evidence names must survive the [:50] truncation;
-# round-11 additions must queue in _NEW_R12 rather than evict either
-# (the discipline that held for rounds 6-10).
-assert len(_NEW_R11) + len(_PRIORITY_R11) == 50
-assert all(n in _WINDOW_R11 for n in (*_NEW_R11, *_PRIORITY_R11))
-assert len(_NEW_R12) <= _ROUND11_ADDITION_CAP, (
-    "round-11 additions exceed the per-round cap; the staleness "
+# Round 12 executes the rotation the round-11 judge prescribed
+# (VERDICT r11 item 2). CORRECTNESS_r11 came back 50/50 green, so the
+# latest-verdict distribution entering round 12 is r11=50, r10=50,
+# r9=50, r8=50, r7=50, r6=45 over the 295 ever-checked names, with
+# exactly one never-checked name (stream_dead_letter_replay, queued in
+# _NEW_R12 the day it landed). The round-12 window:
+#   1. _NEW_R12 — that single queued round-11 addition. It leads so a
+#      failure can't be hidden by the [:50] cut; after this window
+#      every registry entry has a driver verdict again.
+#   2. _REFRESH_R12 — ALL 45 remaining r6-era stale-evidence names
+#      (the committed refresh tier, already sf1-swept 45/45 in
+#      docs/sweep_sf1_r12tier.jsonl), in their CORRECTNESS_r06 window
+#      order. After this window the oldest verdict in the registry is
+#      r7 — the staleness horizon the round-10 cap promised.
+#   3. _PRIORITY_R12 — the first 4 r7-era names in their
+#      CORRECTNESS_r07 window order, filling the window to exactly 50
+#      and starting the r7-tier refresh.
+#   4. _NEW_R13 — round-12 additions queue there the day each lands
+#      (capped at 15), never evicting a committed window slot.
+_REFRESH_R12 = [
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping_counts",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_predicate",
+    "q20_excess_suppliers",
+    "q21_sole_supplier_orders",
+    "q22_idle_customers",
+    "conditional_aggregates",
+    "histogram_totalprice",
+    "listagg_region_nations",
+    "median_disc_quantity",
+    "percentile_quantities",
+    "resample_ffill_hourly",
+    "rollup_with_grouping_id",
+    "unpivot_part_measures",
+    "window_range_frame",
+    "window_rows_frame_dist",
+    "pandas_udf_quality",
+    "array_functions_embeddings",
+    "bpe_ish_token_count",
+    "chunk_documents",
+    "dedup_keep_first",
+    "doc_fingerprint",
+    "doc_repetition_stats",
+    "embedding_norms",
+    "hash_split_train_test",
+    "label_centroids",
+    "langid_heuristic",
+    "media_meta",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "stratified_hash_sample",
+    "text_quality_stats",
+    "training_data_pipeline",
+    "copurchase_triangle_stats",
+    "weighted_median_quantity",
+    "image_phash_neardup",
+    "semantic_dedup_pairs",
+    "ivf_kmeans_recall_curve",
+    "mixture_weights_by_lang",
+    "context_length_waste_curve",
+]
+
+_PRIORITY_R12 = [
+    # The 4 oldest-evidence r7-era names (latest verdict r7, computed
+    # from CORRECTNESS_r01–r11 at round-12 start), in their
+    # CORRECTNESS_r07 window order. With _NEW_R12's 1 and
+    # _REFRESH_R12's 45 they fill the round-12 window exactly; the
+    # remaining 46 r7-era names lead the round-13 refresh tier.
+    "pagerank_copurchase",
+    "pq_adc_recall",
+    "token_balanced_shards",
+    "split_leakage_audit",
+]
+
+_ROUND12_ADDITION_CAP = 15
+_NEW_R13: list[str] = [
+    # Round-12 additions land here the day each lands (oracle-verified
+    # locally at sf0.001/sf0.01 on landing), capped by
+    # _ROUND12_ADDITION_CAP; they lead the round-13 window ahead of
+    # the 46 remaining r7-era stale-evidence names.
+]
+
+_WINDOW_R12 = (*_NEW_R12, *_REFRESH_R12, *_PRIORITY_R12)[:50]
+
+# The never-driver-checked name in _NEW_R12 AND the 45+4 scheduled
+# stale-evidence names must survive the [:50] truncation; round-12
+# additions must queue in _NEW_R13 rather than evict any of them
+# (the discipline that held for rounds 6-11).
+assert len(_NEW_R12) + len(_REFRESH_R12) + len(_PRIORITY_R12) == 50
+assert all(n in _WINDOW_R12 for n in (*_NEW_R12, *_REFRESH_R12, *_PRIORITY_R12))
+assert len(_NEW_R13) <= _ROUND12_ADDITION_CAP, (
+    "round-12 additions exceed the per-round cap; the staleness "
     "horizon arithmetic above no longer holds — raise the cap "
     "deliberately or stop adding"
 )
-assert len(_NEW_R12) == len(set(_NEW_R12)), "duplicate names queued in _NEW_R12"
+assert len(_NEW_R13) == len(set(_NEW_R13)), "duplicate names queued in _NEW_R13"
 
 # Exported for tests/test_rotation.py's completeness check
 # (set(REGISTRY) ⊆ ever-driver-checked ∪ QUEUED — the invariant whose
 # violation orphaned the two round-8 names).
-QUEUED_FOR_DRIVER = (*_WINDOW_R11, *_NEW_R12)
+QUEUED_FOR_DRIVER = (*_WINDOW_R12, *_NEW_R13)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R11 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R12 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R11) != len(set(_WINDOW_R11)):
+    if len(_WINDOW_R12) != len(set(_WINDOW_R12)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R11 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R12 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R11 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R11 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R11, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R12 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R12 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R12, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

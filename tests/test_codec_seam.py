@@ -140,3 +140,20 @@ def test_malformed_png_always_raises_valueerror():
     for payload in (good[:20], bytes(bad_crc), bad_deflate, b"\x89PNG\r\n\x1a\n"):
         with pytest.raises(ValueError):
             decode_png(payload)
+
+
+def test_png_encoder_rejects_malformed_input():
+    # ADVICE r11: fail loudly instead of emitting a PNG whose IDAT
+    # contradicts its IHDR (which decode_png would then reject anyway).
+    px = _synth_pixels(1)
+    with pytest.raises(ValueError, match="length"):
+        encode_png(10, 2, px[:-3])  # short buffer
+    with pytest.raises(ValueError, match="length"):
+        encode_png(10, 2, px + [0.0, 0.0, 0.0])  # long buffer
+    bad = list(px)
+    bad[0] = 300.0
+    with pytest.raises(ValueError, match="outside"):
+        encode_png(10, 2, bad)
+    bad[0] = -1.0
+    with pytest.raises(ValueError, match="outside"):
+        encode_png(10, 2, bad)
