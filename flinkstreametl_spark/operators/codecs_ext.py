@@ -1,5 +1,8 @@
-"""[EXT] Real compressed-image codec for the multimodal decoder seam
-(VERDICT r10 item 7): a pure-Python PNG coder over stdlib zlib.
+"""[EXT] Real compressed codecs for the multimodal decoder seam:
+a pure-Python PNG coder over stdlib zlib (VERDICT r10 item 7) and a
+pure-Python IMA-ADPCM WAV coder (VERDICT r11 item 6) — the image and
+audio proofs that the seam carries genuinely compressed formats, not
+just codec-free containers.
 
 The multimodal path's built-in decoders cover the codec-free container
 formats (PPM/BMP/RIFF-WAVE); compressed formats were documented as "a
@@ -184,3 +187,186 @@ def png_decoder(payload: bytes) -> tuple[int, int, list[float]]:
     """The seam-shaped callable: PNG decode + the SHARED feature fold —
     drop-in for ``extract_features(decoder=...)``."""
     return feature_map(*decode_png(payload))
+
+
+# ---------------------------------------------------------------------------
+# IMA (DVI) ADPCM WAV: the compressed-AUDIO proof for the decoder seam
+# (VERDICT r11 item 6 — what PNG proved for images). Real adaptive
+# differential coding from the public IMA ADPCM specification (the
+# same 4-bit scheme RFC 3551 section 4.5.1 / the classic Intel/DVI
+# reference describe; wFormatTag 0x0011 in Microsoft's RIFF-WAVE
+# registry): an 89-entry quantizer step table, per-nibble step-index
+# adaptation, int16 predictor clamping, and MS-style block framing
+# (4-byte per-block header + packed low-nibble-first 4-bit codes) —
+# 4 bits per 16-bit sample, a real ~4x compression. Stdlib-only
+# (struct), so the seam test is never environment-gated.
+#
+# Scope: mono, 4-bit, with a `fact` chunk stating the true frame
+# count (the encoder always writes one; the decoder requires it to
+# truncate block padding exactly). Stereo / missing-fact / other
+# fmt tags raise ValueError — the fail-loud contract decode_wav and
+# decode_png set. ``adpcm_decoder`` matches the audio seam signature
+# ``(payload bytes) -> (sample_rate, n_channels, samples)`` exactly,
+# so ADPCM payloads flow through audio_features' mapInPandas chain
+# unchanged (tests/test_adpcm_seam.py).
+# ---------------------------------------------------------------------------
+
+# Public IMA ADPCM tables (step sizes ~1.1^n; index deltas for the
+# 3-bit magnitude).
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_ADPCM_INDEX_DELTA = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+_ADPCM_TAG = 0x0011
+_ADPCM_BLOCK_ALIGN = 256  # mono: 4-byte header + 252 data bytes
+_ADPCM_SAMPLES_PER_BLOCK = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # 505
+
+
+def _adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA decode step: (predictor, step index) -> updated pair.
+    Shared verbatim by the encoder's tracking loop and the decoder so
+    they cannot drift."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 4:
+        diff += step
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 1:
+        diff += step >> 2
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _ADPCM_INDEX_DELTA[nibble & 7]))
+    return pred, index
+
+
+def encode_adpcm_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Mono int16 samples -> IMA-ADPCM RIFF/WAVE bytes (fmt tag 0x0011,
+    256-byte blocks, fact chunk with the true frame count). The last
+    partial block is padded by holding the final predictor (nibble 0
+    repeats); the fact count lets the decoder drop the padding
+    exactly."""
+    if not samples:
+        raise ValueError("cannot encode an empty sample stream")
+    bad = next((s for s in samples if not -32768 <= int(s) <= 32767), None)
+    if bad is not None:
+        raise ValueError(f"sample value {bad} outside int16 range")
+    samples = [int(s) for s in samples]
+    n = len(samples)
+    blocks = bytearray()
+    index = 0
+    pos = 0
+    while pos < n:
+        chunk = samples[pos : pos + _ADPCM_SAMPLES_PER_BLOCK]
+        pos += _ADPCM_SAMPLES_PER_BLOCK
+        # Block header carries the first sample verbatim + entry index.
+        pred = chunk[0]
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _ADPCM_STEPS[index]
+            diff = s - pred
+            nib = 8 if diff < 0 else 0
+            if diff < 0:
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            nibbles.append(nib)
+            pred, index = _adpcm_step(pred, index, nib)  # track the decoder
+        nibbles.extend(0 for _ in range(_ADPCM_SAMPLES_PER_BLOCK - 1 - len(nibbles)))
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))  # low nibble first, per spec
+    byte_rate = (sample_rate * _ADPCM_BLOCK_ALIGN + _ADPCM_SAMPLES_PER_BLOCK - 1) // _ADPCM_SAMPLES_PER_BLOCK
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        _ADPCM_TAG, 1, sample_rate, byte_rate,
+        _ADPCM_BLOCK_ALIGN, 4, 2, _ADPCM_SAMPLES_PER_BLOCK,
+    )
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """IMA-ADPCM RIFF/WAVE bytes -> (sample_rate, n_channels, int16
+    samples). Manual RIFF chunk walk (the stdlib wave module refuses
+    compressed format tags, which is exactly why this decoder exists);
+    mono 4-bit with a fact chunk only — anything else raises
+    ValueError rather than misdecoding."""
+    if payload is None:
+        raise ValueError("empty payload")
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = fact = data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"fact":
+            fact = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt /data chunk")
+    if len(fmt) < 16:
+        raise ValueError("fmt chunk too short")
+    tag, nch, sample_rate, _br, block_align, bits = struct.unpack_from("<HHIIHH", fmt)
+    if tag != _ADPCM_TAG:
+        raise ValueError(f"not IMA ADPCM (fmt tag 0x{tag:04x})")
+    if nch != 1 or bits != 4:
+        raise ValueError(f"only mono 4-bit IMA ADPCM supported (got {nch}ch/{bits}-bit)")
+    if fact is None or len(fact) < 4:
+        raise ValueError("missing fact chunk (true frame count)")
+    (n_frames,) = struct.unpack_from("<I", fact)
+    if block_align < 5:
+        raise ValueError(f"block align {block_align} too small")
+    samples: list[int] = []
+    for base in range(0, len(data), block_align):
+        block = data[base : base + block_align]
+        if len(block) < 4:
+            raise ValueError("truncated ADPCM block header")
+        pred, index, _rsv = struct.unpack_from("<hBB", block)
+        if index > 88:
+            raise ValueError(f"step index {index} out of range")
+        samples.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):  # low nibble first
+                pred, index = _adpcm_step(pred, index, nib)
+                samples.append(pred)
+    if n_frames > len(samples):
+        raise ValueError(
+            f"fact count {n_frames} exceeds decoded samples {len(samples)}"
+        )
+    return sample_rate, 1, samples[:n_frames]
+
+
+def adpcm_decoder(payload: bytes) -> tuple[int, int, list[int]]:
+    """The audio-seam-shaped callable — drop-in for
+    ``audio_features(decoder=...)``."""
+    return decode_adpcm_wav(payload)
