@@ -368,6 +368,7 @@ _NEW_R13: list[str] = [
     # locally at sf0.001/sf0.01 on landing), capped by
     # _ROUND12_ADDITION_CAP; they lead the round-13 window ahead of
     # the 46 remaining r7-era stale-evidence names.
+    "stream_state_metrics_replay",
 ]
 
 _WINDOW_R12 = (*_NEW_R12, *_REFRESH_R12, *_PRIORITY_R12)[:50]
