@@ -157,3 +157,59 @@ def test_png_encoder_rejects_malformed_input():
     bad[0] = -1.0
     with pytest.raises(ValueError, match="outside"):
         encode_png(10, 2, bad)
+
+
+def test_motion_png_roundtrip_compresses_and_fails_loudly():
+    from flinkstreametl_spark.operators.codecs_ext import (
+        decode_video_png,
+        encode_video_png,
+    )
+    from flinkstreametl_spark.operators.multimodal import encode_video_ppm
+
+    frames = [(10, 2, _synth_pixels(d)) for d in range(3)]
+    payload = encode_video_png(frames, filter_type=1)
+    assert decode_video_png(payload) == [
+        (w, h, px) for w, h, px in frames
+    ]  # lossless per frame
+    # boilerplate frames must genuinely compress vs the P6 container
+    flat = [(100, 10, [128.0] * 3000)] * 4
+    assert len(encode_video_png(flat)) < len(encode_video_ppm(flat)) / 3
+    with pytest.raises(ValueError):
+        decode_video_png(payload[:-5])  # truncated tail = data loss
+    with pytest.raises(ValueError):
+        decode_video_png(payload + b"JUNK")  # trailing garbage
+    with pytest.raises(ValueError):
+        encode_video_png([])
+
+
+def test_seam_carries_motion_png_through_video_features(spark):
+    # Payload-format invariance at the VIDEO seam: the same frames
+    # through the motion-PNG decoder and the default P6 container
+    # produce bit-equal integer per-frame rows.
+    from flinkstreametl_spark.operators.codecs_ext import (
+        encode_video_png,
+        video_png_decoder,
+    )
+    from flinkstreametl_spark.operators.multimodal import (
+        encode_video_ppm,
+        video_frame_features,
+    )
+
+    vids = {mid: [(10, 2, _synth_pixels(mid * 3 + k)) for k in range(3)] for mid in range(4)}
+    schema = "media_id LONG, payload BINARY"
+    mpng = spark.createDataFrame(
+        [(m, bytearray(encode_video_png(f))) for m, f in vids.items()], schema
+    )
+    p6 = spark.createDataFrame(
+        [(m, bytearray(encode_video_ppm(f))) for m, f in vids.items()], schema
+    )
+    key = lambda r: (r["media_id"], r["frame_idx"])  # noqa: E731
+    via_mpng = {
+        key(r): (r["width"], r["height"], r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in video_frame_features(mpng, decoder=video_png_decoder).collect()
+    }
+    via_p6 = {
+        key(r): (r["width"], r["height"], r["mean_r"], r["mean_g"], r["mean_b"])
+        for r in video_frame_features(p6).collect()
+    }
+    assert via_mpng == via_p6 and len(via_mpng) == 12
