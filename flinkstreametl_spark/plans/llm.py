@@ -559,7 +559,9 @@ def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flinkstreametl_spark.operators.multimodal import audio_features, synth_square_wav
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    )  # single-split guard for the per-doc synth+decode chain
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         for pdf in batches:
@@ -610,7 +612,12 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_features,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # ensure_parallelism: the 5000-row single-row-group documents file
+    # is ONE split, which would serialize the per-doc synth+decode
+    # mapInPandas chain onto one core while 31 idle (measured: 5.3s
+    # -> sub-second at sf0.1). At cluster scale inputs arrive
+    # well-split and this is a no-op.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         for pdf in batches:
@@ -1150,7 +1157,9 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flinkstreametl_spark.operators.multimodal import decode_image, encode_ppm
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = ensure_parallelism(  # single-split guard, see video_frame_sample
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         for pdf in batches:
@@ -1255,7 +1264,9 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flinkstreametl_spark.operators.multimodal import decode_wav
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = ensure_parallelism(  # single-split guard, see video_frame_sample
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         import io as _io
@@ -1882,7 +1893,9 @@ def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from flinkstreametl_spark.operators.multimodal import decode_video_ppm, encode_video_ppm
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = ensure_parallelism(  # single-split guard, see video_frame_sample
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
 
     def synth(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
         for pdf in batches:
