@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from flinkstreametl_spark.operators import similarity as S
 from flinkstreametl_spark.operators import text as X
 from flinkstreametl_spark.plans.registry import register
-from flinkstreametl_spark.sources.parquet import load_table
+from flinkstreametl_spark.sources.parquet import ensure_parallelism, load_table
 
 _TOKS = X.sql_tokens("text")
 
@@ -157,7 +157,11 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     huge, so no hot keys; at 100 TB this is the exact-dedup sweep shape
     run at passage granularity.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism: the single-row-group documents file is one
+    # split, serializing the window tokenize/fingerprint map side onto
+    # one core (measured 1.64s -> 1.02s at sf0.1); a no-op on
+    # well-split cluster inputs.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     n_win = F.floor((F.size(toks) + (_WIN - 1)) / _WIN).cast("long")
     w = docs.select(
@@ -400,7 +404,9 @@ def bigram_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by vocabulary², and the count side of the join is
     vocabulary-sized — broadcastable for bounded vocabularies, shuffle
     co-located beyond."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-split guard (measured 1.19s -> 0.92s at sf0.1), see
+    # passage_dedup_stats.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     # Materialize the token array BEFORE the n-gram lambda (the HOF
     # subexpression-duplication pitfall, docs/SCALE.md: inline ngrams
     # re-ran the split per element — measured 10s -> 1s at sf0.1), and
@@ -950,7 +956,11 @@ def span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash keys are uniform — no hot reducers; this is the passage-grain
     exact-dedup sweep with the decision fused into the same exchange
     (the stats query needs a groupBy + join-back instead)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # ensure_parallelism: the single-row-group documents file is one
+    # split, serializing the window tokenize/fingerprint map side onto
+    # one core (measured 1.64s -> 1.02s at sf0.1); a no-op on
+    # well-split cluster inputs.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     toks = X.tokens("text")
     n_win = F.floor((F.size(toks) + (_WIN - 1)) / _WIN).cast("long")
     w = docs.select(
@@ -1337,7 +1347,9 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: distinct-token sets and integer fixed-point divisions
     only."""
-    docs = load_table(spark, sf_dir, "documents")
+    # single-split guard before the per-token hash chain (measured
+    # 3.4s -> 2.4s at sf0.1), see passage_dedup_stats.
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     pairs = _D.minhash_lsh_pairs(docs, threshold=0.6).select("doc_a", "doc_b").localCheckpoint()
     involved = (
         pairs.select(F.col("doc_a").alias("doc_id"))
