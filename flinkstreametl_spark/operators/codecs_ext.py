@@ -157,10 +157,14 @@ def encode_png(w: int, h: int, pixels: list[float], filter_type: int = 0) -> byt
             f"for a {w}x{h} RGB image"
         )
     stride = w * 3
-    flat = [int(p) for p in pixels]
-    bad = next((p for p in flat if not 0 <= p <= 255), None)
+    # Validate on the FLOAT values, before int() truncation: 255.9 /
+    # -0.9 are outside [0, 255] and must fail, and non-finite values
+    # (inf, nan — both fail the chained comparison) must surface as
+    # the documented ValueError, not OverflowError (round-12 review).
+    bad = next((p for p in pixels if not 0 <= p <= 255), None)
     if bad is not None:
         raise ValueError(f"pixel value {bad} outside [0, 255]")
+    flat = [int(p) for p in pixels]
     raw = bytearray()
     prev = [0] * stride
     for row in range(h):
@@ -333,6 +337,11 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if pos != len(payload):
+        raise ValueError(
+            f"{len(payload) - pos} trailing bytes after the last RIFF "
+            "chunk — truncated or garbage-suffixed payload"
+        )
     if fmt is None or data is None:
         raise ValueError("missing fmt /data chunk")
     if len(fmt) < 16:

@@ -154,10 +154,14 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     total = freq.agg(F.sum("freq").alias("total"))
-    ranked = with_global_rank(freq, [F.col("freq").desc(), "tok"], out_col="rk")
-    ranked = with_running_sum(ranked, ["rk"], "freq", "cum_freq").filter(
+    # Filter to the emitted top-100 BEFORE the running sum: cum_freq at
+    # rank k depends only on ranks 1..k, so the prefix scan over the
+    # 100-row head is value-identical to scanning the whole vocabulary
+    # and discarding all but 100 rows (round-12 review).
+    ranked = with_global_rank(freq, [F.col("freq").desc(), "tok"], out_col="rk").filter(
         F.col("rk") <= 100
     )
+    ranked = with_running_sum(ranked, ["rk"], "freq", "cum_freq")
     return ranked.crossJoin(F.broadcast(total)).select(
         "rk",
         "tok",

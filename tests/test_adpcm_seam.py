@@ -130,6 +130,12 @@ def test_decoder_fails_loudly_on_malformed_payloads():
     no_fact = good[:fact_at] + good[fact_at + 12 :]
     with pytest.raises(ValueError, match="fact"):
         decode_adpcm_wav(no_fact)
+    # trailing garbage / clipped-next-chunk fragment -> refuse (the
+    # fail-loud contract the image/video decoders share)
+    with pytest.raises(ValueError, match="trailing"):
+        decode_adpcm_wav(good + b"XX")
+    with pytest.raises(ValueError):
+        decode_adpcm_wav(good[:-3])
 
 
 def test_seam_carries_adpcm_through_mapinpandas(spark):

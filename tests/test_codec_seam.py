@@ -151,12 +151,13 @@ def test_png_encoder_rejects_malformed_input():
     with pytest.raises(ValueError, match="length"):
         encode_png(10, 2, px + [0.0, 0.0, 0.0])  # long buffer
     bad = list(px)
-    bad[0] = 300.0
-    with pytest.raises(ValueError, match="outside"):
-        encode_png(10, 2, bad)
-    bad[0] = -1.0
-    with pytest.raises(ValueError, match="outside"):
-        encode_png(10, 2, bad)
+    for v in (300.0, -1.0, 255.9, -0.9, float("inf"), float("nan")):
+        bad[0] = v
+        # validation runs on the float values BEFORE int() truncation,
+        # so fractional out-of-range and non-finite pixels all surface
+        # as the documented ValueError (round-12 review)
+        with pytest.raises(ValueError, match="outside"):
+            encode_png(10, 2, bad)
 
 
 def test_motion_png_roundtrip_compresses_and_fails_loudly():
