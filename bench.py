@@ -96,27 +96,73 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 4)
-    # "samples" persists every per-run measurement into the artifact
-    # itself: the r11 bench anomaly could not be adjudicated because
-    # only the last 3 stderr lines survived (VERDICT r11 item 1b) —
-    # the JSON line is what the driver records, so the evidence rides
-    # along with the medians now.
-    print(
-        json.dumps(
+    # Per-run samples must persist for adjudication (VERDICT r11 item
+    # 1b) but may NOT ride in the final stdout line: the driver keeps
+    # only a 2000-char tail of stdout, and in r12 the samples-embedded
+    # line outgrew it, truncating the leading "value" key — the driver
+    # recorded BENCH_r12.json {"parsed": null} (VERDICT r12 item 1).
+    # So: full record (medians + every sample) goes to a sidecar file
+    # and to stderr; the FINAL stdout line is a compact JSON sized to
+    # always survive the tail capture (47 medians at 2dp ≈ 1.4k
+    # chars), with "value"/"order" LAST in key order so any future
+    # truncation eats medians before the headline.
+    full_record = {
+        "metric": "headline query wall-clock, sum of per-query medians over bench set",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "samples": all_samples,
+        "sf": sf_val,
+        "runs": runs,
+        "runs_heavy": {n: heavy_runs for n in sorted(heavy) if n in times},
+        "agg": "median",
+        "order": "sorted(name)",
+    }
+    samples_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SAMPLES",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SAMPLES.json"),
+    )
+    try:
+        with open(samples_path, "w") as fh:
+            json.dump(full_record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:  # unwritable sandbox — stderr still has it
+        print(f"# samples file not written ({exc})", file=sys.stderr)
+    print(json.dumps(full_record), file=sys.stderr)
+
+    compact = json.dumps(
+        {
+            "metric": "bench_total_sec",
+            "unit": "sec",
+            "sf": sf_val,
+            "runs": runs,
+            "agg": "median",
+            "samples_file": os.path.basename(samples_path),
+            "queries": {n: round(t, 2) for n, t in times.items()},
+            "order": "sorted(name)",
+            "value": total,
+        },
+        separators=(",", ":"),
+    )
+    if len(compact) > 1900:
+        # Headroom breach (query-set growth): drop per-query medians
+        # from stdout entirely — they live in the sidecar/stderr — and
+        # keep the headline parseable no matter what.
+        compact = json.dumps(
             {
-                "metric": "headline query wall-clock, sum of per-query medians over bench set",
-                "value": total,
+                "metric": "bench_total_sec",
                 "unit": "sec",
-                "queries": times,
-                "samples": all_samples,
                 "sf": sf_val,
                 "runs": runs,
-                "runs_heavy": {n: heavy_runs for n in sorted(heavy) if n in times},
                 "agg": "median",
+                "samples_file": os.path.basename(samples_path),
+                "queries_in_file": len(times),
                 "order": "sorted(name)",
-            }
+                "value": total,
+            },
+            separators=(",", ":"),
         )
-    )
+    print(compact)
     spark.stop()
 
 

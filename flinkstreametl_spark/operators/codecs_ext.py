@@ -32,6 +32,7 @@ fingerprint chain is payload-format-invariant).
 
 from __future__ import annotations
 
+import bisect
 import struct
 import zlib
 
@@ -267,7 +268,16 @@ def encode_adpcm_wav(sample_rate: int, samples: list[int]) -> bytes:
     samples = [int(s) for s in samples]
     n = len(samples)
     blocks = bytearray()
-    index = 0
+    # Seed the initial step index from the first inter-sample delta
+    # (ADVICE r12): starting at index 0 forces a large adaptation
+    # transient (~14k peak error on a 20k sine) while the block header
+    # already carries an arbitrary entry index, so the decoder needs no
+    # change. bisect over the monotone step table picks the largest
+    # step <= |delta| — the standard seeding.
+    if n > 1:
+        index = max(0, min(88, bisect.bisect_right(_ADPCM_STEPS, abs(samples[1] - samples[0])) - 1))
+    else:
+        index = 0
     pos = 0
     while pos < n:
         chunk = samples[pos : pos + _ADPCM_SAMPLES_PER_BLOCK]
@@ -336,7 +346,15 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
             fact = body
         elif cid == b"data":
             data = body
-        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        pos += 8 + clen
+        # Chunks are word-aligned with a NULL pad byte, but an
+        # odd-length FINAL chunk is commonly written without its pad
+        # at EOF (ADVICE r12) — consume the pad only where a null byte
+        # actually sits, so the pad-omitted spelling reads as
+        # exactly-consumed (not "-1 trailing bytes") while a non-null
+        # byte there still reports as trailing garbage.
+        if clen & 1 and payload[pos : pos + 1] == b"\x00":
+            pos += 1
     if pos != len(payload):
         raise ValueError(
             f"{len(payload) - pos} trailing bytes after the last RIFF "
@@ -351,6 +369,23 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"not IMA ADPCM (fmt tag 0x{tag:04x})")
     if nch != 1 or bits != 4:
         raise ValueError(f"only mono 4-bit IMA ADPCM supported (got {nch}ch/{bits}-bit)")
+    # The fmt extension declares wSamplesPerBlock; the block decode
+    # below derives it purely from block_align framing, so a foreign
+    # file declaring FEWER samples per block would have its
+    # intermediate-block padding silently decoded as samples (the fact
+    # count only truncates the tail). Fail loud on the mismatch
+    # instead (ADVICE r12).
+    if len(fmt) >= 18:
+        (cb_size,) = struct.unpack_from("<H", fmt, 16)
+        if cb_size >= 2 and len(fmt) >= 20:
+            (declared_spb,) = struct.unpack_from("<H", fmt, 18)
+            framed_spb = (block_align - 4) * 2 + 1
+            if declared_spb != framed_spb:
+                raise ValueError(
+                    f"fmt declares {declared_spb} samples/block but block "
+                    f"align {block_align} frames {framed_spb} — refusing to "
+                    "decode intermediate-block padding as samples"
+                )
     if fact is None or len(fact) < 4:
         raise ValueError("missing fact chunk (true frame count)")
     (n_frames,) = struct.unpack_from("<I", fact)

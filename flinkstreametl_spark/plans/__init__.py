@@ -373,37 +373,127 @@ _NEW_R13: list[str] = [
 
 _WINDOW_R12 = (*_NEW_R12, *_REFRESH_R12, *_PRIORITY_R12)[:50]
 
-# The never-driver-checked name in _NEW_R12 AND the 45+4 scheduled
-# stale-evidence names must survive the [:50] truncation; round-12
-# additions must queue in _NEW_R13 rather than evict any of them
-# (the discipline that held for rounds 6-11).
-assert len(_NEW_R12) + len(_REFRESH_R12) + len(_PRIORITY_R12) == 50
-assert all(n in _WINDOW_R12 for n in (*_NEW_R12, *_REFRESH_R12, *_PRIORITY_R12))
-assert len(_NEW_R13) <= _ROUND12_ADDITION_CAP, (
-    "round-12 additions exceed the per-round cap; the staleness "
+# Round 13 executes the rotation the round-12 judge prescribed
+# (VERDICT r12 item 2). CORRECTNESS_r12 came back 50/50 green, so the
+# latest-verdict distribution entering round 13 is r12=50, r11=50,
+# r10=50, r9=50, r8=50, r7=46 over the 296 ever-checked names, with
+# exactly one never-checked name (stream_state_metrics_replay, queued
+# in _NEW_R13 the day it landed). The round-13 window:
+#   1. _NEW_R13 — that single queued round-12 addition. It leads so a
+#      failure can't be hidden by the [:50] cut; after this window
+#      every registry entry has a driver verdict again.
+#   2. _REFRESH_R13 — ALL 46 remaining r7-era stale-evidence names
+#      (the committed refresh tier, already sf1-swept 46/46 in
+#      docs/sweep_sf1_r13tier.jsonl), in their CORRECTNESS_r07 window
+#      order. After this window the oldest verdict in the registry is
+#      r8 — the ≤5-round staleness horizon holds.
+#   3. _PRIORITY_R13 — the first 3 r8-era names in their
+#      CORRECTNESS_r08 window order, filling the window to exactly 50
+#      and starting the r8-tier refresh.
+#   4. _NEW_R14 — round-13 additions queue there the day each lands
+#      (capped at 15), never evicting a committed window slot.
+_REFRESH_R13 = [
+    "domain_signature_terms",
+    "lsh_precision_recall_audit",
+    "dedup_method_agreement",
+    "cluster_safe_split",
+    "tokenizer_fertility_by_lang",
+    "split_representativeness_audit",
+    "cdc_filter_project",
+    "temporal_active_filter",
+    "timestamp_parse_roundtrip",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "asof_latest_order",
+    "range_join_error_context",
+    "session_window_agg",
+    "sliding_window_counts",
+    "window_lag_lead_ntile",
+    "stats_variance_exact",
+    "monthly_revenue_trend",
+    "cohort_retention",
+    "funnel_conversion",
+    "date_arithmetic_orders",
+    "grouped_agg_pandas_udf",
+    "ingest_batch_pipeline",
+    "posexplode_tokens",
+    "props_map_entries",
+    "ann_ivf_topk",
+    "kmeans_cluster_sizes",
+    "neardup_cluster_assign",
+    "dup_span_ladder",
+    "passage_dedup_stats",
+    "fuzzy_dup_parts",
+    "cdc_rolling_hash_chunks",
+    "bpe_pair_counts",
+    "bpe_train_merges",
+    "bigram_familiarity_score",
+    "textrank_keywords",
+    "tfidf_top_terms",
+    "token_frequency_top100",
+    "quality_classifier_score",
+    "quota_sample_per_lang",
+    "temperature_mix_sample",
+    "weighted_sample_topk",
+    "pack_sequences",
+    "audio_features_wav",
+    "video_frame_sample",
+]
+
+_PRIORITY_R13 = [
+    # The 3 oldest-evidence r8-era names (latest verdict r8, computed
+    # from CORRECTNESS_r01–r12 at round-13 start), in their
+    # CORRECTNESS_r08 window order. With _NEW_R13's 1 and
+    # _REFRESH_R13's 46 they fill the round-13 window exactly; the
+    # remaining 47 r8-era names lead the round-14 refresh tier.
+    "bm25_topk_docs",
+    "decontaminate_by_retrieval",
+    "ann_index_staleness_audit",
+]
+
+_ROUND13_ADDITION_CAP = 15
+_NEW_R14: list[str] = [
+    # Round-13 additions land here the day each lands (oracle-verified
+    # locally at sf0.001/sf0.01 on landing), capped by
+    # _ROUND13_ADDITION_CAP; they lead the round-14 window ahead of
+    # the 47 remaining r8-era stale-evidence names.
+    "stream_state_memory_replay",
+]
+
+_WINDOW_R13 = (*_NEW_R13, *_REFRESH_R13, *_PRIORITY_R13)[:50]
+
+# The never-driver-checked name in _NEW_R13 AND the 46+3 scheduled
+# stale-evidence names must survive the [:50] truncation; round-13
+# additions must queue in _NEW_R14 rather than evict any of them
+# (the discipline that held for rounds 6-12).
+assert len(_NEW_R13) + len(_REFRESH_R13) + len(_PRIORITY_R13) == 50
+assert all(n in _WINDOW_R13 for n in (*_NEW_R13, *_REFRESH_R13, *_PRIORITY_R13))
+assert len(_NEW_R14) <= _ROUND13_ADDITION_CAP, (
+    "round-13 additions exceed the per-round cap; the staleness "
     "horizon arithmetic above no longer holds — raise the cap "
     "deliberately or stop adding"
 )
-assert len(_NEW_R13) == len(set(_NEW_R13)), "duplicate names queued in _NEW_R13"
+assert len(_NEW_R14) == len(set(_NEW_R14)), "duplicate names queued in _NEW_R14"
 
 # Exported for tests/test_rotation.py's completeness check
 # (set(REGISTRY) ⊆ ever-driver-checked ∪ QUEUED — the invariant whose
 # violation orphaned the two round-8 names).
-QUEUED_FOR_DRIVER = (*_WINDOW_R12, *_NEW_R13)
+QUEUED_FOR_DRIVER = (*_WINDOW_R13, *_NEW_R14)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R12 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R13 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R12) != len(set(_WINDOW_R12)):
+    if len(_WINDOW_R13) != len(set(_WINDOW_R13)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R12 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R13 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R12 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R12 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R12, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R13 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R13 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R13, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

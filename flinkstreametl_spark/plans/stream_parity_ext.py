@@ -1565,3 +1565,167 @@ def stream_state_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- streaming state-store memory/layout observability -----------------------
+# The MEMORY half of the state-ops story (VERDICT r12 item 5 named it
+# the one family with remaining driver-gate value):
+# stream_state_metrics_replay grades the ROW counters; this grades the
+# store-layout and memory-side counters an operator uses for capacity
+# planning and spill detection on the exact same production replay.
+#
+# What is deterministic and therefore gradable (probed on the real
+# progress payloads, see docs/ROUND13.md):
+# * operator_name — the plan must carry a symmetricHashJoin state
+#   operator (a plan rewrite that silently drops to a different
+#   stateful operator breaks the hash).
+# * n_shuffle_partitions = 8 — `_state_partitions` pins the state
+#   store count; the progress payload must echo the configured value
+#   (this is the number an operator multiplies by to size a cluster).
+# * n_store_instances = 32 — the symmetric hash join keeps FOUR stores
+#   per partition (left/right × keyToNumValues/keyWithIndexToValue),
+#   so instances = 4 × partitions. THE capacity-planning law: RocksDB
+#   instance count scales with partitions, not stream length.
+# * state_rows_total — the same closed-form watermark-eviction law
+#   _SMR_ORACLE states (tiles admitted so far filtered by the interval
+#   condition's exact strictness); re-graded here so the memory frame
+#   is pinned to the row law, not free-floating.
+# * rows_dropped_late = 0 — both replay sides are written in event
+#   order, so the late-row counter must stay zero; a watermark
+#   regression that starts dropping in-order rows breaks the hash.
+# * cache_miss_count = 0 — with a healthy executor the HDFS-backed
+#   store never reloads a map version from checkpoint files
+#   (loadedMapCacheMissCount counts exactly those reloads); a nonzero
+#   value is the cache-thrash/spill signal this query exists to alarm
+#   on.
+# * mem_used_positive / mem_current_le_used — memoryUsedBytes is
+#   positive whenever the store holds rows, and the current-version
+#   size (stateOnCurrentVersionSizeBytes) can never exceed the total
+#   cached size (current ⊆ retained versions). The raw byte counts are
+#   allocation-dependent, so the frame grades the INVARIANTS, not the
+#   bytes.
+#
+# 100 TB story: pure observability — a 9-column × 4-row frame however
+# large the stream; every law above is scale-free (instances = 4 ×
+# partitions holds at 8 or 8000 partitions; miss-count 0 holds until
+# executors churn, which is exactly when an operator wants the alarm).
+_SMEM_ORACLE = f"""
+WITH e AS (
+    SELECT epoch_us(ts) AS us,
+           NTILE({_SSJ_CHUNKS}) OVER (ORDER BY ts, event_id) AS b
+    FROM events
+), tiles AS (
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS n, MAX(us) AS mx FROM e GROUP BY b
+), wm AS (
+    SELECT k,
+           CASE WHEN k = 1 THEN 0
+                ELSE (SELECT (MAX(mx) // 1000) * 1000 - 1800000000
+                      FROM tiles WHERE b < k) END AS wm_us
+    FROM (SELECT unnest(range(1, {_SSJ_CHUNKS + 2})) AS k)
+), st AS (
+    SELECT w.k,
+           (SELECT COUNT(*) FROM e
+             WHERE e.b <= LEAST(w.k, {_SSJ_CHUNKS})
+               AND e.us >= w.wm_us - 3600000000)
+         + (SELECT COUNT(*) FROM e
+             WHERE e.b <= LEAST(w.k, {_SSJ_CHUNKS})
+               AND e.us > w.wm_us) AS total
+    FROM wm w
+)
+SELECT CAST(k AS BIGINT) AS batch_seq,
+       'symmetricHashJoin' AS operator_name,
+       CAST(8 AS BIGINT) AS n_shuffle_partitions,
+       CAST(32 AS BIGINT) AS n_store_instances,
+       CAST(total AS BIGINT) AS state_rows_total,
+       CAST(0 AS BIGINT) AS rows_dropped_late,
+       CAST(0 AS BIGINT) AS cache_miss_count,
+       CAST(1 AS BIGINT) AS mem_used_positive,
+       CAST(1 AS BIGINT) AS mem_current_le_used
+FROM st
+"""
+
+
+@register(
+    "stream_state_memory_replay",
+    tags=("ext", "streaming", "observability", "parity"),
+    oracle=_SMEM_ORACLE,
+)
+def stream_state_memory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store memory/layout counters surfaced from the REAL
+    engine's progress listener and graded row-for-row against the
+    scale-free laws the block comment above states (instances = 4 ×
+    partitions, zero late drops on an in-order replay, zero
+    checkpoint reloads, current-version bytes ≤ cached bytes, and the
+    same closed-form rows-total eviction law as
+    stream_state_metrics_replay). Runs the production interval-join
+    replay (ref parity: the state TTL/ops half of
+    `Main.java`'s streaming pipeline, re-expressed on Structured
+    Streaming's progress listener), then reads q.recentProgress into
+    a 4-row frame. The raw byte counts are allocation-dependent, so
+    the nondeterministic quantities are graded as INVARIANT indicator
+    columns computed from the real counters — a memory-accounting
+    regression (zero/negative memory, current > retained, a cache
+    thrash, a store-layout change) breaks the hash even when join
+    output and row counters are still correct."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    tmp = tempfile.mkdtemp(prefix="smem_replay_")
+    try:
+        _write_ts_chunks(ev, os.path.join(tmp, "left"), _SSJ_CHUNKS)
+        _copy_chunk_dir(os.path.join(tmp, "left"), os.path.join(tmp, "right"))
+        left = (
+            spark.readStream.schema(_SSJ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "left"))
+        )
+        right = (
+            spark.readStream.schema(_SSJ_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(tmp, "right"))
+        )
+        joined = stream_stream_interval_join(
+            left, right, watermark="30 minutes", max_delay_expr="INTERVAL 1 HOUR"
+        )
+        with _state_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", os.path.join(tmp, "out"))
+                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        progress = sorted(q.recentProgress, key=lambda p: p["batchId"])
+        if len(progress) != _SSJ_CHUNKS + 1:
+            raise ValueError(
+                f"expected {_SSJ_CHUNKS} data batches + 1 eviction batch, "
+                f"got {len(progress)} progress entries — chunking or "
+                "trigger semantics changed"
+            )
+        rows = []
+        for seq, p in enumerate(progress, start=1):
+            so = p["stateOperators"][0]
+            mem_used = int(so["memoryUsedBytes"])
+            mem_current = int(so["customMetrics"]["stateOnCurrentVersionSizeBytes"])
+            rows.append(
+                (
+                    seq,
+                    str(so["operatorName"]),
+                    int(so["numShufflePartitions"]),
+                    int(so["numStateStoreInstances"]),
+                    int(so["numRowsTotal"]),
+                    int(so["numRowsDroppedByWatermark"]),
+                    int(so["customMetrics"]["loadedMapCacheMissCount"]),
+                    1 if mem_used > 0 else 0,
+                    1 if mem_current <= mem_used else 0,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "batch_seq LONG, operator_name STRING, n_shuffle_partitions LONG, "
+            "n_store_instances LONG, state_rows_total LONG, "
+            "rows_dropped_late LONG, cache_miss_count LONG, "
+            "mem_used_positive LONG, mem_current_le_used LONG",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
