@@ -347,14 +347,17 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
         elif cid == b"data":
             data = body
         pos += 8 + clen
-        # Chunks are word-aligned with a NULL pad byte, but an
-        # odd-length FINAL chunk is commonly written without its pad
-        # at EOF (ADVICE r12) — consume the pad only where a null byte
-        # actually sits, so the pad-omitted spelling reads as
-        # exactly-consumed (not "-1 trailing bytes") while a non-null
-        # byte there still reports as trailing garbage.
-        if clen & 1 and payload[pos : pos + 1] == b"\x00":
-            pos += 1
+        # Chunks are word-aligned: skip the pad byte after an
+        # odd-length chunk regardless of its value (writers pad with
+        # bytes other than NULL in the wild, and requiring NULL would
+        # desync the walk on mid-file odd chunks), but CLAMP at EOF so
+        # an odd-length FINAL chunk with the pad omitted (also common)
+        # reads as exactly-consumed rather than "-1 trailing bytes"
+        # (ADVICE r12). A single byte after an odd final chunk is that
+        # chunk's pad by spec; >= 2 extra bytes still report as
+        # trailing garbage below.
+        if clen & 1:
+            pos = min(pos + 1, len(payload))
     if pos != len(payload):
         raise ValueError(
             f"{len(payload) - pos} trailing bytes after the last RIFF "
@@ -377,7 +380,16 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
     # instead (ADVICE r12).
     if len(fmt) >= 18:
         (cb_size,) = struct.unpack_from("<H", fmt, 16)
-        if cb_size >= 2 and len(fmt) >= 20:
+        if cb_size >= 2:
+            if len(fmt) < 20:
+                # Announcing an extension it doesn't carry is the same
+                # silent-misdecode hazard — fail loud, don't fall
+                # through to the honestly-extension-less path.
+                raise ValueError(
+                    f"fmt declares a {cb_size}-byte extension but the "
+                    f"chunk body is only {len(fmt)} bytes — truncated "
+                    "fmt extension"
+                )
             (declared_spb,) = struct.unpack_from("<H", fmt, 18)
             framed_spb = (block_align - 4) * 2 + 1
             if declared_spb != framed_spb:

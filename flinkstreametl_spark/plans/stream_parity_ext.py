@@ -1449,7 +1449,12 @@ def stream_dead_letter_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # states is the capacity-planning model for join state: rows held =
 # interval span + watermark delay worth of BOTH sides, never stream
 # history.
-_SMR_ORACLE = f"""
+# Shared CTE prefix for BOTH state-observability oracles (the rows
+# twin below and the memory twin further down): batch admission (e),
+# per-tile stats (tiles), the watermark law (wm), and the
+# interval-strictness state-retention law (st). One spelling, two
+# SELECTs — a change to the law cannot silently reach only one twin.
+_SSJ_STATE_CTES = f"""
 WITH e AS (
     SELECT epoch_us(ts) AS us,
            NTILE({_SSJ_CHUNKS}) OVER (ORDER BY ts, event_id) AS b
@@ -1473,6 +1478,9 @@ WITH e AS (
                AND e.us > w.wm_us) AS total
     FROM wm w
 )
+"""
+
+_SMR_ORACLE = _SSJ_STATE_CTES + """
 SELECT CAST(k AS BIGINT) AS batch_seq,
        CAST(input_rows AS BIGINT) AS input_rows,
        CAST(wm_us // 1000 AS BIGINT) AS watermark_ms,
@@ -1484,27 +1492,18 @@ FROM st
 """
 
 
-@register(
-    "stream_state_metrics_replay",
-    tags=("ext", "streaming", "observability", "parity"),
-    oracle=_SMR_ORACLE,
-)
-def stream_state_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermark-expired join-state metrics surfaced from the REAL
-    engine's progress listener and graded row-for-row (the block
-    comment above states the closed-form law and why it is exact).
-    Runs the same production interval join replay as
-    stream_stream_join_replay, then reads q.recentProgress — batch id,
-    input rows, the batch's watermark, and the state operator's
-    rows-total/updated/removed counters — into a 4-row frame the
-    oracle must reproduce from the fixture alone. A counter drift
-    (eviction not firing, state leak across batches, watermark stuck)
-    breaks the hash even when the join OUTPUT is still correct —
-    that's the observability gap this closes."""
-    import datetime as _dt
-
+def _run_ssj_replay(spark: SparkSession, sf_dir: str) -> list:
+    """Run the production interval-join replay (the exact
+    stream_stream_join_replay pipeline: events tiled into _SSJ_CHUNKS
+    in-order files per side, maxFilesPerTrigger=1, 30-minute
+    watermark, 1-hour interval join, 8 pinned state partitions,
+    AvailableNow drain) and return the per-batch progress entries
+    sorted by batchId. Shared by BOTH state-observability queries
+    (rows twin + memory twin) so the replay harness cannot drift
+    between them; raises if the batch count is not
+    _SSJ_CHUNKS data batches + 1 eviction batch."""
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    tmp = tempfile.mkdtemp(prefix="smr_replay_")
+    tmp = tempfile.mkdtemp(prefix="ssj_replay_")
     try:
         _write_ts_chunks(ev, os.path.join(tmp, "left"), _SSJ_CHUNKS)
         _copy_chunk_dir(os.path.join(tmp, "left"), os.path.join(tmp, "right"))
@@ -1538,33 +1537,56 @@ def stream_state_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"got {len(progress)} progress entries — chunking or "
                 "trigger semantics changed"
             )
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
-
-        def _ms(iso: str) -> int:
-            td = _dt.datetime.fromisoformat(iso) - epoch
-            return (td.days * 86400 + td.seconds) * 1000 + td.microseconds // 1000
-
-        rows = []
-        for seq, p in enumerate(progress, start=1):
-            so = p["stateOperators"][0]
-            rows.append(
-                (
-                    seq,
-                    int(p["numInputRows"]),
-                    _ms(p["eventTime"]["watermark"]),
-                    int(so["numRowsTotal"]),
-                    int(so["numRowsUpdated"]),
-                    int(so["numRowsRemoved"]),
-                )
-            )
-        return spark.createDataFrame(
-            rows,
-            "batch_seq LONG, input_rows LONG, watermark_ms LONG, "
-            "state_rows_total LONG, state_rows_updated LONG, "
-            "state_rows_removed LONG",
-        )
+        return progress
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "stream_state_metrics_replay",
+    tags=("ext", "streaming", "observability", "parity"),
+    oracle=_SMR_ORACLE,
+)
+def stream_state_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-expired join-state metrics surfaced from the REAL
+    engine's progress listener and graded row-for-row (the block
+    comment above states the closed-form law and why it is exact).
+    Runs the same production interval join replay as
+    stream_stream_join_replay, then reads q.recentProgress — batch id,
+    input rows, the batch's watermark, and the state operator's
+    rows-total/updated/removed counters — into a 4-row frame the
+    oracle must reproduce from the fixture alone. A counter drift
+    (eviction not firing, state leak across batches, watermark stuck)
+    breaks the hash even when the join OUTPUT is still correct —
+    that's the observability gap this closes."""
+    import datetime as _dt
+
+    progress = _run_ssj_replay(spark, sf_dir)
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+    def _ms(iso: str) -> int:
+        td = _dt.datetime.fromisoformat(iso) - epoch
+        return (td.days * 86400 + td.seconds) * 1000 + td.microseconds // 1000
+
+    rows = []
+    for seq, p in enumerate(progress, start=1):
+        so = p["stateOperators"][0]
+        rows.append(
+            (
+                seq,
+                int(p["numInputRows"]),
+                _ms(p["eventTime"]["watermark"]),
+                int(so["numRowsTotal"]),
+                int(so["numRowsUpdated"]),
+                int(so["numRowsRemoved"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_seq LONG, input_rows LONG, watermark_ms LONG, "
+        "state_rows_total LONG, state_rows_updated LONG, "
+        "state_rows_removed LONG",
+    )
 
 
 # --- streaming state-store memory/layout observability -----------------------
@@ -1609,29 +1631,7 @@ def stream_state_metrics_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # large the stream; every law above is scale-free (instances = 4 ×
 # partitions holds at 8 or 8000 partitions; miss-count 0 holds until
 # executors churn, which is exactly when an operator wants the alarm).
-_SMEM_ORACLE = f"""
-WITH e AS (
-    SELECT epoch_us(ts) AS us,
-           NTILE({_SSJ_CHUNKS}) OVER (ORDER BY ts, event_id) AS b
-    FROM events
-), tiles AS (
-    SELECT b, CAST(COUNT(*) AS BIGINT) AS n, MAX(us) AS mx FROM e GROUP BY b
-), wm AS (
-    SELECT k,
-           CASE WHEN k = 1 THEN 0
-                ELSE (SELECT (MAX(mx) // 1000) * 1000 - 1800000000
-                      FROM tiles WHERE b < k) END AS wm_us
-    FROM (SELECT unnest(range(1, {_SSJ_CHUNKS + 2})) AS k)
-), st AS (
-    SELECT w.k,
-           (SELECT COUNT(*) FROM e
-             WHERE e.b <= LEAST(w.k, {_SSJ_CHUNKS})
-               AND e.us >= w.wm_us - 3600000000)
-         + (SELECT COUNT(*) FROM e
-             WHERE e.b <= LEAST(w.k, {_SSJ_CHUNKS})
-               AND e.us > w.wm_us) AS total
-    FROM wm w
-)
+_SMEM_ORACLE = _SSJ_STATE_CTES + """
 SELECT CAST(k AS BIGINT) AS batch_seq,
        'symmetricHashJoin' AS operator_name,
        CAST(8 AS BIGINT) AS n_shuffle_partitions,
@@ -1667,65 +1667,29 @@ def stream_state_memory_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (zero/negative memory, current > retained, a cache
     thrash, a store-layout change) breaks the hash even when join
     output and row counters are still correct."""
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    tmp = tempfile.mkdtemp(prefix="smem_replay_")
-    try:
-        _write_ts_chunks(ev, os.path.join(tmp, "left"), _SSJ_CHUNKS)
-        _copy_chunk_dir(os.path.join(tmp, "left"), os.path.join(tmp, "right"))
-        left = (
-            spark.readStream.schema(_SSJ_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(tmp, "left"))
-        )
-        right = (
-            spark.readStream.schema(_SSJ_SCHEMA)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(os.path.join(tmp, "right"))
-        )
-        joined = stream_stream_interval_join(
-            left, right, watermark="30 minutes", max_delay_expr="INTERVAL 1 HOUR"
-        )
-        with _state_partitions(spark, 8):
-            q = (
-                joined.writeStream.format("parquet")
-                .option("path", os.path.join(tmp, "out"))
-                .option("checkpointLocation", os.path.join(tmp, "_ckpt"))
-                .trigger(availableNow=True)
-                .start()
+    progress = _run_ssj_replay(spark, sf_dir)
+    rows = []
+    for seq, p in enumerate(progress, start=1):
+        so = p["stateOperators"][0]
+        mem_used = int(so["memoryUsedBytes"])
+        mem_current = int(so["customMetrics"]["stateOnCurrentVersionSizeBytes"])
+        rows.append(
+            (
+                seq,
+                str(so["operatorName"]),
+                int(so["numShufflePartitions"]),
+                int(so["numStateStoreInstances"]),
+                int(so["numRowsTotal"]),
+                int(so["numRowsDroppedByWatermark"]),
+                int(so["customMetrics"]["loadedMapCacheMissCount"]),
+                1 if mem_used > 0 else 0,
+                1 if mem_current <= mem_used else 0,
             )
-            q.awaitTermination()
-
-        progress = sorted(q.recentProgress, key=lambda p: p["batchId"])
-        if len(progress) != _SSJ_CHUNKS + 1:
-            raise ValueError(
-                f"expected {_SSJ_CHUNKS} data batches + 1 eviction batch, "
-                f"got {len(progress)} progress entries — chunking or "
-                "trigger semantics changed"
-            )
-        rows = []
-        for seq, p in enumerate(progress, start=1):
-            so = p["stateOperators"][0]
-            mem_used = int(so["memoryUsedBytes"])
-            mem_current = int(so["customMetrics"]["stateOnCurrentVersionSizeBytes"])
-            rows.append(
-                (
-                    seq,
-                    str(so["operatorName"]),
-                    int(so["numShufflePartitions"]),
-                    int(so["numStateStoreInstances"]),
-                    int(so["numRowsTotal"]),
-                    int(so["numRowsDroppedByWatermark"]),
-                    int(so["customMetrics"]["loadedMapCacheMissCount"]),
-                    1 if mem_used > 0 else 0,
-                    1 if mem_current <= mem_used else 0,
-                )
-            )
-        return spark.createDataFrame(
-            rows,
-            "batch_seq LONG, operator_name STRING, n_shuffle_partitions LONG, "
-            "n_store_instances LONG, state_rows_total LONG, "
-            "rows_dropped_late LONG, cache_miss_count LONG, "
-            "mem_used_positive LONG, mem_current_le_used LONG",
         )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "batch_seq LONG, operator_name STRING, n_shuffle_partitions LONG, "
+        "n_store_instances LONG, state_rows_total LONG, "
+        "rows_dropped_late LONG, cache_miss_count LONG, "
+        "mem_used_positive LONG, mem_current_le_used LONG",
+    )

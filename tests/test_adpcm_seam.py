@@ -191,6 +191,19 @@ def test_declared_samples_per_block_mismatch_refused():
     no_ext = bytearray(good)
     struct.pack_into("<H", no_ext, fmt_at + 16, 0)
     decode_adpcm_wav(bytes(no_ext))
+    # A fmt that ANNOUNCES an extension (cbSize=2) but whose chunk
+    # body is too short to carry it is the same silent-misdecode
+    # hazard — fail loud, not fall through to the extension-less path.
+    fmt_len_at = good.index(b"fmt ") + 4
+    (fmt_len,) = struct.unpack_from("<I", good, fmt_len_at)
+    assert fmt_len == 20
+    truncated = bytearray(good)
+    struct.pack_into("<I", truncated, fmt_len_at, 18)  # body now 18 bytes
+    # splice: drop the fmt body's last 2 bytes so framing stays valid
+    fmt_body_at = fmt_len_at + 4
+    truncated = truncated[: fmt_body_at + 18] + truncated[fmt_body_at + 20 :]
+    with pytest.raises(ValueError, match="truncated fmt extension"):
+        decode_adpcm_wav(bytes(truncated))
 
 
 def test_odd_final_chunk_with_omitted_eof_pad():
@@ -207,12 +220,29 @@ def test_odd_final_chunk_with_omitted_eof_pad():
     chunks = good[12:]
     with_pad = b"RIFF" + struct.pack("<I", 4 + len(chunks) + 8 + len(info) + 1) + b"WAVE" + chunks + b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
     without_pad = b"RIFF" + struct.pack("<I", 4 + len(chunks) + 8 + len(info)) + b"WAVE" + chunks + b"LIST" + struct.pack("<I", len(info)) + info
-    for payload in (with_pad, without_pad):
+    # Non-null pad byte too: writers in the wild pad with spaces etc.,
+    # and requiring NULL would desync the walk on MID-FILE odd chunks
+    # (this LIST chunk sits before nothing here, but the same skip
+    # runs between chunks) — the pad skip is value-blind.
+    nonnull_pad = without_pad + b" "
+    for payload in (with_pad, without_pad, nonnull_pad):
         got = decode_adpcm_wav(payload)
         assert got == (sr, nch, want)
-    # Genuine trailing garbage (not a chunk) still refused.
+    # A single byte after the odd final chunk is that chunk's pad by
+    # spec; >= 2 extra bytes are genuine trailing garbage and still
+    # refused.
     with pytest.raises(ValueError, match="trailing"):
-        decode_adpcm_wav(without_pad + b"Z")
+        decode_adpcm_wav(without_pad + b"ZZ")
+    # An odd MID-FILE chunk with a non-null pad must not desync the
+    # walk: put the odd LIST chunk BEFORE the fmt/fact/data chunks.
+    mid_odd = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(info) + 1 + len(chunks))
+        + b"WAVE"
+        + b"LIST" + struct.pack("<I", len(info)) + info + b"\x20"
+        + chunks
+    )
+    assert decode_adpcm_wav(mid_odd) == (sr, nch, want)
 
 
 def test_seeded_initial_index_shrinks_transient():
