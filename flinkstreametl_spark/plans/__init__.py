@@ -463,37 +463,126 @@ _NEW_R14: list[str] = [
 
 _WINDOW_R13 = (*_NEW_R13, *_REFRESH_R13, *_PRIORITY_R13)[:50]
 
-# The never-driver-checked name in _NEW_R13 AND the 46+3 scheduled
-# stale-evidence names must survive the [:50] truncation; round-13
-# additions must queue in _NEW_R14 rather than evict any of them
-# (the discipline that held for rounds 6-12).
-assert len(_NEW_R13) + len(_REFRESH_R13) + len(_PRIORITY_R13) == 50
-assert all(n in _WINDOW_R13 for n in (*_NEW_R13, *_REFRESH_R13, *_PRIORITY_R13))
-assert len(_NEW_R14) <= _ROUND13_ADDITION_CAP, (
-    "round-13 additions exceed the per-round cap; the staleness "
+# Round 14 executes the rotation the round-13 judge prescribed
+# (VERDICT r13 item 1). CORRECTNESS_r13 came back 50/50 green, so the
+# latest-verdict distribution entering round 14 is r13=50, r12=50,
+# r11=50, r10=50, r9=50, r8=47 over the 297 ever-checked names, with
+# exactly one never-checked name (stream_state_memory_replay, queued
+# in _NEW_R14 the day it landed). The round-14 window:
+#   1. _NEW_R14 — that single queued round-13 addition. It leads so a
+#      failure can't be hidden by the [:50] cut; after this window
+#      every registry entry has a driver verdict again.
+#   2. _REFRESH_R14 — ALL 47 remaining r8-era stale-evidence names
+#      (the committed refresh tier, already sf1-swept 47/47 in
+#      docs/sweep_sf1_r14tier.jsonl), in their CORRECTNESS_r08 window
+#      order. After this window the oldest verdict in the registry is
+#      r9 — the ≤5-round staleness horizon holds.
+#   3. _PRIORITY_R14 — the first 2 r9-era names in their
+#      CORRECTNESS_r09 window order, filling the window to exactly 50
+#      and starting the r9-tier refresh.
+#   4. _NEW_R15 — round-14 additions queue there the day each lands
+#      (capped at 15), never evicting a committed window slot.
+_REFRESH_R14 = [
+    "ngram_repetition_stats",
+    "mrl_truncation_recall",
+    "domain_budget_allocation",
+    "bm25_index_staleness_audit",
+    "profile_documents",
+    "pca_power_topcomp",
+    "hard_negative_mining",
+    "incremental_minhash_replay",
+    "scd2_order_status_history",
+    "coherent_sample_orders",
+    "trend_fit_by_event_type",
+    "null_safe_join_segments",
+    "winsorized_price_stats",
+    "zorder_key_orders",
+    "dq_violation_counts",
+    "bpe_encode_token_counts",
+    "collect_set_sorted",
+    "inverted_index_terms",
+    "gopher_quality_gate",
+    "vocab_coverage_curve",
+    "mad_robust_price",
+    "zscore_tail_events",
+    "asof_tolerance_enrich",
+    "cluster_canonical_docs",
+    "rfm_customer_segments",
+    "daily_moving_avg_7d",
+    "median_cont_quantity",
+    "session_transition_counts",
+    "nation_revenue_contribution",
+    "order_gap_stats",
+    "ewma_daily_value",
+    "cusum_changepoint_daily",
+    "dow_seasonality_profile",
+    "udtf_sentence_spans",
+    "salted_hot_key_agg",
+    "click_purchase_attribution",
+    "basket_lift_top_pairs",
+    "span_dedup_keep_first",
+    "int8_knn_recall",
+    "groupwise_minmax_norm",
+    "peak_concurrent_sessions",
+    "series_correlation_pairs",
+    "knn_pandas_topk",
+    "knn_brute_topk",
+    "exact_dup_groups",
+    "embedding_neardup_pairs",
+    "decontaminate_ngram_hits",
+]
+
+_PRIORITY_R14 = [
+    # The 2 oldest-evidence r9-era names (latest verdict r9, computed
+    # from CORRECTNESS_r01–r13 at round-14 start), in their
+    # CORRECTNESS_r09 window order. With _NEW_R14's 1 and
+    # _REFRESH_R14's 47 they fill the round-14 window exactly; the
+    # remaining r9-era names lead the round-15 refresh tier.
+    "linkpred_copurchase_scores",
+    "seasonal_decompose_daily",
+]
+
+_ROUND14_ADDITION_CAP = 15
+_NEW_R15: list[str] = [
+    # Round-14 additions land here the day each lands (oracle-verified
+    # locally at sf0.001/sf0.01 on landing), capped by
+    # _ROUND14_ADDITION_CAP; they lead the round-15 window ahead of
+    # the remaining r9-era stale-evidence names.
+]
+
+_WINDOW_R14 = (*_NEW_R14, *_REFRESH_R14, *_PRIORITY_R14)[:50]
+
+# The never-driver-checked name in _NEW_R14 AND the 47+2 scheduled
+# stale-evidence names must survive the [:50] truncation; round-14
+# additions must queue in _NEW_R15 rather than evict any of them
+# (the discipline that held for rounds 6-13).
+assert len(_NEW_R14) + len(_REFRESH_R14) + len(_PRIORITY_R14) == 50
+assert all(n in _WINDOW_R14 for n in (*_NEW_R14, *_REFRESH_R14, *_PRIORITY_R14))
+assert len(_NEW_R15) <= _ROUND14_ADDITION_CAP, (
+    "round-14 additions exceed the per-round cap; the staleness "
     "horizon arithmetic above no longer holds — raise the cap "
     "deliberately or stop adding"
 )
-assert len(_NEW_R14) == len(set(_NEW_R14)), "duplicate names queued in _NEW_R14"
+assert len(_NEW_R15) == len(set(_NEW_R15)), "duplicate names queued in _NEW_R15"
 
 # Exported for tests/test_rotation.py's completeness check
 # (set(REGISTRY) ⊆ ever-driver-checked ∪ QUEUED — the invariant whose
 # violation orphaned the two round-8 names).
-QUEUED_FOR_DRIVER = (*_WINDOW_R13, *_NEW_R14)
+QUEUED_FOR_DRIVER = (*_WINDOW_R14, *_NEW_R15)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R13 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R14 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R13) != len(set(_WINDOW_R13)):
+    if len(_WINDOW_R14) != len(set(_WINDOW_R14)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R13 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R14 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R13 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R13 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R13, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R14 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R14 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R14, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
