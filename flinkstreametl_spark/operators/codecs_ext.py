@@ -380,15 +380,28 @@ def decode_adpcm_wav(payload: bytes) -> tuple[int, int, list[int]]:
     # instead (ADVICE r12).
     if len(fmt) >= 18:
         (cb_size,) = struct.unpack_from("<H", fmt, 16)
+        if cb_size == 1:
+            # A 1-byte extension cannot carry the 2-byte
+            # wSamplesPerBlock that IMA ADPCM's extension consists of
+            # — malformed, not merely extension-less (ADVICE r13: a
+            # silently ignored cb_size=1 was inconsistent with the
+            # fail-loud posture).
+            raise ValueError(
+                "fmt declares a 1-byte extension — IMA ADPCM's "
+                "extension is the 2-byte wSamplesPerBlock; malformed"
+            )
         if cb_size >= 2:
-            if len(fmt) < 20:
-                # Announcing an extension it doesn't carry is the same
-                # silent-misdecode hazard — fail loud, don't fall
-                # through to the honestly-extension-less path.
+            if len(fmt) < 18 + cb_size:
+                # Announcing an extension it doesn't (fully) carry is
+                # the same silent-misdecode hazard — fail loud, don't
+                # fall through to the honestly-extension-less path.
+                # Checked against the FULL declared size, not just the
+                # 2 bytes we read (ADVICE r13: cb_size>2 with only 2
+                # extension bytes present passed the old check).
                 raise ValueError(
                     f"fmt declares a {cb_size}-byte extension but the "
-                    f"chunk body is only {len(fmt)} bytes — truncated "
-                    "fmt extension"
+                    f"chunk body carries only {len(fmt) - 18} extension "
+                    "bytes — truncated fmt extension"
                 )
             (declared_spb,) = struct.unpack_from("<H", fmt, 18)
             framed_spb = (block_align - 4) * 2 + 1

@@ -548,6 +548,7 @@ _NEW_R15: list[str] = [
     # locally at sf0.001/sf0.01 on landing), capped by
     # _ROUND14_ADDITION_CAP; they lead the round-15 window ahead of
     # the remaining r9-era stale-evidence names.
+    "stream_state_rocksdb_replay",
 ]
 
 _WINDOW_R14 = (*_NEW_R14, *_REFRESH_R14, *_PRIORITY_R14)[:50]

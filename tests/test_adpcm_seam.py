@@ -262,3 +262,43 @@ def test_seeded_initial_index_shrinks_transient():
     # Round-trip determinism and the error envelope still hold.
     assert payload == encode_adpcm_wav(8000, samples)
     assert len(got) == len(samples)
+
+
+def test_fmt_extension_cbsize_edge_cases():
+    # ADVICE r13: the fail-loud fmt-extension posture had two holes —
+    # a nonzero cb_size of 1 was silently ignored, and a cb_size > 2
+    # whose body carried only 2 extension bytes (len(fmt)==20) passed
+    # the truncation check. The validation is now len(fmt) >= 18 +
+    # cb_size for ANY nonzero cb_size, with cb_size=1 rejected
+    # outright (IMA ADPCM's extension IS the 2-byte wSamplesPerBlock;
+    # a 1-byte extension cannot carry it).
+    good = encode_adpcm_wav(8000, _synth_samples(600))
+    fmt_at = good.index(b"fmt ") + 8
+
+    # cb_size = 1: malformed, not extension-less.
+    one = bytearray(good)
+    struct.pack_into("<H", one, fmt_at + 16, 1)
+    with pytest.raises(ValueError, match="1-byte extension"):
+        decode_adpcm_wav(bytes(one))
+
+    # cb_size = 4 while the chunk body carries only 2 extension bytes
+    # (len(fmt) stays 20): truncated, even though the 2 bytes we'd
+    # read at offset 18 exist.
+    short4 = bytearray(good)
+    struct.pack_into("<H", short4, fmt_at + 16, 4)
+    with pytest.raises(ValueError, match="truncated fmt extension"):
+        decode_adpcm_wav(bytes(short4))
+
+    # cb_size = 4 with a genuinely 22-byte fmt body carrying a
+    # MATCHING wSamplesPerBlock (+2 trailing reserved bytes) is a
+    # conformant padded extension and must decode identically to the
+    # canonical spelling: splice 2 bytes into the fmt chunk and bump
+    # its clen 20 -> 22 (even, so no pad-byte bookkeeping changes).
+    fmt_len_at = good.index(b"fmt ") + 4
+    (fmt_len,) = struct.unpack_from("<I", good, fmt_len_at)
+    assert fmt_len == 20
+    padded = bytearray(good)
+    struct.pack_into("<I", padded, fmt_len_at, 22)
+    struct.pack_into("<H", padded, fmt_at + 16, 4)
+    padded = padded[: fmt_at + 20] + b"\x00\x00" + padded[fmt_at + 20 :]
+    assert decode_adpcm_wav(bytes(padded)) == decode_adpcm_wav(good)
