@@ -1787,9 +1787,11 @@ def stream_state_rocksdb_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider (`spark.sql.streaming.stateStore.providerClass`), graded
     row-for-row against the scale-free laws the block comment above
     states. Completes T3's ops story across both production store
-    engines (ref parity: the state backend choice Flink exposes as
-    `state.backend: rocksdb` vs heap for `Main.java`'s stateful
-    pipeline): the same harness, watermark law, and store-layout law
+    engines (ref parity: the state the reference's `Main.java:57`
+    bounds with idle-state TTL lives in a pluggable Flink backend —
+    heap or RocksDB; Spark's equivalent deployment switch is the
+    state-store providerClass this query pins): the same harness,
+    watermark law, and store-layout law
     as stream_state_metrics_replay / stream_state_memory_replay, plus
     the RocksDB-specific backpressure (write stalls), recovery
     (changelog replay), block-cache, and snapshot-upload counters. A
