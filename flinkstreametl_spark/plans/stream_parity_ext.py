@@ -66,23 +66,30 @@ _SSJ_SCHEMA = "event_id LONG, ts TIMESTAMP, user_id LONG"
 
 
 @contextlib.contextmanager
-def _state_partitions(spark: SparkSession, n: int):
-    """Pin ``spark.sql.shuffle.partitions`` for the duration of a
-    streaming query start. Stateful streaming operators materialize one
-    state store per shuffle partition and AQE does NOT coalesce them,
-    so a session at Spark's 200 default pays ~200 store open/commit
-    cycles per micro-batch regardless of data volume (measured: 82s ->
-    ~8s at sf0.001 on stream_dedup_replay). On a real cluster this is
-    the `numShufflePartitions`-at-first-checkpoint sizing decision —
-    state partitioning is fixed at query birth, so it is pinned HERE,
-    per query, not inherited from whatever batch tuning the session
-    carries. Restores the previous value even on failure."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+def _pinned_conf(spark: SparkSession, key: str, value: str):
+    """Pin one session conf for the duration of a streaming query
+    start, restoring the previous value even on failure. Streaming
+    queries freeze several confs at their first checkpoint (state
+    partition count, store provider class), so those are deployment
+    decisions pinned HERE, per query, never inherited from whatever
+    batch tuning the session carries."""
+    prev = spark.conf.get(key)
+    spark.conf.set(key, value)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(key, prev)
+
+
+def _state_partitions(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a streaming query
+    start. Stateful streaming operators materialize one state store
+    per shuffle partition and AQE does NOT coalesce them, so a session
+    at Spark's 200 default pays ~200 store open/commit cycles per
+    micro-batch regardless of data volume (measured: 82s -> ~8s at
+    sf0.001 on stream_dedup_replay). On a real cluster this is the
+    `numShufflePartitions`-at-first-checkpoint sizing decision."""
+    return _pinned_conf(spark, "spark.sql.shuffle.partitions", str(n))
 
 
 def _ntile_chunks(df: DataFrame, n: int, order_cols: list[str]) -> DataFrame:
@@ -1492,22 +1499,14 @@ FROM st
 """
 
 
-@contextlib.contextmanager
 def _state_store_provider(spark: SparkSession, provider_class: str):
-    """Pin ``spark.sql.streaming.stateStore.providerClass`` for the
-    duration of a streaming query start. Like state partitioning, the
-    store provider is fixed at the query's first checkpoint — on a
-    real cluster this is the HDFS-backed vs RocksDB deployment
-    decision — so it is pinned HERE, per query, never inherited from
-    session-level tuning. Restores the previous value even on
-    failure."""
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, provider_class)
-    try:
-        yield
-    finally:
-        spark.conf.set(key, prev)
+    """Pin ``spark.sql.streaming.stateStore.providerClass`` for a
+    streaming query start. Like state partitioning, the store provider
+    is fixed at the query's first checkpoint — on a real cluster this
+    is the HDFS-backed vs RocksDB deployment decision."""
+    return _pinned_conf(
+        spark, "spark.sql.streaming.stateStore.providerClass", provider_class
+    )
 
 
 _ROCKSDB_PROVIDER = (

@@ -301,4 +301,7 @@ def test_fmt_extension_cbsize_edge_cases():
     struct.pack_into("<I", padded, fmt_len_at, 22)
     struct.pack_into("<H", padded, fmt_at + 16, 4)
     padded = padded[: fmt_at + 20] + b"\x00\x00" + padded[fmt_at + 20 :]
+    # Keep the RIFF size field consistent with the spliced body so the
+    # fixture stays conformant even if the decoder ever validates it.
+    struct.pack_into("<I", padded, 4, len(padded) - 8)
     assert decode_adpcm_wav(bytes(padded)) == decode_adpcm_wav(good)
