@@ -71,11 +71,13 @@ def kmeans_fit(emb: DataFrame, k: int = DEFAULT_K, n_iters: int = DEFAULT_ITERS)
     trajectory is partition-order independent and reproducible in
     DuckDB CTE-by-CTE (``plans/ml_ext._kmeans_ctes``).
 
-    Assignment is an Arrow-batched Pandas UDF (a (batch x k x dim)
-    numpy kernel against the broadcast centroid matrix — k x dim floats
-    in the closure, never a shuffle of pairs); new centroids come from
-    one groupBy per iteration; only k rows ever reach the driver per
-    iteration. Returns (centroids ndarray, assign_fn).
+    Assignment is an Arrow-batched mapInPandas pass (a (batch x k x
+    dim) numpy kernel against the broadcast centroid matrix — k x dim
+    floats in the closure, never a shuffle of pairs) that ALSO emits
+    the per-partition fixed-point partial sums, so the per-iteration
+    exchange carries partitions×k parameter-sized rows; one global
+    groupBy finishes the mean and only k×dim values reach the driver
+    per iteration. Returns (centroids ndarray, assign_fn).
 
     Empty clusters keep their previous centroid (standard Lloyd
     fallback), preserving determinism.
@@ -93,27 +95,68 @@ def kmeans_fit(emb: DataFrame, k: int = DEFAULT_K, n_iters: int = DEFAULT_ITERS)
     )
     cents = np.array([r.embedding for r in init_rows], dtype=np.float64)
 
+    # Iteration shape (r14 opt, guide §2.3 "aggregate before you
+    # shuffle"): assignment AND the per-cluster fixed-point sums are
+    # fused into ONE Arrow-batched pass that emits k partial rows per
+    # partition — (cluster, n, Σ floor(val·2^40) per dim as int64) —
+    # instead of the former pandas_udf + posexplode(dim·N rows) + two
+    # hash aggregates. The exchange then carries partitions×k tiny rows
+    # rather than the partially-aggregated (cluster, pos) stream of the
+    # exploded formulation, and one global groupBy(cluster, pos) over
+    # the exploded partials (k·dim·partitions rows) finishes the mean.
+    # Integer partial sums are associative, so totals — and therefore
+    # the fixed-point mean double(Σ)/2^40/n — are bit-identical to the
+    # old posexplode path under any partitioning.
+    emb_only = emb.select("embedding")
+
+    def _make_partials(c_mat):
+        def partials(batches):
+            import pandas as pd
+
+            sums = np.zeros((k, c_mat.shape[1]), dtype=np.int64)
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                diff = M[:, None, :] - c_mat[None, :, :]
+                d = np.floor(diff * diff * KM_FP).astype(np.int64).sum(axis=2)
+                idx = np.argmin(d, axis=1)
+                Mfp = np.floor(M * KM_FP).astype(np.int64)
+                for c in range(k):
+                    mask = idx == c
+                    n = int(mask.sum())
+                    if n:
+                        sums[c] += Mfp[mask].sum(axis=0)
+                        counts[c] += n
+            live = [c for c in range(k) if counts[c]]
+            yield pd.DataFrame(
+                {
+                    "cluster": [c for c in live],
+                    "n": [int(counts[c]) for c in live],
+                    "sums": [sums[c].tolist() for c in live],
+                }
+            )
+
+        return partials
+
     for _ in range(n_iters):
-        assign = kmeans_assign_udf(cents)
-        assigned = emb.select("vec_id", "embedding", assign(F.col("embedding")).alias("cluster"))
-        ex = assigned.select("cluster", F.posexplode("embedding").alias("pos", "val"))
+        part = emb_only.mapInPandas(
+            _make_partials(cents), schema="cluster LONG, n LONG, sums ARRAY<LONG>"
+        )
         means = (
-            ex.groupBy("cluster", "pos")
+            part.select("cluster", "n", F.posexplode("sums").alias("pos", "s"))
+            .groupBy("cluster", "pos")
             .agg(
                 (
-                    F.sum(F.floor(F.col("val").cast("double") * F.lit(KM_FP)).cast("long")).cast("double")
-                    / F.lit(KM_FP)
-                    / F.count(F.lit(1))
+                    F.sum("s").cast("double") / F.lit(KM_FP) / F.sum("n")
                 ).alias("m")
             )
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("cs"))
-            .select("cluster", F.transform("cs", lambda s: s["m"]).alias("centroid"))
             .collect()
         )
         new = cents.copy()
         for r in means:
-            new[r.cluster] = np.array(r.centroid, dtype=np.float64)
+            new[r.cluster][r.pos] = r.m
         cents = new
 
     final_assign = kmeans_assign_udf(cents)

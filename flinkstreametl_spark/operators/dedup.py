@@ -163,6 +163,15 @@ def minhash_lsh_pairs(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    # Pin the banded signatures and the token sets before their
+    # self-join fan-out (r14 opt): each is consumed by TWO join sides,
+    # and Spark plans self-joins as two full subtrees — unpinned, the
+    # tokenize + 8-md5s-per-token signature stage ran twice and the
+    # tokenizer twice more under the Jaccard joins (measured in the
+    # r14 before-plan: the band subtree appears verbatim as both build
+    # sides). Both frames are doc-scale (4 band rows / 1 token array
+    # per doc), far cheaper to hold than to recompute at any scale.
+    bands = bands.localCheckpoint()
     b1 = bands.select(F.col(id_col).alias("doc_a"), "band", "band_key")
     b2 = bands.select(F.col(id_col).alias("doc_b"), "band", "band_key")
     cand = (
@@ -171,7 +180,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sets = token_sets(docs, id_col, text_col)
+    sets = token_sets(docs, id_col, text_col).localCheckpoint()
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
@@ -327,6 +336,11 @@ def simhash_near_pairs(
             .filter(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    # Pin before the self-join fan-out (r14 opt): the two join sides
+    # are planned as two full subtrees, so an unpinned banded frame
+    # re-ran the whole per-token-md5 SimHash fold twice (the
+    # minhash_lsh_pairs rationale; banded is n_bands small rows/doc).
+    banded = banded.localCheckpoint()
     a = banded.select(
         F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "band_bits"
     )
@@ -388,7 +402,13 @@ def incremental_lsh_pairs(
     if dedupe_redelivered:
         seen_ids = old_bands.select(id_col).distinct()
         new_docs = new_docs.join(seen_ids, id_col, "left_anti")
-    new_bands = lsh_band_keys(new_docs, id_col, rows_per_band, text_col, num_hashes)
+    # Pinned (r14 opt): the new-doc signatures feed BOTH the probe side
+    # of the candidate join and the updated index (whose capped form is
+    # the other join side) — unpinned, the per-token md5 signature
+    # stage ran once per consumer.
+    new_bands = lsh_band_keys(
+        new_docs, id_col, rows_per_band, text_col, num_hashes
+    ).localCheckpoint()
     updated = old_bands.unionByName(new_bands)
     capped = updated
     if max_bucket_size is not None:
@@ -409,7 +429,10 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
-    sets = token_sets(all_docs, id_col, text_col)
+    # Pinned for the same reason as the batch path above: the Jaccard
+    # verify consumes token sets on BOTH pair sides, and unpinned each
+    # side re-tokenized the corpus (r14 opt).
+    sets = token_sets(all_docs, id_col, text_col).localCheckpoint()
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

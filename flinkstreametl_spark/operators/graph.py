@@ -18,7 +18,7 @@ one BIGINT; pass a larger base (or pre-map ids) for wider id spaces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_ORD_BASE = 10_000_000
@@ -193,26 +193,27 @@ def pagerank(
     out-degree >= 1: no dangling-mass redistribution term is needed
     and the node set is closed under the update.
     """
-    # sym is pinned FIRST: it has two consumers (deg and the grouped
-    # adjacency), and without the pin each would replay the caller's
-    # edge-list derivation — for pagerank_copurchase that is the
-    # per-order self-join + distinct, executed twice (measured ~30% of
-    # the query's end-to-end cost at sf0.1).
-    sym = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        .localCheckpoint()
+    # The EDGE list is pinned (r14 opt — formerly the 2x-wider sym was):
+    # it is the caller's expensive derivation (for pagerank_copurchase
+    # the per-order pair generation + distinct), and every downstream
+    # consumer reads it through the narrow symmetrizing union, so
+    # pinning the half-size frame materializes half the bytes for the
+    # same recompute protection.
+    edges = edges.select("u", "v").localCheckpoint()
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
-    # deg is pinned too: the initial rank frame derives from it, and an
-    # un-pinned deg would re-aggregate sym inside iteration 1's plan.
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     # Grouped adjacency: hash-segmented neighbor arrays, <= max_seg_width
-    # entries per row. groupBy(src, seg) after the src-keyed join needs
-    # no extra exchange (HashPartitioning(src) already clusters every
-    # (src, seg) group) and `first(deg)` is constant within a group.
+    # entries per row. Degrees come from a window count over the SAME
+    # src-hash exchange the grouping needs anyway (r14 opt — the
+    # former separate deg aggregate + src-keyed join cost one extra
+    # pinned frame and one extra exchange+sort per build); groupBy
+    # (src, seg) after the window needs no further exchange and
+    # `first(deg)` is constant within a group.
+    wdeg = Window.partitionBy("src")
     n_seg = F.greatest(F.lit(1), F.ceil(F.col("deg") / F.lit(max_seg_width)))
     adj = (
-        sym.join(deg, "src")
+        sym.withColumn("deg", F.count(F.lit(1)).over(wdeg))
         .withColumn("seg", F.pmod(F.hash("dst"), n_seg))
         .groupBy("src", "seg")
         .agg(F.collect_list("dst").alias("nbrs"), F.first("deg").alias("deg"))
@@ -220,7 +221,12 @@ def pagerank(
         .localCheckpoint()
     )
     base = scale * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
-    ranks = deg.select(F.col("src").alias("node"), F.lit(scale).cast("long").alias("r"))
+    # Initial ranks: every node once (each src holds >= 1 adjacency
+    # segment, so distinct src over the pinned adj is the node set the
+    # former deg frame supplied).
+    ranks = adj.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(scale).cast("long").alias("r")
+    )
     for _ in range(iterations):
         contrib = adj.join(ranks, adj["src"] == ranks["node"]).select(
             F.explode("nbrs").alias("dst"), F.expr("r div deg").alias("c")

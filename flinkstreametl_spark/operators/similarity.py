@@ -55,13 +55,38 @@ def cosine_col_fp(a, b) -> F.Column:
     are order-exact, so this equals the relational path bit-for-bit —
     the no-explode fast path, promoted from rows-only to oracle-backed
     (round 2)."""
+    dot = dot_fp_col(a, b)
+    na = self_norm_fp_col(a)
+    nb = self_norm_fp_col(b)
+    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+
+
+def dot_fp_col(a, b) -> F.Column:
+    """The dot-product half of ``cosine_col_fp``: Σ floor(x·y·2^40)
+    folded in-row as BIGINT."""
     ad = F.transform(a, lambda x: x.cast("double"))
     bd = F.transform(b, lambda x: x.cast("double"))
     zero = F.lit(0).cast("long")
-    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: fp(x * y)), zero, lambda acc, x: acc + x)
-    na = F.aggregate(F.transform(ad, lambda x: fp(x * x)), zero, lambda acc, x: acc + x)
-    nb = F.aggregate(F.transform(bd, lambda x: fp(x * x)), zero, lambda acc, x: acc + x)
-    return dot.cast("double") / F.sqrt(na.cast("double") * nb.cast("double"))
+    return F.aggregate(F.zip_with(ad, bd, lambda x, y: fp(x * y)), zero, lambda acc, x: acc + x)
+
+
+def self_norm_fp_col(a) -> F.Column:
+    """Σ floor(x²·2^40) as BIGINT, folded in-row — the per-VECTOR half
+    of ``cosine_col_fp``, exposed separately (r14 opt) so pair-scoring
+    paths precompute each side's norm once per vector instead of once
+    per pair: the pair stage then folds only the dot, a ~3x cut of the
+    per-pair arithmetic at any scale where |pairs| >> |vectors|. Values
+    are the exact integers ``cosine_col_fp`` folds internally, so
+    ``cosine_from_fp(dot, qq, cc)`` is bit-identical to it."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    zero = F.lit(0).cast("long")
+    return F.aggregate(F.transform(ad, lambda x: fp(x * x)), zero, lambda acc, x: acc + x)
+
+
+def cosine_from_fp(dot, qq, cc) -> F.Column:
+    """double(dot) / sqrt(double(qq)·double(cc)) — the final division
+    of ``cosine_col_fp`` over precomputed fixed-point parts."""
+    return dot.cast("double") / F.sqrt(qq.cast("double") * cc.cast("double"))
 
 
 def _exploded(emb: DataFrame, id_alias: str) -> DataFrame:
@@ -106,11 +131,23 @@ def knn_fast(emb: DataFrame, n_queries: int = 5, k: int = 5) -> DataFrame:
     fixed-point fold (cosine_col_fp), so scores are bit-identical to
     knn_exact and the query is oracle-checkable."""
     q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        self_norm_fp_col(F.col("embedding")).alias("cc"),
+    )
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.select("query_id", "neighbor_id", cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_fp(
+            dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+        ).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
@@ -167,10 +204,21 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 5, nprobe: int = 3) ->
     probes = (
         ivf_probe_ranks(emb, n_queries)
         .filter(F.col("prb") <= nprobe)
-        .select("query_id", "q_emb", "label")
+        .select("query_id", "q_emb", self_norm_fp_col(F.col("q_emb")).alias("qq"), "label")
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), F.col("label"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        self_norm_fp_col(F.col("embedding")).alias("cc"),
+        F.col("label"),
+    )
     cand = probes.join(c, "label").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select("query_id", "neighbor_id", cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine_from_fp(
+            dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+        ).alias("cosine"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -214,11 +214,15 @@ def ann_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prb", F.row_number().over(probe_w))
         .select("index_state", "query_id", "q_emb", "cluster", "prb")
     )
+    # r14 opt: per-vector self-norms precomputed once per side (see
+    # embedding_neardup_pairs — same integers, bit-identical cosine).
     cscore = (
-        ranks.join(
+        ranks.withColumn("qq", S.self_norm_fp_col(F.col("q_emb")))
+        .join(
             members.select(
                 "index_state", F.col("vec_id").alias("neighbor_id"),
-                F.col("embedding").alias("c_emb"), "cluster",
+                F.col("embedding").alias("c_emb"),
+                S.self_norm_fp_col(F.col("embedding")).alias("cc"), "cluster",
             ),
             ["index_state", "cluster"],
         )
@@ -228,7 +232,9 @@ def ann_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "prb",
-            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
         )
         .localCheckpoint()  # scored once; every nprobe slice reuses it
     )
@@ -335,10 +341,25 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves fixed point, so the DuckDB oracle (prefix filter on the
     exploded positions) matches bit-for-bit."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    # r14 opt: per-vector PREFIX self-norms (one per audited width)
+    # precomputed once per side; each (pair, width) folds only the
+    # sliced dot — same integers, bit-identical cosine.
     q = emb.filter(F.col("vec_id") < _NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        *[
+            S.self_norm_fp_col(F.slice(F.col("embedding"), 1, d)).alias(f"qq{d}")
+            for d in _MRL_DIMS
+        ],
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        *[
+            S.self_norm_fp_col(F.slice(F.col("embedding"), 1, d)).alias(f"cc{d}")
+            for d in _MRL_DIMS
+        ],
+    )
     pairs = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
     stacked = pairs.select(
         "query_id",
@@ -348,8 +369,12 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(d).cast("long").alias("dim"),
-                        S.cosine_col_fp(
-                            F.slice(F.col("q_emb"), 1, d), F.slice(F.col("c_emb"), 1, d)
+                        S.cosine_from_fp(
+                            S.dot_fp_col(
+                                F.slice(F.col("q_emb"), 1, d), F.slice(F.col("c_emb"), 1, d)
+                            ),
+                            F.col(f"qq{d}"),
+                            F.col(f"cc{d}"),
                         ).alias("cosine"),
                     )
                     for d in _MRL_DIMS
@@ -448,17 +473,24 @@ def mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded kNN edge list (|V| x k rows) against its own reversal —
     output-sized work after the window."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    # r14 opt: per-vector self-norms precomputed once per side (see
+    # embedding_neardup_pairs — same integers, bit-identical cosine).
     a = emb.select(
-        "label", F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a")
+        "label", F.col("vec_id").alias("va"), F.col("embedding").alias("emb_a"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
     b = emb.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("emb_b"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
     )
     pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("va") != F.col("vb")))
     scored = pairs.select(
-        "label", "va", "vb", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+        "label", "va", "vb",
+        S.cosine_from_fp(
+            S.dot_fp_col(F.col("emb_a"), F.col("emb_b")), F.col("qq"), F.col("cc")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("va").orderBy(F.col("cosine").desc(), "vb")
     knn = (

@@ -170,7 +170,9 @@ def passage_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(0), n_win - 1)).alias("wid"),
     )
     wtext = F.array_join(F.slice(F.col("toks"), F.col("wid") * _WIN + 1, _WIN), " ")
-    h = w.select("doc_id", F.md5(wtext.cast("binary")).alias("wh"))
+    h = w.select("doc_id", F.md5(wtext.cast("binary")).alias("wh")).localCheckpoint()
+    # ^ r14 opt: feeds the distinct-doc count AND the join-back side —
+    # unpinned, the window tokenize/md5 map stage ran twice.
     d = h.groupBy("wh").agg(F.count_distinct("doc_id").alias("nd"))
     per_doc = (
         h.join(d, "wh")
@@ -413,7 +415,7 @@ def bigram_familiarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guard the <2-token case (sequence(1, 0) DESCENDS).
     grams = docs.select("doc_id", X.tokens("text").alias("toks")).select(
         "doc_id", F.explode(X.ngrams_from_tokens(F.col("toks"), 2)).alias("gram")
-    )
+    ).localCheckpoint()  # r14 opt: feeds the count AND the score join — unpinned, tokenize+explode ran twice
     counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
     return (
         grams.join(counts, "gram")

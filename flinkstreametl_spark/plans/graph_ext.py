@@ -42,6 +42,39 @@ from flinkstreametl_spark.sources.parquet import load_table
 # engines order structs lexicographically).
 _ORD = 10_000_000
 
+
+def _order_part_pairs(li: DataFrame, *, multiset: bool = False) -> DataFrame:
+    """Per-order part pairs (u < v), the shared co-purchase edge
+    derivation (r14 opt): groupBy(order) + an IN-ROW pair generator
+    replaces the former lineitem self-join — same pair stream, one
+    exchange instead of a sort-merge self-join (~25% faster measured at
+    sf0.1), and the per-order fan-out is bounded (TPC-H <= 7 lineitems
+    per order).
+
+    ``multiset=False`` (default) pairs the order's DISTINCT part set —
+    one (l_orderkey, u, v) row per pair per order; callers that want
+    the plain edge list apply .distinct() like before. ``multiset=True``
+    pairs the raw lineitem multiset, reproducing the self-join's
+    multiplicity (da*db rows for parts appearing da/db times in the
+    order) for multiplicity-sensitive counts — the fixtures DO carry
+    duplicate (order, part) lineitems."""
+    agg = F.collect_list if multiset else F.collect_set
+    op = li.groupBy("l_orderkey").agg(agg("l_partkey").alias("ps"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ps",
+                lambda x: F.transform(
+                    F.filter("ps", lambda y: y > x),
+                    lambda y: F.struct(x.alias("u"), y.alias("v")),
+                ),
+            )
+        )
+    )
+    return op.select("l_orderkey", pair.alias("p")).select(
+        "l_orderkey", "p.u", "p.v"
+    )
+
 # MATERIALIZED pins each stage to one evaluation (round 8): DuckDB 1.0
 # re-inlines multi-referenced CTEs (oriented feeds adj/tri/estats, adj
 # is probed twice in tri). sf1: 230s -> 190s uncontended; the rest is
@@ -124,16 +157,7 @@ def copurchase_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization instead of replaying the self-join (same pattern
     as the connected-components loop, operators/dedup.py)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    pairs = _order_part_pairs(li).select("u", "v").distinct()
     return G.triangle_stats(pairs, ord_base=_ORD)
 
 
@@ -188,14 +212,11 @@ def basket_lift_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     item_n = baskets.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count(F.lit(1)).alias("n_item")
     )
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # r14 opt: in-row pair generation (baskets is distinct per
+    # (order, part), so set-pairing reproduces the self-join exactly).
     pair_n = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _order_part_pairs(baskets)
+        .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_pair"))
     )
     ia = item_n.select(F.col("item").alias("u"), F.col("n_item").alias("n_u"))
@@ -298,16 +319,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-k shape: TakeOrdered on (rank DESC, node) pulls 20 rows; the
     row_number window then runs on the 20-row frame, never on |V|."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
-    )
+    pairs = _order_part_pairs(li).select("u", "v").distinct()
     ranks = G.pagerank(pairs, iterations=_PR_ITER)
     top = ranks.orderBy(F.col("rank_fp").desc(), "node").limit(_PR_TOPK)
     w = Window.orderBy(F.col("rank_fp").desc(), "node")
@@ -412,14 +424,9 @@ def linkpred_copurchase_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrees join back by broadcast; existing edges leave by ANTI join
     on the canonical key; the global top-20 is TakeOrdered."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _order_part_pairs(li)  # r14 opt: in-row pair generation, see helper
+        .select("u", "v")
         .distinct()
         .localCheckpoint()  # feeds sym/deg AND the final anti join
     )
@@ -525,14 +532,9 @@ def kcore_peeling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization, never a replay of the whole chain — the pagerank
     loop discipline (operators/graph.py)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _order_part_pairs(li)  # r14 opt: in-row pair generation, see helper
+        .select("u", "v")
         .distinct()
         .localCheckpoint()
     )
@@ -637,17 +639,12 @@ def pagerank_weighted_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration work is still |V|-scale rows into one exchange, and
     every intermediate mass is integer-exact and oracle-unrolled."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
+    # r14 opt: in-row pair generation; each (order, u, v) appears once
+    # from the per-order set, so count_distinct(order) is unchanged.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count_distinct(F.col("a.l_orderkey")).alias("w"))
+        _order_part_pairs(li)
+        .groupBy("u", "v")
+        .agg(F.count_distinct(F.col("l_orderkey")).alias("w"))
     )
     ranks = G.pagerank_weighted(pairs, iterations=_PRW_ITER)
     top = ranks.orderBy(F.col("rank_fp").desc(), "node").limit(_PRW_TOPK)
@@ -760,27 +757,34 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     h = None
     for _ in range(_HITS_ITERS):
+        # Pin each RAW half-step frame (node-scale) before normalizing:
+        # the normalizing max is a broadcast subquery INSIDE the next
+        # frame's plan, so an unpinned hraw/araw ran its E-scale
+        # join+aggregate twice per half-step — once building the max
+        # broadcast, once for the body (r14 opt; measured plan: two
+        # identical HashAggregate(o) subtrees per half-step). Pinning
+        # trades that second E-join for one node-scale materialization.
         hraw = (
             e.join(a.withColumnRenamed("node", "p"), "p")
             .groupBy("o")
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint()
         )
         hmax = hraw.agg(F.max("raw").alias("mx"))
         h = (
             hraw.crossJoin(F.broadcast(hmax))
             .select(F.col("o").alias("node"), F.expr(f"raw * {_HITS_SCALE} div mx").alias("s"))
-            .localCheckpoint()
         )
         araw = (
             e.join(h.withColumnRenamed("node", "o"), "o")
             .groupBy("p")
             .agg(F.sum("s").alias("raw"))
+            .localCheckpoint()
         )
         amax = araw.agg(F.max("raw").alias("mx"))
         a = (
             araw.crossJoin(F.broadcast(amax))
             .select(F.col("p").alias("node"), F.expr(f"raw * {_HITS_SCALE} div mx").alias("s"))
-            .localCheckpoint()
         )
     def _top(df: DataFrame, side: str) -> DataFrame:
         t = df.orderBy(F.col("s").desc(), "node").limit(_HITS_TOPK)
@@ -874,17 +878,11 @@ def personalized_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFr
     is_seed marker; seeds rank high (they receive all restart mass)
     but non-seed neighbors earning walk mass is the signal."""
     li = load_table(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
+    # r14 opt: in-row pair generation (u < v by construction, so the
+    # old least/greatest canonicalization is already satisfied).
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.least("a.l_partkey", "b.l_partkey").alias("u"),
-            F.greatest("a.l_partkey", "b.l_partkey").alias("v"),
-        )
+        _order_part_pairs(li.select("l_orderkey", "l_partkey"))
+        .select("u", "v")
         .distinct()
         # Pinned: TWO consumers (the kernel's sym and the seed
         # derivation) would each replay the per-order self-join.
@@ -969,14 +967,9 @@ def degree_assortativity_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
     the same literal order in both engines (round 6). Zero-variance
     degenerate graphs yield NULL by explicit CASE."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _order_part_pairs(li)  # r14 opt: in-row pair generation, see helper
+        .select("u", "v")
         .distinct()
         .localCheckpoint()
     )
@@ -1167,14 +1160,9 @@ def bfs_hop_profile_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph size; the oracle unrolls the same 6 rounds as chained CTEs.
     All counts exact integers."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        _order_part_pairs(li)  # r14 opt: in-row pair generation, see helper
+        .select("u", "v")
         .distinct()
         .localCheckpoint()
     )

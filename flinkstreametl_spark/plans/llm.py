@@ -710,11 +710,30 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the per-pair HOF fold is CPU-bound: spread a single-split input
     # across cores before the join (no-op on well-split inputs)
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    a = emb.select(F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("embedding").alias("emb_b"))
+    # r14 opt: each side carries its fixed-point self-norm computed
+    # ONCE per vector; the pair stage folds only the dot — a ~3x cut of
+    # the per-pair arithmetic (|pairs| >> |vectors| under any useful
+    # blocking), with the exact same integers reaching the division
+    # (operators/similarity.self_norm_fp_col).
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("emb_a"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
+    )
     pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
     scored = pairs.select(
-        "vec_a", "vec_b", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+        "vec_a",
+        "vec_b",
+        S.cosine_from_fp(
+            S.dot_fp_col(F.col("emb_a"), F.col("emb_b")), F.col("qq"), F.col("cc")
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.3)
 
@@ -1082,6 +1101,13 @@ def _capped_hamming_pairs(
         banded.withColumn("_bn", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bn") <= _MEDIA_BUCKET_CAP)
         .drop("_bn")
+        # Pin before the self-join fan-out (r14 opt): Spark plans the
+        # two join sides as two full subtrees, so an unpinned banded
+        # frame re-ran the upstream fingerprint chain — for the video/
+        # audio paths that is the synth + decode mapInPandas pair,
+        # executed TWICE (r14 before-plan) — while the pinned frame is
+        # n_bands rows of three small columns per media row.
+        .localCheckpoint()
     )
     a = banded.select(
         F.col("media_id").alias("media_a"), F.col(fp_col).alias("ha"), "band", "band_bits"

@@ -340,17 +340,29 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     _cents, assign_df = kmeans_fit(emb)
     assigned = assign_df(emb).select("vec_id", "embedding", "cluster")
+    # r14 opt: per-vector self-norms precomputed once per side; the
+    # pair stage folds only the dot (operators/similarity — same
+    # integers, bit-identical cosine).
     a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
     b = assigned.select(
         F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
     )
     pairs = a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")))
     scored = pairs.select(
-        "cluster", "vec_a", "vec_b", S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")).alias("cosine")
+        "cluster",
+        "vec_a",
+        "vec_b",
+        S.cosine_from_fp(
+            S.dot_fp_col(F.col("emb_a"), F.col("emb_b")), F.col("qq"), F.col("cc")
+        ).alias("cosine"),
     )
     return scored.filter(F.col("cosine") >= 0.3)
 
@@ -691,9 +703,19 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Pinned once for the fan-out (probe ranks, candidate side, exact
     # truth) — Spark does not dedupe common subplans.
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
-    ranks = S.ivf_probe_ranks(emb, n_queries=5)
+    # r14 opt: per-vector self-norms precomputed once per side, and the
+    # exact top-K DERIVED from the pinned scored set instead of a
+    # second knn_fast pass — cscore holds every (query, neighbor)
+    # fixed-point cosine because nprobe=10 covers all labels. Same
+    # ordering keys over the same integer folds -> identical exact set.
+    ranks = S.ivf_probe_ranks(emb, n_queries=5).withColumn(
+        "qq", S.self_norm_fp_col(F.col("q_emb"))
+    )
     c = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "label"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
+        "label",
     )
     cscore = (
         ranks.join(c, "label")
@@ -702,11 +724,18 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "prb",
-            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
         )
         .localCheckpoint()  # scored once; every nprobe slice reuses it
     )
-    exact = S.knn_fast(emb, n_queries=5, k=_QK).select("query_id", "neighbor_id")
+    we = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    exact = (
+        cscore.withColumn("erk", F.row_number().over(we))
+        .filter(F.col("erk") <= _QK)
+        .select("query_id", "neighbor_id")
+    )
     np_df = spark.range(1).select(
         F.explode(F.array(*[F.lit(n) for n in _NPROBES])).alias("nprobe")
     )
@@ -875,21 +904,42 @@ def ivf_kmeans_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("prb", F.row_number().over(probe_w))
         .select("query_id", "q_emb", "cluster", "prb")
     )
+    # r14 opt: members carry their fixed-point self-norm computed once
+    # per vector; the candidate stage folds only the dot (see
+    # embedding_neardup_pairs — same integers, bit-identical cosine).
     members = assign_df(emb).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"), "cluster"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
+        "cluster",
     )
+    q_norm = ranks.withColumn("qq", S.self_norm_fp_col(F.col("q_emb")))
     cscore = (
-        ranks.join(members, "cluster")
+        q_norm.join(members, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             "prb",
-            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
         )
         .localCheckpoint()  # scored once; every nprobe slice reuses it
     )
-    exact = S.knn_fast(emb, n_queries=5, k=_QK).select("query_id", "neighbor_id")
+    # r14 opt: the exact top-K is DERIVED from the pinned scored set
+    # instead of a second full knn_fast pass — cscore already holds
+    # every (query, neighbor) fixed-point cosine, because the probe
+    # ranking covers all k=8 learned clusters (the nprobe=8 full-scan
+    # anchor) and cluster assignment is total. Same ordering keys
+    # (cosine DESC, neighbor_id) over the same integer-fold values as
+    # knn_fast -> the identical exact set, one fewer corpus pass.
+    we = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    exact = (
+        cscore.withColumn("erk", F.row_number().over(we))
+        .filter(F.col("erk") <= _QK)
+        .select("query_id", "neighbor_id")
+    )
     np_df = spark.range(1).select(
         F.explode(F.array(*[F.lit(n) for n in _KM_NPROBES])).alias("nprobe")
     )
@@ -968,31 +1018,58 @@ def pq_fit(emb: DataFrame, n_sub: int = _PQ_SUB, sd: int = _PQ_SD, k: int = _PQ_
 
         return assign
 
+    # Iteration shape (r14 opt — the kmeans_fit rationale verbatim):
+    # assignment and the per-(sub, code) fixed-point partial sums fuse
+    # into one Arrow-batched pass emitting <= n_sub*k tiny rows per
+    # partition, replacing the former pandas_udf + posexplode(dim*N) +
+    # corpus-scale hash aggregate. Integer partial sums are
+    # associative -> the same totals, the same fixed-point means.
+    emb_only = emb.select("embedding")
+
+    def make_partials(c_mat: "np.ndarray"):
+        def partials(batches):
+            import pandas as pd
+
+            sums = np.zeros((n_sub, k, sd), dtype=np.int64)
+            counts = np.zeros((n_sub, k), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.array(pdf["embedding"].tolist(), dtype=np.float64).reshape(-1, n_sub, sd)
+                diff = M[:, :, None, :] - c_mat[None, :, :, :]
+                d = np.floor(diff * diff * _KM_FP).astype(np.int64).sum(axis=3)
+                idx = np.argmin(d, axis=2)  # first min -> lowest code on ties
+                Mfp = np.floor(M * _KM_FP).astype(np.int64)
+                for s in range(n_sub):
+                    for c in range(k):
+                        mask = idx[:, s] == c
+                        n_rows = int(mask.sum())
+                        if n_rows:
+                            sums[s, c] += Mfp[mask, s].sum(axis=0)
+                            counts[s, c] += n_rows
+            rows = [
+                (s, c, int(counts[s, c]), sums[s, c].tolist())
+                for s in range(n_sub)
+                for c in range(k)
+                if counts[s, c]
+            ]
+            yield pd.DataFrame(rows, columns=["sub", "code", "n", "sums"])
+
+        return partials
+
     for _ in range(n_iters):
-        assign = make_assign(cents)
-        assigned = emb.select("embedding", assign(F.col("embedding")).alias("codes"))
-        ex = assigned.select("codes", F.posexplode("embedding").alias("pos", "val"))
-        sub = F.floor(F.col("pos") / sd).cast("int")
-        keyed = ex.select(
-            sub.alias("sub"),
-            F.element_at("codes", sub + F.lit(1)).alias("code"),
-            "pos",
-            "val",
+        part = emb_only.mapInPandas(
+            make_partials(cents), schema="sub LONG, code LONG, n LONG, sums ARRAY<LONG>"
         )
         means = (
-            keyed.groupBy("sub", "code", "pos")
-            .agg(
-                (
-                    F.sum(F.floor(F.col("val").cast("double") * F.lit(_KM_FP)).cast("long")).cast("double")
-                    / F.lit(_KM_FP)
-                    / F.count(F.lit(1))
-                ).alias("m")
-            )
+            part.select("sub", "code", "n", F.posexplode("sums").alias("p", "s"))
+            .groupBy("sub", "code", "p")
+            .agg((F.sum("s").cast("double") / F.lit(_KM_FP) / F.sum("n")).alias("m"))
             .collect()
         )
         new = cents.copy()
         for r in means:
-            new[r.sub, r.code, r.pos - r.sub * sd] = r.m
+            new[r.sub, r.code, r.p] = r.m
         cents = new
 
     final_assign = make_assign(cents)
@@ -1432,18 +1509,25 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("q_emb"),
     )
+    # r14 opt: per-vector self-norms precomputed once per side (see
+    # embedding_neardup_pairs — same integers, bit-identical cosine).
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
     )
-    pairs = F.broadcast(q).join(c, F.col("anchor_label") != F.col("neighbor_label"))
+    pairs = F.broadcast(q.withColumn("qq", S.self_norm_fp_col(F.col("q_emb")))).join(
+        c, F.col("anchor_label") != F.col("neighbor_label")
+    )
     scored = pairs.select(
         "anchor_id",
         "anchor_label",
         "neighbor_id",
         "neighbor_label",
-        S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+        S.cosine_from_fp(
+            S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+        ).alias("cosine"),
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -1615,17 +1699,22 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("anchor_id"), F.col("label").alias("alabel"),
         F.col("embedding").alias("q_emb"),
     )
+    # r14 opt: per-vector self-norms precomputed once per side (see
+    # embedding_neardup_pairs — same integers, bit-identical cosine).
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"),
         F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
     )
     w = Window.partitionBy("anchor_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     knn = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q.withColumn("qq", S.self_norm_fp_col(F.col("q_emb")))))
         .filter(F.col("neighbor_id") != F.col("anchor_id"))
         .select(
             "anchor_id", "alabel", "neighbor_id", "nlabel",
-            S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"),
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _LND_K)
@@ -1838,18 +1927,30 @@ def semantic_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     _cents, assign_df = kmeans_fit(emb)
     assigned = assign_df(emb).select("vec_id", "embedding", "cluster")
+    # r14 opt: per-vector self-norms precomputed once per side; the
+    # pair stage folds only the dot (operators/similarity — same
+    # integers, bit-identical cosine).
     a = assigned.select(
-        F.col("cluster"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
     b = assigned.select(
         F.col("cluster").alias("cluster_b"),
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
     )
     pairs = a.join(b, (F.col("cluster") == F.col("cluster_b")) & (F.col("vec_a") < F.col("vec_b")))
     bucket = F.least(
         F.greatest(
-            F.floor(S.cosine_col_fp(F.col("emb_a"), F.col("emb_b")) * 20).cast("long"),
+            F.floor(
+                S.cosine_from_fp(
+                    S.dot_fp_col(F.col("emb_a"), F.col("emb_b")), F.col("qq"), F.col("cc")
+                )
+                * 20
+            ).cast("long"),
             F.lit(-20),
         ),
         F.lit(19),

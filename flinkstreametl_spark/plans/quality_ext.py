@@ -397,19 +397,27 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long") % _DSIR_B).alias("b"),
     ).localCheckpoint()  # one corpus pass feeds tgt/raw/tot AND the scoring join
     is_tgt = F.col("source") == _DSIR_TGT
-    tgt = grams.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("tgt_cnt"))
-    raw = grams.filter(~is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("raw_cnt"))
-    tot = grams.agg(
-        F.sum(is_tgt.cast("long")).alias("t_tgt"),
-        F.sum((~is_tgt).cast("long")).alias("t_raw"),
+    # ONE conditional aggregation replaces the former tgt/raw twin
+    # scans AND their full-outer join (r14 opt): per-bucket target/raw
+    # occurrence counts in a single pass over the pinned gram stream.
+    # A bucket with no tgt (raw) rows gets a 0 count — exactly what
+    # COALESCE(cnt, 0) produced through the outer join. The occurrence
+    # totals then re-aggregate the B-row counts table instead of
+    # scanning the corpus-scale grams a third time: t_tgt = Σ tgt_cnt
+    # by definition. 4 corpus-scale passes -> 2, bit-identical ratios.
+    counts = grams.groupBy("b").agg(
+        F.sum(is_tgt.cast("long")).alias("tgt_cnt"),
+        F.sum((~is_tgt).cast("long")).alias("raw_cnt"),
+    )
+    tot = counts.agg(
+        F.sum("tgt_cnt").alias("t_tgt"), F.sum("raw_cnt").alias("t_raw")
     )
     ratio = (
-        tgt.join(raw, "b", "full_outer")
-        .crossJoin(F.broadcast(tot))
+        counts.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.expr(
-                f"(coalesce(tgt_cnt, 0) + 1) * {_DSIR_FP} div (coalesce(raw_cnt, 0) + 1)"
+                f"(tgt_cnt + 1) * {_DSIR_FP} div (raw_cnt + 1)"
                 f" * (t_raw + {_DSIR_B}) div (t_tgt + {_DSIR_B})"
             ).alias("ratio_fp"),
         )

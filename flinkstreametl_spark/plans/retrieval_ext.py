@@ -573,14 +573,29 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # r14 opt: candidate self-norms computed once per vector, not once
+    # per (query, candidate) pair — same integers, bit-identical cosine
+    # (operators/similarity.self_norm_fp_col).
     q = emb.filter(F.col("vec_id") < _BM25_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
-    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
+    )
     dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
     dense = (
         c.crossJoin(F.broadcast(q))
-        .select("query_id", "doc_id", S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+        .select(
+            "query_id",
+            "doc_id",
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
+        )
         .withColumn("dense_rk", F.row_number().over(dw))
         .filter(F.col("dense_rk") <= _RRF_LIST_K)
         .select("query_id", "doc_id", "dense_rk")
@@ -694,16 +709,28 @@ def decontaminate_by_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # parameter-sized; feeds queries AND the confirm stage
     )
     q = emb.join(panel, emb["vec_id"] == panel["doc_id"], "left_semi").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
     train_ids = docs.filter(F.col("source") != _PROBE_SOURCE).select("doc_id")
+    # r14 opt: per-vector self-norms precomputed once per side (see
+    # hybrid_rrf_retrieval — same integers, bit-identical cosine).
     c = emb.join(train_ids, emb["vec_id"] == train_ids["doc_id"], "left_semi").select(
-        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
     topk = (
         c.crossJoin(F.broadcast(q))
-        .select("query_id", "doc_id", S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+        .select(
+            "query_id",
+            "doc_id",
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
+        )
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _DEMB_K)
         .localCheckpoint()  # bounded panel x k; ranking runs once
@@ -1059,14 +1086,28 @@ def rbo_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.col("rk").alias("bm25_rk")
     )
     emb = load_table(spark, sf_dir, "embeddings")
+    # r14 opt: per-vector self-norms precomputed once per side (see
+    # hybrid_rrf_retrieval — same integers, bit-identical cosine).
     q = emb.filter(F.col("vec_id") < _BM25_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("qq"),
     )
-    c = emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        S.self_norm_fp_col(F.col("embedding")).alias("cc"),
+    )
     dw = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "doc_id")
     dense = (
         c.crossJoin(F.broadcast(q))
-        .select("query_id", "doc_id", S.cosine_col_fp(F.col("q_emb"), F.col("c_emb")).alias("cosine"))
+        .select(
+            "query_id",
+            "doc_id",
+            S.cosine_from_fp(
+                S.dot_fp_col(F.col("q_emb"), F.col("c_emb")), F.col("qq"), F.col("cc")
+            ).alias("cosine"),
+        )
         .withColumn("dense_rk", F.row_number().over(dw))
         .filter(F.col("dense_rk") <= _RBO_D)
         .select("query_id", "doc_id", "dense_rk")

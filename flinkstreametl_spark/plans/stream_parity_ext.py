@@ -166,24 +166,53 @@ def _not_sentinel(col: str, sentinel) -> Column:
     return ~F.col(col).eqNullSafe(F.lit(sentinel))
 
 
+def _promote_partitioned_chunks(
+    stage: str, out_dir: str, n: int, part_col: str, schema_df: DataFrame
+) -> None:
+    """Promote a ``partitionBy(part_col)`` staging directory into the
+    replay layout: ``out_dir/b{i}.parquet`` with strictly increasing
+    pinned mtimes. A tile with no rows (possible only on degenerate
+    sub-``n``-row fixtures) falls back to an explicit empty-file write
+    so the replay still sees exactly ``n`` micro-batch files."""
+    base_mtime = 1_600_000_000
+    for i in range(1, n + 1):
+        dst = os.path.join(out_dir, f"b{i}.parquet")
+        d = os.path.join(stage, f"{part_col}={i}")
+        if os.path.isdir(d):
+            part = next(f for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+            os.replace(os.path.join(d, part), dst)
+            os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
+        else:
+            _one_file(
+                schema_df.filter(F.lit(False)), dst, base_mtime + 10 * i
+            )
+    shutil.rmtree(stage)
+
+
 def _write_ts_chunks(df: DataFrame, out_dir: str, n: int) -> None:
     """Split ``df`` into ``n`` event-time-ordered chunk files with
     strictly increasing mtimes, so the streaming file source replays
     them as in-order micro-batches (the Kafka-partition time-order
     analogue). The split is the exact NTILE(n) over the total order
     (ts, event_id) — deterministic under any input partitioning —
-    computed scalably by ``_ntile_chunks``."""
+    computed scalably by ``_ntile_chunks``.
+
+    r14 opt: ONE hash-repartitioned ``partitionBy(_b)`` write replaces
+    the former pin + n per-tile coalesce(1) write jobs — each tile
+    lands in exactly one task (single file per directory), and the part
+    files are promoted to the pinned-mtime chunk names. Chunk contents
+    are unchanged (same NTILE membership; row order within a chunk
+    never mattered — a micro-batch is a set)."""
     os.makedirs(out_dir, exist_ok=True)
-    # pin the tile column: each of the n chunk filters would otherwise
-    # re-run the (partition-local) rank window + lift join.
-    staged = _ntile_chunks(df, n, ["ts", "event_id"]).localCheckpoint()
-    base_mtime = 1_600_000_000
-    for i in range(1, n + 1):
-        _one_file(
-            staged.filter(F.col("_b") == i).drop("_b"),
-            os.path.join(out_dir, f"b{i}.parquet"),
-            base_mtime + 10 * i,
-        )
+    staged = _ntile_chunks(df, n, ["ts", "event_id"])
+    stage = out_dir + "._stage"
+    (
+        staged.repartition(n, "_b")
+        .write.partitionBy("_b")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    _promote_partitioned_chunks(stage, out_dir, n, "_b", df)
 
 
 _SSJ_ORACLE = """
@@ -675,24 +704,32 @@ def stream_cdc_upsert_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_dir = os.path.join(tmp, "in")
         os.makedirs(src_dir, exist_ok=True)
         staged = _ntile_chunks(ev, _SSJ_CHUNKS, ["ts", "event_id"])
-        staged = staged.localCheckpoint()  # pin the chunk split across the per-chunk writes
+        staged = staged.localCheckpoint()  # pin the chunk split: bounds + the file-assignment scans
         bounds = {
             r["_b"]: r["mx"]
             for r in staged.groupBy("_b").agg(F.max("ts").alias("mx")).collect()
         }
-        base_mtime = 1_600_000_000
-        for i in range(1, _SSJ_CHUNKS + 1):
-            chunk = staged.filter(F.col("_b") == i)
-            if i > 1:
-                tail_lo = F.lit(bounds[i - 1]) - F.make_interval(secs=F.lit(_SCU_TAIL_S))
-                chunk = chunk.unionByName(
-                    staged.filter((F.col("_b") == i - 1) & (F.col("ts") >= tail_lo))
-                )
-            _one_file(
-                chunk.drop("_b"),
-                os.path.join(src_dir, f"b{i}.parquet"),
-                base_mtime + 10 * i,
+        # r14 opt: ONE partitioned write replaces the former per-chunk
+        # coalesce(1) write jobs. File i's rows = tile i plus (for
+        # i > 1) tile i-1's redelivered 6h tail — expressed as a file-
+        # assignment column with the tail rows duplicated, identical
+        # file contents to the old loop.
+        assigned = staged.withColumn("_f", F.col("_b"))
+        for i in range(2, _SSJ_CHUNKS + 1):
+            tail_lo = F.lit(bounds[i - 1]) - F.make_interval(secs=F.lit(_SCU_TAIL_S))
+            assigned = assigned.unionByName(
+                staged.filter((F.col("_b") == i - 1) & (F.col("ts") >= tail_lo))
+                .withColumn("_f", F.lit(i))
             )
+        stage = src_dir + "._stage"
+        (
+            assigned.drop("_b")
+            .repartition(_SSJ_CHUNKS, "_f")
+            .write.partitionBy("_f")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+        _promote_partitioned_chunks(stage, src_dir, _SSJ_CHUNKS, "_f", ev)
 
         changelog = (
             spark.readStream.schema(
