@@ -55,7 +55,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Pinned (r14 opt): tf feeds BOTH the df aggregate and the scoring
+    # join — unpinned, the tokenize + tf subtree ran twice (the bm25
+    # inverted-index pin, applied here).
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).localCheckpoint()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -322,7 +325,9 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         lzero,
         lambda acc, x: acc + x,
     )
-    base = emb.select("vec_id", "embedding", vfp.alias("vfp"), sq.alias("sq"))
+    # Pinned (r14 opt): base feeds the sketch chain AND both verify
+    # sides — unpinned, the quantize/norm folds ran once per consumer.
+    base = emb.select("vec_id", "embedding", vfp.alias("vfp"), sq.alias("sq")).localCheckpoint()
 
     weights = _srp_weight_rows()
     n_bands = _SRP_H // _SRP_BAND_BITS
@@ -344,6 +349,7 @@ def embedding_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.withColumn("bidx", F.row_number().over(wcap))
         .filter(F.col("bidx") <= _SRP_BUCKET_CAP)
         .drop("bidx")
+        .localCheckpoint()  # r14 opt: both self-join sides re-ran the 16 sign-dot folds
     )
 
     a, b = bands.alias("a"), bands.alias("b")
@@ -1171,7 +1177,10 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = sets.select("doc_id", F.explode("sh").alias("s"))
     dfc = ds.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    dsd = ds.join(dfc, "s")
+    # Pinned (r14 opt): dsd feeds BOTH the prefix derivation and the
+    # inverted index — unpinned, the df join (and the explode under it)
+    # ran once per consumer.
+    dsd = ds.join(dfc, "s").localCheckpoint()
     sz = sets.select("doc_id", F.size("sh").cast("long").alias("n"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
     t_of_n = F.expr(f"(n * {_CONT_TAU_NUM} + {_CONT_TAU_DEN} - 1) div {_CONT_TAU_DEN}")

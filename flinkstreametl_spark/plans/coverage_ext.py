@@ -686,7 +686,12 @@ def fuzzy_dup_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("p_name").alias("nm"),
     ).withColumn("blk", F.substring_index("nm", " ", -1))
     wb = Window.partitionBy("p_brand", "blk")
-    kept = s.withColumn("_bn", F.count(F.lit(1)).over(wb)).filter(F.col("_bn") <= 256).drop("_bn")
+    kept = (
+        s.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= 256)
+        .drop("_bn")
+        .localCheckpoint()  # r14 opt: both self-join sides re-ran the scan + cap window
+    )
     a = kept.select(
         F.col("k").alias("part_a"), F.col("p_brand").alias("brand_a"),
         F.col("nm").alias("name_a"), F.col("blk").alias("blk_a"),

@@ -126,7 +126,8 @@ def lsh_precision_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     small pair sets and a single aggregate emits the row — each pair
     set is consumed exactly once, so nothing needs pinning."""
     docs = load_table(spark, sf_dir, "documents")
-    sets = D.token_sets(docs)
+    # Pinned (r14 opt): both truth-join sides tokenize otherwise.
+    sets = D.token_sets(docs).localCheckpoint()
     bucket = F.floor(F.col("doc_id") / _AUD_BAND)
     a = sets.select(
         F.col("doc_id").alias("doc_a"),
@@ -153,6 +154,7 @@ def lsh_precision_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
         .filter(F.col("_bn") <= D.MAX_BUCKET_SIZE)
         .drop("_bn")
+        .localCheckpoint()  # r14 opt: both self-join sides re-ran the signature chain
     )
     b1 = kept.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b2 = kept.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -557,6 +559,7 @@ def lsh_band_sweep_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             bands.withColumn("_bn", F.count(F.lit(1)).over(wb))
             .filter(F.col("_bn") <= D.MAX_BUCKET_SIZE)
             .drop("_bn")
+            .localCheckpoint()  # r14 opt: both self-join sides re-ran the band explode
         )
         b1 = kept.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
         b2 = kept.select(F.col("doc_id").alias("doc_b"), "band", "band_key")

@@ -752,6 +752,14 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
+
+    # NOT the pagerank grouped-adjacency form (r14 opt, measured):
+    # building the two directional grouped adjacencies (window + two
+    # collect_list pins) costs more than HITS' 3+3 half-step joins save
+    # — interleaved A/B at sf0.1: edge-join 6.3-7.7s vs grouped
+    # 7.1-9.5s, identical output. Six iterations over ONE direction is
+    # where grouping pays (pagerank); two directions at three
+    # iterations each is where it does not.
     a = e.select("p").distinct().select(
         F.col("p").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("s")
     ).localCheckpoint()
@@ -759,11 +767,10 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_HITS_ITERS):
         # Pin each RAW half-step frame (node-scale) before normalizing:
         # the normalizing max is a broadcast subquery INSIDE the next
-        # frame's plan, so an unpinned hraw/araw ran its E-scale
-        # join+aggregate twice per half-step — once building the max
-        # broadcast, once for the body (r14 opt; measured plan: two
-        # identical HashAggregate(o) subtrees per half-step). Pinning
-        # trades that second E-join for one node-scale materialization.
+        # frame's plan, so an unpinned hraw/araw ran its join+aggregate
+        # twice per half-step — once building the max broadcast, once
+        # for the body (r14 opt). Pinning trades that second pass for
+        # one node-scale materialization.
         hraw = (
             e.join(a.withColumnRenamed("node", "p"), "p")
             .groupBy("o")

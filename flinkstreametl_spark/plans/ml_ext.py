@@ -339,7 +339,10 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     |pairs|×dim)."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     _cents, assign_df = kmeans_fit(emb)
-    assigned = assign_df(emb).select("vec_id", "embedding", "cluster")
+    # Pinned (r14 opt): the assignment pandas_udf otherwise re-ran in
+    # BOTH self-join subtrees (audit: 4 ArrowEvalPython nodes for one
+    # logical assignment pass).
+    assigned = assign_df(emb).select("vec_id", "embedding", "cluster").localCheckpoint()
     # r14 opt: per-vector self-norms precomputed once per side; the
     # pair stage folds only the dot (operators/similarity — same
     # integers, bit-identical cosine).
@@ -457,7 +460,10 @@ def int8_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings and their overlap join are window + hash joins over
     25-row frames."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    # Pinned (r14 opt): ex feeds the scale aggregate, the quantize join
+    # AND both sides of the exact-score join — unpinned, the explode
+    # re-ran per consumer (audit: duplicated Generate subtrees).
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val")).localCheckpoint()
     scales = ex.groupBy("vec_id").agg(F.max(F.abs(F.col("val").cast("double"))).alias("s"))
     qz = (
         ex.join(scales, "vec_id")
@@ -1222,8 +1228,11 @@ def pq_adc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # these blocks instead of the scan (a cheap second pin of a small
     # table, not a second scan).
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).localCheckpoint()
+    # Pinned (r14 opt): the encode pandas_udf otherwise evaluated twice
+    # (audit: 2 ArrowEvalPython nodes — the posexplode consumer
+    # duplicates the generator input projection).
     cents, codes_fn = pq_fit(emb)
-    codes = codes_fn(emb).select("vec_id", "codes")
+    codes = codes_fn(emb).select("vec_id", "codes").localCheckpoint()
 
     qrows = sorted(
         emb.filter(F.col("vec_id") < _PQ_NQ).select("vec_id", "embedding").collect(),
@@ -1590,7 +1599,7 @@ def sq8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     ex = emb.select("vec_id", F.posexplode("embedding").alias("pos0", "val")).select(
         "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("val")
-    )
+    ).localCheckpoint()  # r14 opt: feeds the scale aggregate AND the quantize join
     scales = ex.groupBy("vec_id").agg(F.max(F.abs("val")).alias("s"))
     qz = ex.join(scales, "vec_id").select(
         "vec_id",
@@ -1926,7 +1935,10 @@ def semantic_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set, the in-row fold never explodes to |pairs| × dim."""
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     _cents, assign_df = kmeans_fit(emb)
-    assigned = assign_df(emb).select("vec_id", "embedding", "cluster")
+    # Pinned (r14 opt): the assignment pandas_udf otherwise re-ran in
+    # BOTH self-join subtrees (audit: 4 ArrowEvalPython nodes for one
+    # logical assignment pass).
+    assigned = assign_df(emb).select("vec_id", "embedding", "cluster").localCheckpoint()
     # r14 opt: per-vector self-norms precomputed once per side; the
     # pair stage folds only the dot (operators/similarity — same
     # integers, bit-identical cosine).

@@ -250,6 +250,7 @@ def ngram_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", F.explode(_ngrams(F.col("c"), 2)).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # r14 opt: feeds the char-total aggregate AND the top-gram window
     )
     s2 = c2.groupBy("doc_id").agg(F.sum(F.col("cnt") * F.length("g")).alias("tot2"))
     w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), "g")
