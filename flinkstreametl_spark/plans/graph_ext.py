@@ -739,13 +739,15 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     direction, keeps precision; see the oracle builder). Both engines
     run the identical 3 unrolled iterations.
 
-    Plan shape: the distinct edge list is pinned once; each half-step
-    is one edge-keyed broadcast-free join + partial-aggregated shuffle
-    on the node key, and the normalizing max is a 1-row broadcast.
-    Score frames are node-sized and localCheckpoint-pinned per
-    iteration so the loop's lineage never re-runs (the pagerank loop
-    discipline); top-k per side is orderBy().limit() (TakeOrdered — no
-    global single-partition window)."""
+    Plan shape (r15): the distinct edge list is pinned once; each
+    half-step BROADCASTS the node-scale score frame into the edge join
+    (the edge list is never shuffled — its only exchange per half-step
+    is the map-side-combined node-keyed aggregate), the normalizing max
+    is a 1-row broadcast, and the raw half-step frames stay
+    localCheckpoint-pinned (node-scale; a lazy persist() was measured
+    and lost — see the loop comment). Top-k per side is
+    orderBy().limit() (TakeOrdered — no global single-partition
+    window)."""
     li = load_table(spark, sf_dir, "lineitem")
     e = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -760,19 +762,28 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 7.1-9.5s, identical output. Six iterations over ONE direction is
     # where grouping pays (pagerank); two directions at three
     # iterations each is where it does not.
+    # a0 has exactly one consumer (the first half-step's broadcast
+    # build), so no pin: it folds into that job.
     a = e.select("p").distinct().select(
         F.col("p").alias("node"), F.lit(_HITS_SCALE).cast("long").alias("s")
-    ).localCheckpoint()
+    )
     h = None
     for _ in range(_HITS_ITERS):
-        # Pin each RAW half-step frame (node-scale) before normalizing:
-        # the normalizing max is a broadcast subquery INSIDE the next
-        # frame's plan, so an unpinned hraw/araw ran its join+aggregate
-        # twice per half-step — once building the max broadcast, once
-        # for the body (r14 opt). Pinning trades that second pass for
-        # one node-scale materialization.
+        # Each half-step: BROADCAST the node-scale score frame into the
+        # edge join (r15 opt, guide §3.1/§2.4) — scores are |parts| or
+        # |orders| rows of two longs, far under the broadcast threshold,
+        # so the E-scale edge list is never shuffled; the only exchange
+        # per half-step is the node-keyed partial aggregate (map-side
+        # combined, node-scale bytes). r14 shuffled BOTH sides of each
+        # half-step join (2 E-scale exchanges x 6 half-steps).
+        # The raw frame feeds two consumers (the normalizing-max
+        # broadcast + the body) and carries the loop's lineage, so it
+        # stays an eager localCheckpoint pin: a lazy persist() was
+        # A/B'd in r15 and LOST ~1.7x (interleaved, noop sink — the
+        # un-truncated 6-half-step plan re-plans and re-executes nested
+        # broadcast builds), while the pinned frame is node-scale.
         hraw = (
-            e.join(a.withColumnRenamed("node", "p"), "p")
+            e.join(F.broadcast(a.withColumnRenamed("node", "p")), "p")
             .groupBy("o")
             .agg(F.sum("s").alias("raw"))
             .localCheckpoint()
@@ -783,7 +794,7 @@ def hits_order_part_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("o").alias("node"), F.expr(f"raw * {_HITS_SCALE} div mx").alias("s"))
         )
         araw = (
-            e.join(h.withColumnRenamed("node", "o"), "o")
+            e.join(F.broadcast(h.withColumnRenamed("node", "o")), "o")
             .groupBy("p")
             .agg(F.sum("s").alias("raw"))
             .localCheckpoint()
