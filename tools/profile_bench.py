@@ -25,8 +25,11 @@ from flinkstreametl_spark.plans import REGISTRY  # noqa: E402
 from flinkstreametl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PLANS_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+PLANS_DIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15"
+    ),
 )
 
 
