@@ -566,24 +566,125 @@ assert len(_NEW_R15) <= _ROUND14_ADDITION_CAP, (
 )
 assert len(_NEW_R15) == len(set(_NEW_R15)), "duplicate names queued in _NEW_R15"
 
+# Round 15 executes the rotation the round-14 judge prescribed
+# (VERDICT r14 item 6): the optimization rounds restructured 43
+# queries, but the r14 window covered only ~10 of them — the rest
+# rest on the builder's own verify_contract runs. The round-15
+# window therefore prioritizes CHANGED-plan names over the staleness
+# horizon for one round:
+#   1. _NEW_R15 — the single queued round-14 addition (RocksDB twin),
+#      leading so a failure can't be hidden by the [:50] cut.
+#   2. _CHANGED_R15 — every r14-restructured, oracle-backed name NOT
+#      already confirmed by the r14 window (32 names: the 15
+#      plan-changed bench queries minus embedding_neardup_pairs, the
+#      fingerprint twins, and the §2/§7 precompute/pin batch), in
+#      OPTIMIZATION_r14.md section order. Round-15's own rewrites all
+#      fall inside this set or the r14 window.
+#   3. _PRIORITY_R15 — the first 17 r9-era stale-evidence names in
+#      their CORRECTNESS_r09 window order (the committed refresh tier,
+#      already sf1-swept 48/48 in docs/sweep_sf1_r15tier.jsonl),
+#      filling the window to exactly 50. The remaining 31 r9-era
+#      names lead the round-16 refresh tier; the staleness horizon
+#      stretches to 6 rounds for them — the price of driver-confirming
+#      two optimization rounds' rewrites, accepted deliberately.
+_CHANGED_R15 = [
+    # §1 self-join/fan-out pins (bench)
+    "minhash_lsh_neardup",
+    "simhash_near_pairs",
+    "video_fingerprint_neardup",
+    "incremental_minhash_multibatch",
+    "bigram_familiarity_score",
+    "passage_dedup_stats",
+    "hits_order_part_scores",
+    # §2 norm precompute (bench)
+    "knn_cosine_fast",
+    "hybrid_rrf_retrieval",
+    # §3 kmeans fusion, §4 dsir, §5 pagerank, §6 replay fixtures, §8b
+    "ivf_kmeans_recall_curve",
+    "dsir_importance_topk",
+    "pagerank_copurchase",
+    "stream_cdc_upsert_replay",
+    "stream_stream_join_replay",
+    "tfidf_top_terms",
+    "fuzzy_dup_parts",
+    # fingerprint twins of the §1 media pin
+    "audio_fingerprint_neardup",
+    "image_phash_neardup",
+    # §7 audit-pin batch + §2 non-bench consumers
+    "semantic_dedup_pairs",
+    "semantic_cosine_histogram",
+    "pq_adc_recall",
+    "sq8_reconstruction_error",
+    "lsh_precision_recall_audit",
+    "lsh_band_sweep_audit",
+    "containment_dup_pairs",
+    "embedding_srp_pairs",
+    "knn_label_disagreement",
+    "mutual_knn_pairs",
+    "ann_index_staleness_audit",
+    "rbo_rank_agreement",
+    "decontaminate_by_embedding",
+    "ivf_recall_curve",
+]
+
+_PRIORITY_R15 = [
+    # First 17 of the 48 remaining r9-era stale-evidence names, in
+    # their CORRECTNESS_r09 window order (= docs/sweep_sf1_r15tier
+    # .jsonl order, the committed refresh tier).
+    "dim_3way_join",
+    "replace_upsert_latest",
+    "changelog_op_column",
+    "flagship_enrich_sql",
+    "group_distinct_agg",
+    "cube_agg",
+    "anti_join_no_orders",
+    "string_funcs_parts",
+    "json_payload_roundtrip",
+    "full_outer_nation_counts",
+    "multitouch_attribution_daily",
+    "session_gap_sensitivity",
+    "neardup_source_matrix",
+    "dedup_funnel_by_source",
+    "langid_confusion_matrix",
+    "simhash_hamming_histogram",
+    "neardup_cluster_size_histogram",
+]
+
+_ROUND15_ADDITION_CAP = 15
+_NEW_R16: list[str] = [
+    # Round-15 additions land here the day each lands (oracle-verified
+    # locally at sf0.001/sf0.01 on landing), capped by
+    # _ROUND15_ADDITION_CAP; they lead the round-16 window ahead of
+    # the 31 remaining r9-era stale-evidence names.
+]
+
+_WINDOW_R15 = (*_NEW_R15, *_CHANGED_R15, *_PRIORITY_R15)[:50]
+
+assert len(_NEW_R15) + len(_CHANGED_R15) + len(_PRIORITY_R15) == 50
+assert all(n in _WINDOW_R15 for n in (*_NEW_R15, *_CHANGED_R15, *_PRIORITY_R15))
+assert len(_NEW_R16) <= _ROUND15_ADDITION_CAP, (
+    "round-15 additions exceed the per-round cap — raise deliberately"
+)
+assert len(_NEW_R16) == len(set(_NEW_R16)), "duplicate names queued in _NEW_R16"
+
 # Exported for tests/test_rotation.py's completeness check
 # (set(REGISTRY) ⊆ ever-driver-checked ∪ QUEUED — the invariant whose
 # violation orphaned the two round-8 names).
-QUEUED_FOR_DRIVER = (*_WINDOW_R14, *_NEW_R15)
+QUEUED_FOR_DRIVER = (*_WINDOW_R15, *_NEW_R16)
 
 
 def _reorder() -> None:
-    missing = [n for n in _WINDOW_R14 if n not in REGISTRY]
+    missing = [n for n in _WINDOW_R15 if n not in REGISTRY]
     if missing:
         raise ValueError(f"window names not registered: {missing}")
-    if len(_WINDOW_R14) != len(set(_WINDOW_R14)):
+    if len(_WINDOW_R15) != len(set(_WINDOW_R15)):
         raise ValueError("duplicate names in window")
-    no_oracle = [n for n in _WINDOW_R14 if REGISTRY[n].oracle is None]
+    no_oracle = [n for n in _WINDOW_R15 if REGISTRY[n].oracle is None]
     if no_oracle:
         raise ValueError(f"rows-only queries may not sit in the driver window: {no_oracle}")
-    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R14 and s.oracle is not None]
-    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R14 and s.oracle is None]
-    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R14, *rest_oracle, *rest_rows_only)}
+    rest_oracle = [n for n, s in REGISTRY.items() if n not in _WINDOW_R15 and s.oracle is not None]
+    rest_rows_only = [n for n, s in REGISTRY.items() if n not in _WINDOW_R15 and s.oracle is None]
+    ordered = {n: REGISTRY[n] for n in (*_WINDOW_R15, *rest_oracle, *rest_rows_only)}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 
