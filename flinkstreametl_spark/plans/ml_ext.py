@@ -714,6 +714,14 @@ def ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # second knn_fast pass — cscore holds every (query, neighbor)
     # fixed-point cosine because nprobe=10 covers all labels. Same
     # ordering keys over the same integer folds -> identical exact set.
+    # INVARIANT (ADVICE r14): the derivation additionally requires
+    # label to be TOTAL on the embeddings fixture — the inner join on
+    # label would silently drop null-labeled vectors from the "exact"
+    # set and inflate recall. Verified on every shipped SF tier
+    # (count(label) == count(*), labels 0..9) and the oracle computes
+    # the same inner join, so any fixture drift breaks the hash rather
+    # than passing silently; the dependency is stated here so a future
+    # fixture change can't weaken the audit unnoticed.
     ranks = S.ivf_probe_ranks(emb, n_queries=5).withColumn(
         "qq", S.self_norm_fp_col(F.col("q_emb"))
     )
@@ -937,9 +945,12 @@ def ivf_kmeans_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # instead of a second full knn_fast pass — cscore already holds
     # every (query, neighbor) fixed-point cosine, because the probe
     # ranking covers all k=8 learned clusters (the nprobe=8 full-scan
-    # anchor) and cluster assignment is total. Same ordering keys
-    # (cosine DESC, neighbor_id) over the same integer-fold values as
-    # knn_fast -> the identical exact set, one fewer corpus pass.
+    # anchor) and cluster assignment is total (ADVICE r14: argmin over
+    # the centroid matrix is defined for every vector, so the "cluster"
+    # join key — unlike a fixture-provided label — cannot be null by
+    # construction). Same ordering keys (cosine DESC, neighbor_id)
+    # over the same integer-fold values as knn_fast -> the identical
+    # exact set, one fewer corpus pass.
     we = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     exact = (
         cscore.withColumn("erk", F.row_number().over(we))

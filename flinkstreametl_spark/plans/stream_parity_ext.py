@@ -179,8 +179,18 @@ def _promote_partitioned_chunks(
         dst = os.path.join(out_dir, f"b{i}.parquet")
         d = os.path.join(stage, f"{part_col}={i}")
         if os.path.isdir(d):
-            part = next(f for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
-            os.replace(os.path.join(d, part), dst)
+            parts = sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+            if len(parts) != 1:
+                # Fail loud (ADVICE r14): each tile is written by one
+                # task, so >1 part file means a writer-config change
+                # (e.g. maxRecordsPerFile) — silently promoting only
+                # parts[0] would drop rows from the replay fixture.
+                raise RuntimeError(
+                    f"expected exactly one part file in {d}, found "
+                    f"{len(parts)}: {parts} — the single-task-per-tile "
+                    "write invariant broke"
+                )
+            os.replace(os.path.join(d, parts[0]), dst)
             os.utime(dst, (base_mtime + 10 * i, base_mtime + 10 * i))
         else:
             _one_file(
