@@ -216,8 +216,14 @@ def ann_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # r14 opt: per-vector self-norms precomputed once per side (see
     # embedding_neardup_pairs — same integers, bit-identical cosine).
+    # r15: broadcast the PANEL side (2 states x 5 queries x 8 clusters
+    # = 80 rows, parameter-sized at any corpus scale) — without the
+    # hint Catalyst's corpus-sized estimate for the windowed crossJoin
+    # made it build (broadcast) the members side and stream the panel
+    # through ~1 post-AQE partition, serializing the candidate scoring
+    # (see ml_ext.ivf_kmeans_recall_curve, same shape + evidence).
     cscore = (
-        ranks.withColumn("qq", S.self_norm_fp_col(F.col("q_emb")))
+        F.broadcast(ranks.withColumn("qq", S.self_norm_fp_col(F.col("q_emb"))))
         .join(
             members.select(
                 "index_state", F.col("vec_id").alias("neighbor_id"),
@@ -247,8 +253,10 @@ def ann_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").desc(), "neighbor_id"
     )
     ivf_top = cand_np.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _QK)
+    # r15: audit-tail broadcasts — both sides bounded by panel x K and
+    # the nprobe list (see ml_ext.ivf_recall_curve).
     hits = (
-        ivf_top.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        ivf_top.join(F.broadcast(exact), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("index_state", "nprobe")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
@@ -256,7 +264,7 @@ def ann_index_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_candidates")
     )
     return (
-        cands.join(hits, ["index_state", "nprobe"], "left")
+        cands.join(F.broadcast(hits), ["index_state", "nprobe"], "left")
         .select(
             "index_state",
             "nprobe",
@@ -390,8 +398,10 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # truth and every width slice reuse it
     )
     full_top = topd.filter(F.col("dim") == _MRL_DIMS[-1]).select("query_id", "neighbor_id")
+    # r15: audit-tail broadcasts — full_top is panel x K rows, hits is
+    # |dims| rows (see ml_ext.ivf_recall_curve).
     hits = (
-        topd.join(full_top, ["query_id", "neighbor_id"], "left_semi")
+        topd.join(F.broadcast(full_top), ["query_id", "neighbor_id"], "left_semi")
         .groupBy("dim")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
@@ -399,7 +409,7 @@ def mrl_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(d).cast("long") for d in _MRL_DIMS])).alias("dim")
     )
     return (
-        dims_df.join(hits, "dim", "left")
+        dims_df.join(F.broadcast(hits), "dim", "left")
         .select(
             "dim",
             F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
