@@ -379,3 +379,36 @@ def test_split_representativeness_single_scan_grain_windows(spark, sf_dir):
     plan = _physical(spark, "split_representativeness_audit", sf_dir)
     assert plan.count("Scan parquet") == 1, plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 3, plan
+
+
+def test_ivf_panel_is_broadcast_build_side(spark, sf_dir):
+    """ann_ivf_topk (operators/similarity.ivf_topk): the probe panel —
+    n_queries x nprobe rows — must be the BROADCAST side of the
+    candidate join, with the corpus embedding scan streaming. Catalyst
+    estimates the windowed-crossJoin panel as corpus-sized, so without
+    the r15 hint it built (collected + broadcast) the corpus side and
+    streamed the panel through ~1 partition — a serial scoring stage
+    locally and an impossible corpus broadcast at scale."""
+    plan = _physical(spark, "ann_ivf_topk", sf_dir)
+    assert "SortMergeJoin" not in plan, plan
+    m = re.search(r"BroadcastHashJoin \[label[^\]]*\].*?Build(Left|Right)", plan)
+    assert m, plan
+    side = m.group(1)
+    # the panel is written as the left side in ivf_topk
+    assert side == "Left", plan
+
+
+def test_recall_audit_tails_have_no_smj(spark, sf_dir):
+    """The recall-audit tail joins (top-k vs exact truth, counts vs
+    hits) move only panel x K rows; after the r15 broadcast hints none
+    of these queries may plan a SortMergeJoin anywhere."""
+    for name in (
+        "ivf_recall_curve",
+        "ivf_kmeans_recall_curve",
+        "pq_adc_recall",
+        "int8_knn_recall",
+        "mrl_truncation_recall",
+        "ann_index_staleness_audit",
+    ):
+        plan = _physical(spark, name, sf_dir)
+        assert "SortMergeJoin" not in plan, (name, plan)
